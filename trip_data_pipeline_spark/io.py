@@ -1,0 +1,171 @@
+"""Table IO: explicit schemas + loaders (SURVEY.md §1.2, §7 M0).
+
+Schemas are fixed and explicit (FIXTURES.md) — never inferred from
+CSV/JSON in checked queries.  Parquet reads use the footer schema which
+matches these; the explicit StructTypes exist for:
+
+- ``scan_explicit_schema`` (§2.1) — proving fixed-schema operation,
+- Structured Streaming sources (§2.9) — ``readStream`` requires one,
+- CSV round-trips (§2.1) — schema-on-read without inference.
+
+Note on timestamps: ``orders.o_orderdate`` / ``lineitem.l_shipdate`` are
+ms-precision parquet timestamps that are date-valued; ``events.ts`` is
+ns-precision in parquet, truncated to µs by both Spark and DuckDB 1.0
+(measured — zero ns residue), so integer µs math (``unix_micros`` vs
+``epoch_us``) is exactly parity-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "supplier",
+    "customer",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+# events.ts is physically TIMESTAMP(NANOS) which Spark 4 refuses by
+# default; with nanosAsLong it arrives as LongType ns-since-epoch.  This
+# raw schema is what readStream must declare before conversion.
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def ns_to_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Convert a LongType ns-epoch column to TimestampType (µs).
+
+    Exact parity with DuckDB, which also truncates this parquet type to
+    µs TIMESTAMP (measured: zero sub-µs residue in the fixtures)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.  Plain parquet read: the footer schema is
+    authoritative and Catalyst gets pushdown/pruning for free."""
+    # Timestamp->date casts follow the session TZ; the oracle (DuckDB)
+    # is naive-UTC, so pin it regardless of how the caller's session was
+    # built (the driver constructs its own SparkSession).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # runtime-settable (verified); required for the ns-timestamp file
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return ns_to_ts(spark.read.parquet(table_path(sf_dir, name)))
+    return spark.read.parquet(table_path(sf_dir, name))

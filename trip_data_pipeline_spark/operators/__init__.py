@@ -1,0 +1,6 @@
+"""Operator modules — importing this package registers every operator
+from SURVEY.md §2 into trip_data_pipeline_spark.registry.OPS."""
+
+from trip_data_pipeline_spark.operators import (  # noqa: F401
+    aggregates,
+)

@@ -1,0 +1,49 @@
+"""Shared parity-safe column helpers (SURVEY.md §5.3 rules).
+
+The Spark<->DuckDB hash check compares exact values, so every derived
+double is rounded (2 dp money / 4 dp similarity) and every timestamp is
+projected as a DATE or integer epoch — never raw.  ``events.ts`` is
+µs-identical in both engines (measured, FIXTURES.md gotcha 1 resolved),
+so integer µs/second math below is exact parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def r2(c: Column) -> Column:
+    """Round a money/metric double to 2 dp (SURVEY.md §5.3 rule 1)."""
+    return F.round(c, 2)
+
+
+def r4(c: Column) -> Column:
+    """Round a similarity/unit-scale double to 4 dp."""
+    return F.round(c, 4)
+
+
+def bigint(c: Column) -> Column:
+    """Cast to BIGINT so Spark counts/ranks match DuckDB's BIGINT
+    (SURVEY.md §5.3 rule 3)."""
+    return c.cast("bigint")
+
+
+def as_date(c: Column) -> Column:
+    """Project an ms-precision, date-valued timestamp as DATE
+    (SURVEY.md §5.3 rule 2)."""
+    return F.to_date(c)
+
+
+def epoch_s(col: str) -> Column:
+    """Whole-second epoch of timestamp column `col` as BIGINT.
+
+    DuckDB equivalent: ``epoch_us(ts) // 1000000``.  Both engines see the
+    same µs instant, and both floor-divide, so this is exact.
+    """
+    return F.expr(f"(unix_micros({col}) div 1000000)")
+
+
+# DuckDB-side rendering of the same expression, for oracle SQL strings.
+def duck_epoch_s(col: str) -> str:
+    return f"(epoch_us({col}) // 1000000)"

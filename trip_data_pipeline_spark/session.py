@@ -1,0 +1,39 @@
+"""SparkSession factory (SURVEY.md §7 M0).
+
+One shared session for tests/bench: JVM startup dominates at small scale
+(SURVEY.md §6), and the settings below are the 100-TB-minded defaults:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast conversion from observed sizes).
+- Arrow on (JVM->Python collection via Arrow IPC batches).
+- shuffle.partitions sized to cores, not the 200 default — at cluster
+  scale this would be set ~2-3x total cores / autotuned by AQE.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "trip-data-pipeline-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
