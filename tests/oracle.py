@@ -84,13 +84,10 @@ def compare(df, con, sql: str) -> None:
     sc = canon_rows(s_cols, s_rows)
     dc = canon_rows(d_cols, d_rows)
     if sc != dc:
-        diffs = [
-            (a, b) for a, b in zip(sc, dc) if a != b
-        ][:5]
-        only_s = [r for r in sc if r not in set(dc)][:3]
-        only_d = [r for r in dc if r not in set(sc)][:3]
+        dset, sset = set(dc), set(sc)
+        only_s = [r for r in sc if r not in dset][:3]
+        only_d = [r for r in dc if r not in sset][:3]
         raise AssertionError(
-            f"value mismatch ({len(diffs)}+ rows shown)\n"
-            f"first diffs (spark vs duck): {diffs}\n"
-            f"spark-only: {only_s}\nduck-only: {only_d}"
+            f"value mismatch; cols={sorted(s_cols)}\n"
+            f"spark-only rows: {only_s}\nduck-only rows: {only_d}"
         )

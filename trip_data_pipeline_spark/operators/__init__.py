@@ -3,4 +3,9 @@ from SURVEY.md §2 into trip_data_pipeline_spark.registry.OPS."""
 
 from trip_data_pipeline_spark.operators import (  # noqa: F401
     aggregates,
+    filters,
+    joins,
+    scans,
+    setops,
+    sorting,
 )

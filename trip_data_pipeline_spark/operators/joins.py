@@ -1,0 +1,383 @@
+"""§2.3 Joins (SURVEY.md §2.3).
+
+Scale strategy per operator is in each docstring.  The global rules:
+small dims are broadcast (no shuffle of the fact side), equi-joins
+shuffle on their keys and rely on AQE for size-based strategy switches
+and skew splitting, and the salted join demonstrates the manual pattern
+for skew AQE can't fix (skewed *aggregation-feeding* keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import as_date, bigint, epoch_s, r2
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.3 joins"
+
+_BIG_ORDER = 350000  # threshold making outer/semi/anti joins selective
+
+
+@op(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    category=CAT,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi (hash) join orders x customer — SURVEY.md §2.3 row 1."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@op(
+    "join_left_outer",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > {_BIG_ORDER}) o
+  ON o_custkey = c_custkey
+""",
+    category=CAT,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join, null-extended customers — SURVEY.md §2.3 row 2."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG_ORDER)
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@op(
+    "join_right_outer",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM (SELECT * FROM orders WHERE o_totalprice > {_BIG_ORDER}) o
+RIGHT JOIN customer ON o_custkey = c_custkey
+""",
+    category=CAT,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of left) — SURVEY.md §2.3 row 3."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG_ORDER)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@op(
+    "join_full_outer",
+    oracle="""
+WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey < 100),
+     b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey BETWEEN 50 AND 150)
+SELECT a.k AS left_k, b.k AS right_k, coalesce(a.k, b.k) AS k
+FROM a FULL JOIN b ON a.k = b.k
+""",
+    category=CAT,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on partially-overlapping key sets — SURVEY.md
+    §2.3 row 4."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") < 100).select(F.col("c_custkey").alias("ak")).distinct()
+    b = (
+        c.filter(F.col("c_custkey").between(50, 150))
+        .select(F.col("c_custkey").alias("bk"))
+        .distinct()
+    )
+    return a.join(b, a.ak == b.bk, "full").select(
+        F.col("ak").alias("left_k"),
+        F.col("bk").alias("right_k"),
+        F.coalesce("ak", "bk").alias("k"),
+    )
+
+
+@op(
+    "join_semi",
+    oracle=f"""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > {_BIG_ORDER})
+""",
+    category=CAT,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — SURVEY.md §2.3 row 5.  Semi joins ship
+    only the key column of the probe side — at scale this beats
+    join+distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG_ORDER)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op(
+    "join_anti",
+    oracle=f"""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > {_BIG_ORDER})
+""",
+    category=CAT,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — SURVEY.md §2.3 row 6."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG_ORDER)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op(
+    "join_broadcast_dim",
+    oracle="""
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+""",
+    category=CAT,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of small dims into a fact join — SURVEY.md
+    §2.3 row 7.  nation (25 rows) and region (5 rows) replicate to every
+    task; the customer side never shuffles for the join."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_customers"),
+            r2(F.avg("c_acctbal")).alias("avg_bal"),
+        )
+    )
+
+
+@op(
+    "join_star_5way",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+GROUP BY n_name
+""",
+    category=CAT,
+)
+def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 5-way star join — SURVEY.md §2.3 row 8.
+
+    Join order is hand-set smallest-dim-outward (region->nation
+    broadcast into customer, then orders, then lineitem) so the big
+    fact table joins last against already-reduced sides; the region
+    filter prunes before any shuffle of facts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (as_date(F.col("o_orderdate")) >= F.lit("1996-01-01").cast("date"))
+        & (as_date(F.col("o_orderdate")) < F.lit("1998-01-01").cast("date"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            bigint(F.count(F.lit(1))).alias("n_lineitems"),
+        )
+    )
+
+
+@op(
+    "join_theta_band",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS s FROM events)
+SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id,
+       CAST(e2.s - e1.s AS BIGINT) AS delta_s
+FROM e e1 JOIN e e2
+  ON e1.user_id = e2.user_id
+ AND e2.s > e1.s
+ AND e2.s <= e1.s + 21600
+""",
+    category=CAT,
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band θ-join (events within 6 h per user) — SURVEY.md
+    §2.3 row 9.
+
+    Spark executes the equi part (user_id) as a hash/SMJ join and the
+    band predicate as a post-join filter; at 100 TB you'd additionally
+    bucket by time-chunk so candidate pairs stay bounded per partition
+    (same pattern as the LSH band join in dedup_near_minhash)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_s("ts").alias("s")
+    )
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.s") > F.col("e1.s"))
+            & (F.col("e2.s") <= F.col("e1.s") + 21600),
+        )
+        .select(
+            F.col("e1.event_id").alias("id1"),
+            F.col("e2.event_id").alias("id2"),
+            F.col("e1.user_id").alias("user_id"),
+            bigint(F.col("e2.s") - F.col("e1.s")).alias("delta_s"),
+        )
+    )
+
+
+@op(
+    "join_asof_latest",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         o_custkey % 150 AS uid,
+         1704067200 + (o_orderkey * 1700) % 2592000 AS order_s
+  FROM orders WHERE o_orderkey < 2000
+), e AS (
+  SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS ev_s FROM events
+), j AS (
+  SELECT o.o_orderkey, o.order_s, e.event_id, e.ev_s,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ev_s DESC, e.event_id DESC) AS rn
+  FROM o JOIN e ON e.user_id = o.uid AND e.ev_s <= o.order_s
+)
+SELECT o_orderkey, order_s, event_id AS last_event_id, ev_s AS last_ev_s
+FROM j WHERE rn = 1
+""",
+    category=CAT,
+)
+def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior event per order — SURVEY.md §2.3 row 10.
+
+    Spark has no native ASOF JOIN; formulated as inequality join +
+    row_number()=1.  At 100 TB the candidate blowup is bounded by
+    bucketing both sides on coarse time ranges before the inequality
+    join (or applyInPandas + pandas.merge_asof per key group); here the
+    probe side is explicitly bounded (o_orderkey < 2000) per the survey.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("uid"),
+            (F.lit(1704067200) + (F.col("o_orderkey") * 1700) % 2592000).alias(
+                "order_s"
+            ),
+        )
+    )
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_s("ts").alias("ev_s")
+    )
+    j = o.join(e, (e.user_id == o.uid) & (e.ev_s <= o.order_s))
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ev_s").desc(), F.col("event_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "order_s",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ev_s").alias("last_ev_s"),
+        )
+    )
+
+
+@op(
+    "join_cross_small",
+    oracle="""
+SELECT r_name, st AS o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) s
+""",
+    category=CAT,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny relations — SURVEY.md §2.3 row 11."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    s = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("o_orderstatus")
+    ).distinct()
+    return r.crossJoin(s)
+
+
+@op(
+    "join_skew_salted",
+    oracle="""
+WITH dim AS (SELECT r_regionkey % 3 AS k, min(r_name) AS label
+             FROM region GROUP BY 1)
+SELECT label, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+FROM events JOIN dim ON (user_id % 3) = dim.k
+GROUP BY label
+""",
+    category=CAT,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a skewed derived key — SURVEY.md §2.3 row 12.
+
+    The fact key (user_id % 3) has only 3 distinct values — a plain
+    shuffle join would put 1/3 of all data in each of 3 tasks no matter
+    the cluster size.  Salting: fact adds salt = event_id % NSALT,
+    dim explodes x NSALT, join on (k, salt) → 3*NSALT balanced
+    partitions.  Result must equal the unsalted join (the oracle).
+    """
+    nsalt = 8
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).alias("k"),
+        (F.col("event_id") % nsalt).alias("salt"),
+        "value",
+    )
+    dim = (
+        load(spark, sf_dir, "region")
+        .groupBy((F.col("r_regionkey") % 3).alias("k"))
+        .agg(F.min("r_name").alias("label"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(nsalt)])))
+    )
+    return (
+        ev.join(dim, ["k", "salt"])
+        .groupBy("label")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            r2(F.sum("value")).alias("total"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""§2.1 Scans, sources, sinks (SURVEY.md §2.1).
+
+Scale notes: parquet scans get predicate pushdown, column pruning and
+row-group skipping from Catalyst for free; the partitioned sink writes
+the directory layout (partitionBy date) that enables partition pruning
+at 100 TB — the publish step of the reference pipeline generalized.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import SCHEMAS, load, table_path
+from trip_data_pipeline_spark.operators.common import as_date, bigint, r2
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.1 scans/sources/sinks"
+
+
+@op(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       CAST(l_shipdate AS DATE) AS l_shipdate
+FROM lineitem
+""",
+    category=CAT,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan, all columns — SURVEY.md §2.1 row 1.
+
+    Raw doubles are bit-identical across engines (no aggregation);
+    only the timestamp is normalized to DATE (§5.3 rule 2)."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = [c for c in li.columns if c != "l_shipdate"]
+    return li.select(*cols, as_date(F.col("l_shipdate")).alias("l_shipdate"))
+
+
+@op(
+    "scan_explicit_schema",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    category=CAT,
+)
+def scan_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read with an explicit StructType (no inference) — SURVEY.md §2.1
+    row 2."""
+    return spark.read.schema(SCHEMAS["customer"]).parquet(
+        table_path(sf_dir, "customer")
+    )
+
+
+@op(
+    "scan_multi_sf_union",
+    oracle="""
+SELECT c_name AS name, 'customer' AS src, c_acctbal AS acctbal FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS src, s_acctbal AS acctbal FROM supplier
+""",
+    category=CAT,
+)
+def scan_multi_sf_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two files unioned by name — multi-feed ingestion — SURVEY.md §2.1
+    row 3."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("src"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+@op("sink_parquet_partitioned", oracle=None, category=CAT)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write partitioned-by-year parquet, read back, count per partition
+    — SURVEY.md §2.1 row 4 (rows-only: side-effecting).
+
+    The partition column becomes the directory key: at 100 TB this
+    layout gives static+dynamic partition pruning on the publish side.
+    """
+    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year(as_date(F.col("o_orderdate")))
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_year")
+        .agg(bigint(F.count(F.lit(1))).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@op("sink_csv_roundtrip", oracle=None, category=CAT)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV publish + schema-on-read ingest round trip — SURVEY.md §2.1
+    row 5 (rows-only: side-effecting)."""
+    out = tempfile.mkdtemp(prefix="sink_csv_")
+    p = load(spark, sf_dir, "part")
+    p.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(SCHEMAS["part"]).option("header", True).csv(out)
+    return back.agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.countDistinct("p_brand")).alias("n_brands"),
+        r2(F.sum("p_retailprice")).alias("total_price"),
+    )
+
+
+@op(
+    "scan_json_props",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+    category=CAT,
+)
+def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column parsed with an explicit schema —
+    SURVEY.md §2.1 row 6."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.from_json(F.col("props"), "k INT").getField("k").alias("k"))
+        .groupBy("k")
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+    )
