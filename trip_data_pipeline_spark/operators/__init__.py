@@ -5,7 +5,9 @@ from trip_data_pipeline_spark.operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    scalar_funcs,
     scans,
     setops,
     sorting,
+    windows,
 )
