@@ -9,5 +9,6 @@ from trip_data_pipeline_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorting,
+    udfs,
     windows,
 )
