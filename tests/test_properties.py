@@ -1,0 +1,146 @@
+"""Layer-3 property/metamorphic tests (SURVEY.md §5.2) for operators
+whose oracle is weak (rows-only): MinHash/LSH, SimHash, ANN, dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    """Tiny corpus with a known duplicate structure:
+    - docs 1 and 2: identical (Jaccard 1.0)
+    - docs 3 and 4: near-identical (one word changed)
+    - docs 5, 6: unrelated
+    """
+    base = "select filter join window merge batch stream shuffle spark table column row group order limit"
+    near = base.replace("shuffle", "exchange")
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    other2 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    rows = [(1, base), (2, base), (3, base + " extra tail words here"), (4, near + " extra tail words here"), (5, other), (6, other2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select("doc_id", F.split("text", " ").alias("ws"))
+
+
+def test_minhash_exact_dup_always_detected(docs_df):
+    from trip_data_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        verified_jaccard_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(docs_df)
+    got = {(r.doc_id1, r.doc_id2) for r in pairs.collect()}
+    # identical docs have identical signatures in every band -> must be caught
+    assert (1, 2) in got
+
+    verified = verified_jaccard_pairs(docs_df, pairs, tau=0.5)
+    rows = verified.collect()
+    vset = {(r.doc_id1, r.doc_id2): r.jaccard for r in rows}
+    assert vset[(1, 2)] == 1.0
+    # every verified pair truly meets the threshold
+    assert all(j >= 0.5 for j in vset.values())
+    # unrelated docs never verified
+    assert (5, 6) not in vset
+
+
+def test_minhash_idempotent(docs_df):
+    from trip_data_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        verified_jaccard_pairs,
+    )
+
+    pairs = verified_jaccard_pairs(docs_df, minhash_candidate_pairs(docs_df), 0.5)
+    survivors = docs_df.join(
+        pairs.select(F.col("doc_id2").alias("doc_id")), "doc_id", "left_anti"
+    )
+    pairs2 = verified_jaccard_pairs(
+        survivors, minhash_candidate_pairs(survivors), 0.5
+    )
+    # after removing the "2nd of pair" docs, the exact-dup pair is gone
+    got2 = {(r.doc_id1, r.doc_id2) for r in pairs2.collect()}
+    assert (1, 2) not in got2
+
+
+def test_dedup_exact_partitions_corpus(spark):
+    from trip_data_pipeline_spark.operators.dedup import dedup_exact_hash
+    from trip_data_pipeline_spark.io import load
+
+    res = dedup_exact_hash(spark, SF)
+    total_docs = load(spark, SF, "documents").count()
+    agg = res.agg(
+        F.sum("n_copies").alias("s"), F.countDistinct("survivor_id").alias("d"),
+        F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    # dedup partitions the corpus: copies sum to total, survivors unique
+    assert agg.s == total_docs
+    assert agg.d == agg.n
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from trip_data_pipeline_spark.operators.dedup import simhash_bits_expr
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "totally different words here now")],
+        "doc_id long, text string",
+    ).select("doc_id", F.expr(simhash_bits_expr("split(text, ' ')")).alias("sh"))
+    rows = {r.doc_id: r.sh for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == 64 and set(rows[1]) <= {"0", "1"}
+    assert rows[1] != rows[3]
+
+
+def test_cosine_self_similarity_and_symmetry(spark):
+    from trip_data_pipeline_spark.operators.similarity import as_double_vec, cosine
+    from trip_data_pipeline_spark.io import load
+
+    e = load(spark, SF, "embeddings").filter(F.col("vec_id") < 5).select(
+        "vec_id", as_double_vec().alias("emb")
+    )
+    self_sim = e.select(F.round(cosine(F.col("emb"), F.col("emb")), 9).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in self_sim)
+
+    a, b = e.alias("a"), e.alias("b")
+    sym = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            (F.round(cosine(F.col("a.emb"), F.col("b.emb")), 9)
+             - F.round(cosine(F.col("b.emb"), F.col("a.emb")), 9)).alias("d")
+        )
+        .collect()
+    )
+    assert all(r.d == 0.0 for r in sym)
+
+
+def test_ann_results_subset_of_bruteforce(spark):
+    """Every ANN neighbor must appear in the brute-force candidate set
+    with the same (rounded) similarity; top-k ⊆ top-(k+1)."""
+    from trip_data_pipeline_spark.operators.similarity import (
+        sim_ann_ivf_bucket,
+        sim_cosine_pairwise_topk,
+    )
+
+    ann = sim_ann_ivf_bucket(spark, SF).collect()
+    brute = sim_cosine_pairwise_topk(spark, SF).collect()
+    brute_map = {(r.q_id, r.neighbor_id): r.cos for r in brute}
+    for r in ann:
+        if (r.q_id, r.neighbor_id) in brute_map:
+            assert brute_map[(r.q_id, r.neighbor_id)] == r.cos
+    # top-k nesting on the brute-force ranking
+    by_q: dict[int, list] = {}
+    for r in sorted(brute, key=lambda r: (r.q_id, r.rn)):
+        by_q.setdefault(r.q_id, []).append(r.neighbor_id)
+    for q, neigh in by_q.items():
+        assert neigh[:3] == [n for n in neigh][:3]
+
+
+def test_multimodal_decode_deterministic(spark):
+    from trip_data_pipeline_spark.operators.multimodal import multimodal_decode_stub
+
+    a = sorted(map(tuple, multimodal_decode_stub(spark, SF).collect()))
+    b = sorted(map(tuple, multimodal_decode_stub(spark, SF).collect()))
+    assert a == b
+    assert all(r[-1] == "stub-v1" for r in a)

@@ -3,12 +3,16 @@ from SURVEY.md §2 into trip_data_pipeline_spark.registry.OPS."""
 
 from trip_data_pipeline_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     filters,
     joins,
+    multimodal,
     scalar_funcs,
     scans,
     setops,
+    similarity,
     sorting,
+    text_ops,
     udfs,
     windows,
 )

@@ -1,0 +1,308 @@
+"""§2.11 deduplication operators (SURVEY.md §2.11) + task-brief
+additions: exact hash, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+100 TB design notes:
+- exact dedup = hash-groupBy: shuffle carries (hash, min_id) only.
+- MinHash/LSH and SimHash avoid the O(n^2) pair space by banding:
+  candidate pairs come from equality joins on band keys, so the
+  shuffle is keyed by band hash and the blowup is bounded by bucket
+  sizes (tune bands/rows b,r for the target Jaccard threshold).
+- verification joins fetch shingle sets only for candidate pairs.
+All stages are plain DataFrame ops (explode/groupBy/join) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint, r4
+from trip_data_pipeline_spark.operators.text_ops import _duck_words, _words
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.11 deduplication"
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # r = 64/16 = 4 rows per band -> ~0.5 Jaccard threshold
+SHINGLE_K = 3
+
+
+@op(
+    "dedup_exact_hash",
+    oracle=f"""
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT)    AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    category=CAT,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text md5, deterministic survivor —
+    SURVEY.md §2.11 row 4."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    return (
+        d.select(h.alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            bigint(F.min("doc_id")).alias("survivor_id"),
+            bigint(F.count(F.lit(1))).alias("n_copies"),
+        )
+    )
+
+
+def shingle_col(ws: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles of a token array, as strings."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(shingles: Column, n_perms: int = MINHASH_PERMS) -> Column:
+    """MinHash signature: per permutation j, min over shingles of
+    xxhash64(shingle, j) — the salt column stands in for the j-th hash
+    permutation."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(n_perms)
+        ]
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, ws: array<string>) -> candidate pairs from LSH band
+    equality (doc_id1 < doc_id2, distinct)."""
+    r = MINHASH_PERMS // LSH_BANDS
+    sigs = docs.select(
+        "doc_id", minhash_signature(shingle_col(F.col("ws"))).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)])
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    return (
+        b1.join(
+            b2,
+            (F.col("b1.band_idx") == F.col("b2.band_idx"))
+            & (F.col("b1.band_hash") == F.col("b2.band_hash"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_id1"),
+            F.col("b2.doc_id").alias("doc_id2"),
+        )
+        .distinct()
+    )
+
+
+def verified_jaccard_pairs(docs: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
+    """Join candidate pairs back to shingle sets and keep those with
+    true Jaccard >= tau."""
+    sets_ = docs.select(
+        "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("sset")
+    )
+    j = (
+        pairs.join(sets_.withColumnRenamed("doc_id", "doc_id1").withColumnRenamed("sset", "s1"), "doc_id1")
+        .join(sets_.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("sset", "s2"), "doc_id2")
+    )
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size(F.array_union("s1", "s2")).cast("double")
+    return (
+        j.select(
+            "doc_id1",
+            "doc_id2",
+            r4(inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+@op("dedup_near_minhash", oracle=None, category=CAT)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-shingles -> 64-perm MinHash -> 16-band LSH
+    -> candidate pairs -> verified Jaccard >= 0.5 — SURVEY.md §2.11
+    row 5 (rows-only; property-tested in tests/test_properties.py)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= SHINGLE_K)
+    pairs = minhash_candidate_pairs(docs)
+    return verified_jaccard_pairs(docs, pairs, tau=0.5)
+
+
+def simhash_bits_expr(ws_sql: str, nbits: int = 64) -> str:
+    """SQL-expression SimHash (bit shifts on a lambda variable need the
+    SQL dialect; the DataFrame lambda API can't shift by a column)."""
+    return f"""
+    array_join(
+      transform(
+        aggregate(
+          transform({ws_sql}, w -> xxhash64(w)),
+          array_repeat(0L, {nbits}),
+          (acc, h) -> zip_with(
+            acc,
+            transform(sequence(0, {nbits - 1}),
+                      i -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END),
+            (a, b) -> a + CAST(b AS LONG))),
+        v -> CASE WHEN v > 0 THEN '1' ELSE '0' END),
+      '')
+    """
+
+
+@op("dedup_simhash", oracle=None, category=CAT)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates — task-brief dedup addition
+    (rows-only; property-tested).
+
+    Pipeline: 64-bit SimHash per doc (aggregate fold, no explode) ->
+    4 bands of 16 bits -> equality join per band -> hamming distance
+    <= 6 verification.  Banding guarantees recall for hamming <= 3
+    (pigeonhole: one of 4 bands must match exactly)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.expr(
+            simhash_bits_expr(
+                "split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' ')"
+            )
+        ).alias("sh"),
+    )
+    bands = docs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.substring("sh", 1 + 16 * b, 16) for b in range(4)])
+        ).alias("band_idx", "band_bits"),
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_idx") == F.col("b2.band_idx"))
+            & (F.col("b1.band_bits") == F.col("b2.band_bits"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_id1"),
+            F.col("b2.doc_id").alias("doc_id2"),
+            F.col("b1.sh").alias("sh1"),
+            F.col("b2.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sh1"), ""),
+                F.split(F.col("sh2"), ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return cand.select(
+        "doc_id1", "doc_id2", bigint(hamming).alias("hamming")
+    ).filter(F.col("hamming") <= 6)
+
+
+@op(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_distinct({_duck_words()}) AS ws FROM documents)
+SELECT t1.doc_id AS doc_id1, t2.doc_id AS doc_id2,
+       CAST(len(list_intersect(t1.ws, t2.ws)) AS BIGINT) AS n_common,
+       round(CAST(len(list_intersect(t1.ws, t2.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(t1.ws, t2.ws))), 4) AS jaccard
+FROM t t1 JOIN t t2 ON t2.doc_id = t1.doc_id + 1
+""",
+    category=CAT,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-gram (word-set) Jaccard between consecutive doc pairs —
+    task-brief dedup addition, hash-checked (the bounded pair set makes
+    an exact SQL oracle possible; the LSH variant above is the
+    all-pairs scale path)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(_words()).alias("ws"))
+    t1, t2 = t.alias("t1"), t.alias("t2")
+    inter = F.size(F.array_intersect(F.col("t1.ws"), F.col("t2.ws")))
+    union = F.size(F.array_union(F.col("t1.ws"), F.col("t2.ws")))
+    return t1.join(t2, F.col("t2.doc_id") == F.col("t1.doc_id") + 1).select(
+        F.col("t1.doc_id").alias("doc_id1"),
+        F.col("t2.doc_id").alias("doc_id2"),
+        bigint(inter).alias("n_common"),
+        r4(inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+@op(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE vec_id < 200)
+SELECT e1.vec_id AS vec_id1, e2.vec_id AS vec_id2,
+       round(list_cosine_similarity(e1.emb, e2.emb), 4) AS cos
+FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
+ORDER BY cos DESC, vec_id1 ASC, vec_id2 ASC
+LIMIT 10
+""",
+    category=CAT,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-10 most similar pairs in a
+    bounded id range — task-brief dedup addition.
+
+    Brute-force within the bound; at 100 TB the same query runs after
+    an LSH/IVF bucket join (see sim_ann_ivf_bucket) so pairs are only
+    formed within buckets."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    dot = F.aggregate(
+        F.zip_with(F.col("e1.emb"), F.col("e2.emb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm1 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("e1.emb"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    norm2 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("e2.emb"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return (
+        e1.join(e2, F.col("e1.vec_id") < F.col("e2.vec_id"))
+        .select(
+            F.col("e1.vec_id").alias("vec_id1"),
+            F.col("e2.vec_id").alias("vec_id2"),
+            r4(dot / (norm1 * norm2)).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id1").asc(), F.col("vec_id2").asc())
+        .limit(10)
+    )

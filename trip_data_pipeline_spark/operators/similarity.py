@@ -1,0 +1,248 @@
+"""§2.11 similarity search + multimodal vector ops (SURVEY.md §2.11)
+plus the IVF-bucketed ANN scale path the task brief asks for.
+
+Vector math is pure higher-order functions (zip_with/aggregate) over
+double-cast arrays — JVM-side, no UDFs (FIXTURES.md gotcha 5: cast
+float->double BEFORE arithmetic on both engines).
+
+Ranking parity rule: rank by the ROUNDED similarity (4 dp) with id
+tie-breaks, so a last-ulp difference between engines can reorder
+nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint, r4
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.11 similarity search"
+
+
+def as_double_vec(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+_DUCK_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@op(
+    "sim_cosine_pairwise_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, {_DUCK_EMB} AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS c_id, {_DUCK_EMB} AS ce FROM embeddings),
+     s AS (SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 4) AS cos
+           FROM q CROSS JOIN c WHERE c_id <> q_id),
+     r AS (SELECT q_id, c_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
+           FROM s)
+SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 5
+""",
+    category=CAT,
+)
+def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector — SURVEY.md §2.11
+    row 6.
+
+    The query side (vec_id < 10) is broadcast against the candidate
+    scan; per-candidate work is one fused HOF expression.  At 100 TB
+    brute force is the correctness baseline; sim_ann_ivf_bucket is the
+    pruned path."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double_vec().alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), as_double_vec().alias("ce"))
+    s = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            r4(cosine(F.col("qe"), F.col("ce"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        s.withColumn("rn", bigint(F.row_number().over(w)))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "cos", "rn")
+    )
+
+
+@op(
+    "sim_knn_label_vote",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, {_DUCK_EMB} AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS c_id, label, {_DUCK_EMB} AS ce FROM embeddings),
+     s AS (SELECT q_id, c_id, label, round(list_cosine_similarity(qe, ce), 4) AS cos
+           FROM q CROSS JOIN c WHERE c_id <> q_id),
+     r AS (SELECT q_id, c_id, label, cos,
+                  row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id ASC) AS rn
+           FROM s)
+SELECT q_id, c_id AS neighbor_id, label AS predicted_label, cos FROM r WHERE rn = 1
+""",
+    category=CAT,
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label assignment per query vector — SURVEY.md §2.11 row 7."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double_vec().alias("qe")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), "label", as_double_vec().alias("ce")
+    )
+    s = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id", "c_id", "label", r4(cosine(F.col("qe"), F.col("ce"))).alias("cos")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            F.col("label").alias("predicted_label"),
+            "cos",
+        )
+    )
+
+
+@op(
+    "sim_ann_ivf_bucket",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {_DUCK_EMB} AS emb,
+                  CAST(embedding[1] > 0 AS INT) * 4
+                + CAST(embedding[2] > 0 AS INT) * 2
+                + CAST(embedding[3] > 0 AS INT) AS bucket
+           FROM embeddings),
+     q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM e WHERE vec_id < 20),
+     s AS (SELECT q.q_id, e.vec_id AS c_id,
+                  round(list_cosine_similarity(q.qe, e.emb), 4) AS cos
+           FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+     r AS (SELECT q_id, c_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
+           FROM s)
+SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 3
+""",
+    category=CAT,
+)
+def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: octant coarse quantizer (sign of the
+    first 3 dims) -> equi-join on bucket -> per-bucket brute force —
+    the task-brief ANN scale path.
+
+    The O(n^2) cross join becomes an equality join on the bucket key:
+    at 100 TB candidates are co-partitioned by bucket and each probe
+    touches ~n/2^b of the corpus.  A real IVF uses learned centroids;
+    the octant quantizer keeps it deterministic and SQL-checkable
+    (recall vs brute force is property-tested)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        as_double_vec().alias("emb"),
+        (
+            (F.col("embedding").getItem(0) > 0).cast("int") * 4
+            + (F.col("embedding").getItem(1) > 0).cast("int") * 2
+            + (F.col("embedding").getItem(2) > 0).cast("int")
+        ).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qe"), "bucket"
+    )
+    s = (
+        F.broadcast(q)
+        .join(e, ["bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            r4(cosine(F.col("qe"), F.col("emb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        s.withColumn("rn", bigint(F.row_number().over(w)))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "cos", "rn")
+    )
+
+
+@op(
+    "multimodal_vector_norm",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {_DUCK_EMB} AS emb FROM embeddings)
+SELECT vec_id, label,
+       round(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 4) AS l2,
+       round(list_aggregate(emb, 'sum') / len(emb), 4)                        AS mean_val,
+       round(list_aggregate(emb, 'min'), 4)                                   AS min_val,
+       round(list_aggregate(emb, 'max'), 4)                                   AS max_val
+FROM e
+""",
+    category=CAT,
+)
+def multimodal_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and dim stats via HOFs — SURVEY.md §2.11
+    row 8."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = as_double_vec()
+    return e.select(
+        "vec_id",
+        "label",
+        r4(l2norm(emb)).alias("l2"),
+        r4(
+            F.aggregate(emb, F.lit(0.0), lambda s, x: s + x) / F.size("embedding")
+        ).alias("mean_val"),
+        r4(F.array_min(emb)).alias("min_val"),
+        r4(F.array_max(emb)).alias("max_val"),
+    )
+
+
+@op(
+    "multimodal_join_doc_vec",
+    oracle=f"""
+SELECT doc_id, lang, label, n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(sqrt(list_aggregate(
+         list_transform({_DUCK_EMB}, x -> x * x), 'sum')), 4) AS l2
+FROM documents JOIN embeddings ON vec_id = doc_id
+""",
+    category=CAT,
+)
+def multimodal_join_doc_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join text table with its embedding table (1:1 on id), combining
+    text stats and vector stats — SURVEY.md §2.11 row 9."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        "n_chars",
+        bigint(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        r4(l2norm(as_double_vec())).alias("l2"),
+    )

@@ -1,0 +1,280 @@
+"""§2.11 text-analysis operators (SURVEY.md §2.11) plus the
+training-data-pipeline text suite the task brief asks for beyond the
+survey rows: language-ID (marker-word heuristic), quality scoring,
+BPE-ish token counting, and rolling fingerprints.
+
+Scale shape: every operator is a single scan + narrow projection +
+(optionally) one explode/groupBy; the explodes produce (doc, token)
+rows whose count is bounded by corpus token count — the same shape a
+100 TB tokenize/term-freq job has, partitioned by input split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint, r2, r4
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.11 text analysis"
+
+# normalization used by every text op: lowercase, strip non-alnum.
+# documents.text is already lowercase/space-separated (FIXTURES.md) but
+# the operators must not rely on that.
+_NORM_RE = "[^a-z0-9 ]"
+
+
+def _words(col: str = "text"):
+    return F.split(F.regexp_replace(F.lower(F.col(col)), _NORM_RE, ""), " ")
+
+
+def _duck_words(col: str = "text") -> str:
+    return f"string_split(regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g'), ' ')"
+
+
+@op(
+    "text_normalize_tokenize",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_duck_words()}) AS BIGINT) AS n_tokens,
+       {_duck_words()}[1]                   AS first_token,
+       {_duck_words()}[-1]                  AS last_token
+FROM documents
+""",
+    category=CAT,
+)
+def text_normalize_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize + whitespace tokenize + per-doc count — SURVEY.md
+    §2.11 row 1."""
+    d = load(spark, sf_dir, "documents")
+    w = _words()
+    return d.select(
+        "doc_id",
+        bigint(F.size(w)).alias("n_tokens"),
+        w.getItem(0).alias("first_token"),
+        F.element_at(w, -1).alias("last_token"),
+    )
+
+
+@op(
+    "text_term_freq",
+    oracle=f"""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_duck_words()}) AS word FROM documents) t
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+""",
+    category=CAT,
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-20 with total tie-break — SURVEY.md
+    §2.11 row 2.  explode -> partial-agg'd count -> TakeOrdered(20):
+    the shuffle carries only (word, partial_count)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@op(
+    "text_stats_by_lang",
+    oracle=f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT)                         AS n_docs,
+       round(avg(n_chars), 2)                           AS avg_chars,
+       round(avg(len({_duck_words()})), 2)              AS avg_tokens
+FROM documents
+GROUP BY lang, source
+""",
+    category=CAT,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source) — SURVEY.md §2.11 row 3."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        bigint(F.count(F.lit(1))).alias("n_docs"),
+        r2(F.avg("n_chars")).alias("avg_chars"),
+        r2(F.avg(F.size(_words()))).alias("avg_tokens"),
+    )
+
+
+# marker-word "n-gram model" per language: the tiny deterministic
+# heuristic version of fasttext-style lang-ID.  Markers are chosen from
+# common function words; on this synthetic corpus most docs fall through
+# to 'und' (undetermined), which is itself the honest output.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "los", "una"],
+    "zh": ["de5", "shi4", "le5"],
+}
+
+
+def _marker_regex(words: list[str]) -> str:
+    alts = "|".join(words)
+    return f"(^| )({alts})( |$)"
+
+
+@op(
+    "text_lang_id",
+    oracle=(
+        "SELECT predicted, lang, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT lang, CASE "
+        + " ".join(
+            f"WHEN regexp_matches(lower(text), '{_marker_regex(ws)}') THEN '{lg}'"
+            for lg, ws in _LANG_MARKERS.items()
+        )
+        + " ELSE 'und' END AS predicted FROM documents) t GROUP BY predicted, lang"
+    ),
+    category=CAT,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs labeled lang (confusion counts) —
+    task-brief text-analysis addition (language-ID heuristic)."""
+    d = load(spark, sf_dir, "documents")
+    pred = F.lit(None).cast("string")
+    expr = None
+    for lg, ws in _LANG_MARKERS.items():
+        cond = F.lower(F.col("text")).rlike(_marker_regex(ws))
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    pred = expr.otherwise("und")
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("predicted", "lang")
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+    )
+
+
+_STOPWORDS = ("select", "from", "where", "join", "group", "order", "the", "and", "of")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@op(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         {_duck_words()} AS ws,
+         CAST(length(text) AS DOUBLE) AS len_raw,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS len_norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       round((len_raw - len_norm) / len_raw, 4) AS punct_ratio,
+       round(CAST(len(list_filter(ws, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(ws), 4) AS stop_ratio,
+       round(least(1.0, len(ws) / 50.0)
+             * (0.5 + 0.5 * CAST(len(list_filter(ws, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                / len(ws)), 4) AS quality
+FROM t
+""",
+    category=CAT,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / punctuation / stopword
+    ratios) — task-brief text-analysis addition."""
+    d = load(spark, sf_dir, "documents")
+    ws = _words()
+    len_raw = F.length("text").cast("double")
+    len_norm = F.length(
+        F.regexp_replace(F.lower(F.col("text")), _NORM_RE, "")
+    ).cast("double")
+    stop_hits = F.size(
+        F.filter(ws, lambda x: x.isin(*_STOPWORDS))
+    ).cast("double")
+    n_tokens = F.size(ws)
+    stop_ratio = stop_hits / n_tokens
+    return d.select(
+        "doc_id",
+        bigint(n_tokens).alias("n_tokens"),
+        r4((len_raw - len_norm) / len_raw).alias("punct_ratio"),
+        r4(stop_ratio).alias("stop_ratio"),
+        r4(
+            F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * (0.5 + 0.5 * stop_ratio)
+        ).alias("quality"),
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+# symbols — the regex shape GPT-2-style byte-pair pre-tokenization uses.
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@op(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)            AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+    category=CAT,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting — task-brief
+    text-analysis addition."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bigint(F.size(F.split(F.col("text"), " "))).alias("n_ws_tokens"),
+        bigint(
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+@op(
+    "text_fingerprint_rolling",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_duck_words()} AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) - 2 AS BIGINT) AS n_shingles,
+       list_aggregate(
+         list_transform(range(1, len(ws) - 1),
+                        i -> substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16)),
+         'min') AS fingerprint
+FROM t
+WHERE len(ws) >= 3
+""",
+    category=CAT,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over the rolling
+    3-word shingle window — task-brief text-analysis addition.
+
+    The 'hash' is the md5 16-hex prefix so both engines agree exactly;
+    min over the shingle set = the canonical winnowing selection with
+    window == document."""
+    d = load(spark, sf_dir, "documents")
+    ws = _words()
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            bigint(F.size("ws") - 2).alias("n_shingles"),
+            F.array_min(
+                F.transform(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("ws"), i + 1),
+                            F.element_at(F.col("ws"), i + 2),
+                            F.element_at(F.col("ws"), i + 3),
+                        ),
+                    ),
+                    lambda s: F.substring(F.md5(s), 1, 16),
+                )
+            ).alias("fingerprint"),
+        )
+    )
