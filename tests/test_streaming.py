@@ -1,0 +1,83 @@
+"""Layer-3/4 streaming semantics tests (SURVEY.md §5.2): golden
+properties for the rows-only streaming operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_tumbling_counts_sum_to_total(spark):
+    from trip_data_pipeline_spark.operators.streaming_ops import stream_tumbling_count
+
+    res = stream_tumbling_count(spark, SF)
+    total = res.agg(F.sum("n")).collect()[0][0]
+    assert total == load(spark, SF, "events").count()
+
+
+def test_watermark_drops_late_rows(spark):
+    """Golden property: a late tail (behind the batch-1 watermark) must
+    not change any emitted window, and the emitted windows must be the
+    closed on-time windows."""
+    from trip_data_pipeline_spark.operators.streaming_ops import stream_watermark_late
+
+    res = {(r.win_start_s, r.n) for r in stream_watermark_late(spark, SF).collect()}
+    # on-time-only expectation from batch SQL: hourly counts before the
+    # cutoff; append mode withholds windows not yet past the watermark,
+    # so emitted set must be a subset with identical counts.
+    ev = load(spark, SF, "events").filter(F.col("ts") < "2024-01-20 00:00:00")
+    expected = {
+        (r.win_start_s, r.n)
+        for r in ev.groupBy(
+            F.expr("(unix_micros(ts) div 1000000) - (unix_micros(ts) div 1000000) % 3600").alias(
+                "win_start_s"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert res <= expected
+    # nearly all on-time windows are closed by the final watermark
+    assert len(res) >= len(expected) - 1
+    # and no window carries late-tail inflation (counts identical) --
+    # guaranteed by res <= expected (same (window, count) pairs).
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    from trip_data_pipeline_spark.operators.streaming_ops import stream_dedup_watermark
+
+    res = {(r.event_type, r.n_users) for r in stream_dedup_watermark(spark, SF).collect()}
+    expected = {
+        (r.event_type, r.n)
+        for r in load(spark, SF, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert res == expected
+
+
+def test_stateful_runstate_equals_batch_agg(spark):
+    from trip_data_pipeline_spark.operators.streaming_ops import stream_stateful_runstate
+
+    res = {(r.user_id, r.n_events) for r in stream_stateful_runstate(spark, SF).collect()}
+    expected = {
+        (r.user_id, r.n)
+        for r in load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert res == expected
+
+
+def test_foreachbatch_sink_preserves_rows(spark):
+    from trip_data_pipeline_spark.operators.streaming_ops import stream_foreachbatch_sink
+
+    res = stream_foreachbatch_sink(spark, SF)
+    assert res.agg(F.sum("n")).collect()[0][0] == load(spark, SF, "events").count()

@@ -12,6 +12,7 @@ from trip_data_pipeline_spark.operators import (  # noqa: F401
     setops,
     similarity,
     sorting,
+    streaming_ops,
     text_ops,
     udfs,
     windows,

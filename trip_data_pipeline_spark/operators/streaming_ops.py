@@ -1,0 +1,304 @@
+"""§2.9 Streaming operators (SURVEY.md §2.9) over the events stream.
+
+Each operator runs a genuine Structured Streaming query (incremental
+planning, state store, watermarks) drained with AvailableNow, then
+returns the materialized result as a batch DataFrame — so the driver's
+(spark, sf_dir) -> DataFrame contract holds.  Batch-SQL oracles exist
+where the final answer is a pure function of event time (§2.9 note);
+watermark-drop / stateful / sink ops are rows-only with golden &
+property tests in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import RAW_EVENTS_SCHEMA, load, ns_to_ts, table_path
+from trip_data_pipeline_spark.operators.common import bigint, r2
+from trip_data_pipeline_spark.registry import op
+from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory
+
+CAT = "2.9 streaming"
+
+
+@op(
+    "stream_tumbling_count",
+    oracle="""
+WITH e AS (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_s,
+                  event_type, value
+           FROM events)
+SELECT CAST(hour_s AS BIGINT)  AS win_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2)     AS total_value
+FROM e GROUP BY hour_s, event_type
+""",
+    category=CAT,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event_type — SURVEY.md
+    §2.9 row 1.  Watermark bounds state; with a static file fully
+    drained, the final counts equal the batch hour-truncation oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            r2(F.sum("value")).alias("total_value"),
+        )
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        F.expr("(unix_micros(window.start) div 1000000)").alias("win_start_s"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@op(
+    "stream_sliding_sum",
+    oracle="""
+WITH e AS (SELECT (epoch_us(ts) // 1000000) AS s, value FROM events),
+     b AS (SELECT s - s % 900 AS b15, value FROM e),
+     w AS (SELECT b15 - off AS win_start_s, value
+           FROM b CROSS JOIN (VALUES (0), (900), (1800), (2700)) t(off))
+SELECT CAST(win_start_s AS BIGINT) AS win_start_s,
+       CAST(count(*) AS BIGINT)    AS n,
+       round(sum(value), 2)        AS total_value
+FROM w GROUP BY win_start_s
+""",
+    category=CAT,
+)
+def stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min — SURVEY.md §2.9 row 2.
+    Oracle self-expands each event into its 4 covering window starts
+    (epoch-aligned, matching Spark's window alignment)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            r2(F.sum("value")).alias("total_value"),
+        )
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        F.expr("(unix_micros(window.start) div 1000000)").alias("win_start_s"),
+        "n",
+        "total_value",
+    )
+
+
+@op(
+    "stream_session_window",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+     g AS (SELECT user_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+     s AS (SELECT user_id, us,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+SELECT user_id,
+       CAST(min(us) AS BIGINT)                          AS sess_start_us,
+       CAST(max(us) - min(us) + 1800000000 AS BIGINT)   AS dur_us,
+       CAST(count(*) AS BIGINT)                         AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    category=CAT,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-min inactivity gap — SURVEY.md
+    §2.9 row 3 (also the trip 'sessionization' op).
+
+    Oracle is the gaps-and-islands formulation on exact integer µs:
+    a session window is [first, last+gap), so a new session starts
+    when the gap is >= 30 min."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(bigint(F.count(F.lit(1))).alias("n_events"))
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        "user_id",
+        F.expr("unix_micros(session_window.start)").alias("sess_start_us"),
+        F.expr("unix_micros(session_window.end) - unix_micros(session_window.start)").alias(
+            "dur_us"
+        ),
+        "n_events",
+    )
+
+
+def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build a temp dir with three parquet files whose modification
+    order forces three micro-batches:
+
+    - batch 0: on-time data (advances the watermark for batch 1),
+    - batch 1: empty (runs state eviction with the advanced watermark,
+      so the on-time windows are emitted and CLOSED — the watermark
+      used for eviction is the start-of-batch one, so a batch boundary
+      is needed between "data seen" and "windows closed"),
+    - batch 2: a late tail (rows re-sent from the earliest days, far
+      behind the watermark -> dropped by the state operator; verified
+      via numRowsDroppedByWatermark in tests).
+    """
+    out = tempfile.mkdtemp(prefix="stream_late_")
+    ev = load(spark, sf_dir, "events")
+    as_raw = lambda df: df.select(  # noqa: E731 — ts back to long ns
+        "event_id",
+        F.expr("unix_micros(ts) * 1000").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    on_time = as_raw(ev.filter(F.col("ts") < "2024-01-20 00:00:00"))
+    empty = as_raw(ev).limit(0)
+    late = as_raw(
+        ev.filter(F.col("ts") < "2024-01-03 00:00:00").withColumn(
+            "event_id", F.col("event_id") + 10_000_000
+        )
+    )
+    for i, df in enumerate([on_time, empty, late]):
+        tmp = os.path.join(out, f"_tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(out, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1700000000 + i * 3600, 1700000000 + i * 3600))
+    return out
+
+
+# raw schema for the two-batch dir: ts written back as long ns
+_LATE_SCHEMA = RAW_EVENTS_SCHEMA
+
+
+@op("stream_watermark_late", oracle=None, category=CAT)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics: 10-min watermark, append mode, late tail in
+    a second micro-batch — SURVEY.md §2.9 row 4 (rows-only; the golden
+    property 'late rows change nothing' is asserted in
+    tests/test_streaming.py).
+
+    After batch 0 the watermark is max(ts)-10min; the empty batch 1
+    closes the on-time windows, and every batch-2 row is days older
+    than the watermark, so the state operator drops them and the
+    emitted (finalized) windows equal an on-time-only run."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _late_batches_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_LATE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    ev = ns_to_ts(raw)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+    )
+    res = run_to_memory(agg, "append")
+    return res.select(
+        F.expr("(unix_micros(window.start) div 1000000)").alias("win_start_s"), "n"
+    )
+
+
+@op("stream_dedup_watermark", oracle=None, category=CAT)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within the
+    watermark — SURVEY.md §2.9 row 5 (rows-only per survey; the emitted
+    key set equals batch DISTINCT, asserted in tests)."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    res = run_to_memory(deduped, "append")
+    return (
+        res.groupBy("event_type")
+        .agg(bigint(F.count(F.lit(1))).alias("n_users"))
+    )
+
+
+@op("stream_stateful_runstate", oracle=None, category=CAT)
+def stream_stateful_runstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: running
+    per-user event count + value total — SURVEY.md §2.9 row 6
+    (rows-only).  State = (count, total) per user_id, updated per
+    micro-batch; with the fixture drained in one batch the final update
+    equals the per-user batch aggregate (asserted in tests)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_user(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    stateful = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_user,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(stateful, "update")
+
+
+@op("stream_foreachbatch_sink", oracle=None, category=CAT)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch micro-batch sink writing parquet, then re-read —
+    SURVEY.md §2.9 row 7 (rows-only: side-effecting).  foreachBatch is
+    the exactly-once escape hatch for sinks without native streaming
+    support."""
+    out = tempfile.mkdtemp(prefix="febatch_") + "/out"
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="febatch_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        r2(F.sum("value")).alias("total_value"),
+    )
