@@ -9,6 +9,7 @@ from trip_data_pipeline_spark.operators import (  # noqa: F401
     multimodal,
     scalar_funcs,
     scans,
+    sessionize,
     setops,
     similarity,
     sorting,

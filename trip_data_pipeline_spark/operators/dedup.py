@@ -272,6 +272,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brute-force within the bound; at 100 TB the same query runs after
     an LSH/IVF bucket join (see sim_ann_ivf_bucket) so pairs are only
     formed within buckets."""
+    from trip_data_pipeline_spark.operators.similarity import dot, l2norm
+
     e = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
@@ -279,29 +281,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
         )
+        .withColumn("nrm", l2norm(F.col("emb")))  # normalize-once per side
     )
     e1, e2 = e.alias("e1"), e.alias("e2")
-    dot = F.aggregate(
-        F.zip_with(F.col("e1.emb"), F.col("e2.emb"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm1 = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("e1.emb"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-    norm2 = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("e2.emb"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
     return (
         e1.join(e2, F.col("e1.vec_id") < F.col("e2.vec_id"))
         .select(
             F.col("e1.vec_id").alias("vec_id1"),
             F.col("e2.vec_id").alias("vec_id2"),
-            r4(dot / (norm1 * norm2)).alias("cos"),
+            r4(
+                dot(F.col("e1.emb"), F.col("e2.emb"))
+                / (F.col("e1.nrm") * F.col("e2.nrm"))
+            ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id1").asc(), F.col("vec_id2").asc())
         .limit(10)

@@ -64,10 +64,18 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is the correctness baseline; sim_ann_ivf_bucket is the
     pruned path."""
     e = load(spark, sf_dir, "embeddings")
+    # normalize-once: norms are computed per SIDE (n + q rows), not per
+    # pair (n*q) — one fold per pair (the dot) instead of three.
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), as_double_vec().alias("qe")
+        F.col("vec_id").alias("q_id"),
+        as_double_vec().alias("qe"),
+        l2norm(as_double_vec()).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("c_id"), as_double_vec().alias("ce"))
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        as_double_vec().alias("ce"),
+        l2norm(as_double_vec()).alias("cn"),
+    )
     s = (
         F.broadcast(q)
         .crossJoin(c)
@@ -75,7 +83,7 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            r4(cosine(F.col("qe"), F.col("ce"))).alias("cos"),
+            r4(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
@@ -105,17 +113,25 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN label assignment per query vector — SURVEY.md §2.11 row 7."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), as_double_vec().alias("qe")
+        F.col("vec_id").alias("q_id"),
+        as_double_vec().alias("qe"),
+        l2norm(as_double_vec()).alias("qn"),
     )
     c = e.select(
-        F.col("vec_id").alias("c_id"), "label", as_double_vec().alias("ce")
+        F.col("vec_id").alias("c_id"),
+        "label",
+        as_double_vec().alias("ce"),
+        l2norm(as_double_vec()).alias("cn"),
     )
     s = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
-            "q_id", "c_id", "label", r4(cosine(F.col("qe"), F.col("ce"))).alias("cos")
+            "q_id",
+            "c_id",
+            "label",
+            r4(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
@@ -171,8 +187,12 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("embedding").getItem(2) > 0).cast("int")
         ).alias("bucket"),
     )
+    e = e.withColumn("nrm", l2norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("qe"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
     )
     s = (
         F.broadcast(q)
@@ -181,7 +201,9 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            r4(cosine(F.col("qe"), F.col("emb"))).alias("cos"),
+            r4(dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())

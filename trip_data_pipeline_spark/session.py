@@ -21,10 +21,14 @@ from pyspark.sql import SparkSession
 
 def get_session(app_name: str = "trip-data-pipeline-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # 16 measured fastest for the sf0.1 bench on this box (vs 8/32);
+    # a real cluster deployment sets ~2-3x total cores and lets AQE
+    # coalesce down — this knob is local-mode-scale only.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
