@@ -144,3 +144,20 @@ def test_multimodal_decode_deterministic(spark):
     b = sorted(map(tuple, multimodal_decode_stub(spark, SF).collect()))
     assert a == b
     assert all(r[-1] == "stub-v1" for r in a)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: joining two tables bucketed+sorted
+    on the join key must not shuffle either side."""
+    import contextlib
+    import io
+
+    from trip_data_pipeline_spark.operators.extras import bucketed_join_df
+
+    joined = bucketed_join_df(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan

@@ -1,0 +1,398 @@
+"""Round-1 coverage extensions beyond the SURVEY.md §2 inventory:
+the reference-shaped anonymization pipeline, table profiling, ordered/
+positional aggregates, pivot/unpivot, SCD2 merge emulation, extra sink
+formats, bucketed co-located joins, and a stream-static join.
+
+Each op keeps the same contract as §2 rows: hash-checked against a
+DuckDB oracle where expressible, rows-only otherwise.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import SCHEMAS, load
+from trip_data_pipeline_spark.operators.common import bigint, r2, r4
+from trip_data_pipeline_spark.registry import op
+from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory
+
+CAT = "extras (round-1 additions)"
+
+
+@op(
+    "pipeline_anonymize_trips",
+    oracle="""
+SELECT event_id,
+       substring(sha256(CAST(user_id AS VARCHAR)), 1, 16) AS uid_hash,
+       CAST((epoch_us(ts) // 1000000)
+            - (epoch_us(ts) // 1000000) % 900 AS BIGINT)  AS bucket_s,
+       floor(value * 10) / 10                              AS value_reduced,
+       event_type
+FROM events
+WHERE value > 0
+""",
+    category=CAT,
+)
+def pipeline_anonymize_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's characteristic end-to-end record flow
+    (SURVEY.md §3.1), composed from §2 operators: validate (filter) ->
+    anonymize ids (hash + truncate) -> reduce temporal precision
+    (15-min bucket) -> reduce value precision (floor to 1 dp) ->
+    publish projection.  One scan, one narrow projection — the whole
+    anonymization pass is a single codegen stage at any scale."""
+    ev = load(spark, sf_dir, "events")
+    s = F.expr("(unix_micros(ts) div 1000000)")
+    return ev.filter(F.col("value") > 0).select(
+        "event_id",
+        F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 16).alias(
+            "uid_hash"
+        ),
+        bigint(s - s % 900).alias("bucket_s"),
+        (F.floor(F.col("value") * 10) / 10).alias("value_reduced"),
+        "event_type",
+    )
+
+
+@op(
+    "profile_table",
+    oracle="""
+SELECT 'l_quantity' AS col_name,
+       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_quantity) AS BIGINT)   AS n_distinct,
+       round(min(l_quantity), 2)  AS min_num,
+       round(max(l_quantity), 2)  AS max_num
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag',
+       CAST(count(*) - count(l_returnflag) AS BIGINT),
+       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       NULL, NULL
+FROM lineitem
+""",
+    category=CAT,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling op: null/distinct/min/max per column in ONE scan
+    (the three per-column aggregates are computed side by side, then
+    unpivoted — not three scans)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        bigint(F.count(F.lit(1)) - F.count("l_quantity")).alias("q_nulls"),
+        bigint(F.countDistinct("l_quantity")).alias("q_distinct"),
+        r2(F.min("l_quantity")).alias("q_min"),
+        r2(F.max("l_quantity")).alias("q_max"),
+        bigint(F.count(F.lit(1)) - F.count("l_extendedprice")).alias("p_nulls"),
+        bigint(F.countDistinct("l_extendedprice")).alias("p_distinct"),
+        r2(F.min("l_extendedprice")).alias("p_min"),
+        r2(F.max("l_extendedprice")).alias("p_max"),
+        bigint(F.count(F.lit(1)) - F.count("l_returnflag")).alias("r_nulls"),
+        bigint(F.countDistinct("l_returnflag")).alias("r_distinct"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+             'l_quantity',      q_nulls, q_distinct, q_min, q_max,
+             'l_extendedprice', p_nulls, p_distinct, p_min, p_max,
+             'l_returnflag',    r_nulls, r_distinct, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           ) AS (col_name, n_nulls, n_distinct, min_num, max_num)"""
+    )
+
+
+@op(
+    "agg_max_by_min_by",
+    oracle="""
+WITH e AS (SELECT event_type, event_id, value,
+                  CAST(round(value * 100) AS BIGINT) * 10000000 + event_id AS ord
+           FROM events)
+SELECT event_type,
+       CAST(arg_max(event_id, ord) AS BIGINT) AS top_event_id,
+       CAST(arg_min(event_id, ord) AS BIGINT) AS bottom_event_id
+FROM e GROUP BY event_type
+""",
+    category=CAT,
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional aggregates max_by/min_by (DuckDB arg_max/arg_min) —
+    the ordering key embeds event_id so value ties are broken totally
+    (§5.3 rule 7)."""
+    ev = load(spark, sf_dir, "events")
+    ordc = F.round(F.col("value") * 100, 0).cast("bigint") * 10000000 + F.col(
+        "event_id"
+    )
+    e = ev.select("event_type", "event_id", ordc.alias("ord"))
+    return e.groupBy("event_type").agg(
+        bigint(F.max_by("event_id", F.col("ord"))).alias("top_event_id"),
+        bigint(F.min_by("event_id", F.col("ord"))).alias("bottom_event_id"),
+    )
+
+
+@op(
+    "agg_collect_sorted",
+    oracle="""
+SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+FROM events GROUP BY user_id
+""",
+    category=CAT,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregate with deterministic order:
+    sort_array(collect_set(...)) — §5.3 rule 7 forbids hashing raw
+    collect_list order."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+
+
+@op(
+    "agg_percentile_exact",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type
+""",
+    category=CAT,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles: Spark percentile == DuckDB
+    quantile_cont (both linear interpolation on the sorted set)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r4(F.percentile("value", 0.5)).alias("p50"),
+        r4(F.percentile("value", 0.9)).alias("p90"),
+    )
+
+
+@op("agg_percentile_approx", oracle=None, category=CAT)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (rows-only: sketch values are
+    engine-specific).  At 100 TB this replaces the exact sort-based
+    percentile: bounded-memory KLL/GK sketch, one shuffle of sketches."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile("value", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@op(
+    "pivot_wide",
+    oracle="""
+SELECT user_id % 10 AS user_bucket,
+       round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+FROM events GROUP BY 1
+""",
+    category=CAT,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot with an explicit value list (no discovery scan) — wide
+    conditional aggregation."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(r2(F.sum("value")))
+    )
+    return piv
+
+
+@op(
+    "unpivot_stack",
+    oracle="""
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'price', p_retailprice FROM part
+""",
+    category=CAT,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot via stack() — wide-to-long reshaping."""
+    p = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice) AS (metric, val)",
+    )
+
+
+@op(
+    "scd2_merge_emulation",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 100 AS new_bal
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal, 1 AS version, FALSE AS is_current
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, round(new_bal, 2), 2, TRUE FROM updates
+UNION ALL
+SELECT c_custkey, round(c_acctbal, 2), 1, TRUE
+FROM customer WHERE c_custkey % 10 <> 0
+""",
+    category=CAT,
+)
+def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE emulation without Delta (task-brief CDC/SCD2 note):
+    close out matched current rows, append new versions, pass through
+    unmatched — expressed as semi/anti joins + union, the plan a MERGE
+    INTO would produce on a non-transactional store."""
+    c = load(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("new_bal")
+    )
+    closed = (
+        c.join(updates, "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            r2(F.col("c_acctbal")).alias("acctbal"),
+            F.lit(1).alias("version"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey",
+        r2(F.col("new_bal")).alias("acctbal"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = (
+        c.join(updates, "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            r2(F.col("c_acctbal")).alias("acctbal"),
+            F.lit(1).alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(fresh).unionByName(untouched)
+
+
+@op("sink_json_roundtrip", oracle=None, category=CAT)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines publish + schema-on-read ingest round trip
+    (rows-only: side-effecting)."""
+    out = tempfile.mkdtemp(prefix="sink_json_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(out)
+    return back.agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        r2(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@op("sink_orc_roundtrip", oracle=None, category=CAT)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC publish + ingest round trip (rows-only: side-effecting) —
+    second columnar format besides parquet."""
+    out = tempfile.mkdtemp(prefix="sink_orc_")
+    p = load(spark, sf_dir, "part")
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.countDistinct("p_brand")).alias("n_brands"),
+        r2(F.sum("p_retailprice")).alias("total_price"),
+    )
+
+
+def bucketed_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders/customer bucketed+sorted by the join key, return
+    the join of the two bucketed tables (used by the operator and by
+    the no-Exchange plan assertion in tests)."""
+    suffix = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    ot, ct = f"orders_b_{suffix}", f"customer_b_{suffix}"
+    (
+        o.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/{ot}")
+        .mode("overwrite")
+        .saveAsTable(ot)
+    )
+    (
+        c.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/{ct}")
+        .mode("overwrite")
+        .saveAsTable(ct)
+    )
+    ob, cb = spark.table(ot), spark.table(ct)
+    # At fixture scale the optimizer would (rightly) broadcast the
+    # small side; the merge hint forces the sort-merge path so the
+    # bucketed no-shuffle property is observable — at 100 TB neither
+    # side broadcasts and this IS the chosen plan.
+    return ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+
+
+@op("join_bucketed_colocated", oracle=None, category=CAT)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (rows-only: side-effecting setup).
+
+    Writes orders and customer bucketed by the join key
+    (bucketBy(8, custkey) + sortBy), then joins the two bucketed
+    tables: Spark plans a sort-merge join with NO Exchange on either
+    side (asserted in tests/test_properties.py) — the 100 TB pattern
+    for repeated joins on a stable key: pay the shuffle once at write
+    time, never at read time."""
+    joined = bucketed_join_df(spark, sf_dir)
+    return joined.groupBy("c_mktsegment").agg(
+        bigint(F.count(F.lit(1))).alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@op(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment
+""",
+    category=CAT,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with a broadcast
+    dimension, then aggregated — the canonical streaming enrichment
+    shape (dim re-read per micro-batch; broadcast, no stream-side
+    shuffle for the join).  user_id 0..149 joins customer c_custkey
+    1:1.  Final counts equal the batch join, so it hash-checks."""
+    ev = read_events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy("c_mktsegment")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_events"),
+            r2(F.sum("value")).alias("total_value"),
+        )
+    )
+    return run_to_memory(agg, "complete")
