@@ -3,6 +3,7 @@ from SURVEY.md §2 into trip_data_pipeline_spark.registry.OPS."""
 
 from trip_data_pipeline_spark.operators import (  # noqa: F401
     aggregates,
+    composite,
     dedup,
     extras,
     filters,

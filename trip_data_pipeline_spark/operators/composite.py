@@ -1,0 +1,208 @@
+"""Composite analytic queries (round-1 additions): TPC-H-shaped
+multi-join aggregations and calendar-spine ETL patterns — the
+"realistic query" layer on top of the per-operator inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import as_date, bigint, r2
+from trip_data_pipeline_spark.registry import op
+
+CAT = "composite queries"
+
+
+@op(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate  AS DATE) > DATE '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    category=CAT,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: segment filter -> 3-way join
+    -> grouped revenue -> top-10 (total tie-break).  Both date filters
+    push to their scans; the segment filter reduces customer before
+    the join."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        as_date(F.col("o_orderdate")) < F.lit("1998-03-15").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        as_date(F.col("l_shipdate")) > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            as_date(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@op(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    category=CAT,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returns; nation dim broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            bigint(F.count(F.lit(1))).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@op(
+    "calendar_spine_join",
+    oracle="""
+WITH cal AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01',
+                                     INTERVAL 1 MONTH)) AS DATE) AS month
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY 1
+)
+SELECT cal.month,
+       CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders,
+       round(coalesce(per_month.total, 0.0), 2) AS total
+FROM cal LEFT JOIN per_month ON per_month.month = cal.month
+""",
+    category=CAT,
+)
+def calendar_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation + left join (gap-filled time series,
+    months with zero orders included) — the dimension-spine ETL
+    pattern.  The spine is generated with sequence(), not read: one
+    row per month, broadcast side of the join."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    per_month = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.trunc(as_date(F.col("o_orderdate")), "month").alias("month"))
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            r2(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+    return F.broadcast(spine).join(per_month, "month", "left").select(
+        "month",
+        bigint(F.coalesce("n", F.lit(0))).alias("n_orders"),
+        r2(F.coalesce("total", F.lit(0.0))).alias("total"),
+    )
+
+
+@op(
+    "str_levenshtein",
+    oracle="""
+SELECT p1.p_partkey AS partkey,
+       CAST(levenshtein(p1.p_name, p2.p_name) AS BIGINT)  AS dist_next,
+       CAST(levenshtein(p1.p_name, 'red widget') AS BIGINT) AS dist_ref
+FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1
+""",
+    category=CAT,
+)
+def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between neighboring part names and to a reference
+    string — fuzzy-matching primitive (both engines implement classic
+    Levenshtein)."""
+    p = load(spark, sf_dir, "part")
+    p1, p2 = p.alias("p1"), p.alias("p2")
+    return p1.join(p2, F.col("p2.p_partkey") == F.col("p1.p_partkey") + 1).select(
+        F.col("p1.p_partkey").alias("partkey"),
+        bigint(F.levenshtein(F.col("p1.p_name"), F.col("p2.p_name"))).alias(
+            "dist_next"
+        ),
+        bigint(F.levenshtein(F.col("p1.p_name"), F.lit("red widget"))).alias(
+            "dist_ref"
+        ),
+    )
+
+
+@op(
+    "explode_outer_preserve",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 8) AS longw
+  FROM documents
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(longw) = 0 THEN [NULL] ELSE longw END) AS word
+FROM t
+""",
+    category=CAT,
+)
+def explode_outer_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with NULL (LEFT
+    lateral view semantics) — docs with no long words keep one NULL
+    row; the oracle emulates with a CASE to a [NULL] list."""
+    d = load(spark, sf_dir, "documents")
+    longw = F.filter(
+        F.split(F.col("text"), " "), lambda w: F.length(w) > 8
+    )
+    return d.select(
+        "doc_id", F.explode_outer(longw).alias("word")
+    )
