@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions (SURVEY.md §4 / docs/SCALE.md).
+
+These tests never execute the queries — they only check that Catalyst
+produced the plan the 100 TB design requires: filters pushed into
+scans, columns pruned, dims broadcast, top-k compiled to bounded
+operators, and (globally) no Python row evaluation outside the
+operators that exist to cover the UDF surface.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from trip_data_pipeline_spark.registry import OPS, queries
+
+queries()
+
+SF = "/root/testdata/sf0.01"
+
+# operators that intentionally run Python (the §2.10 UDF surface and
+# pandas-based multimodal/streaming-state plumbing)
+PYTHON_OK = {
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped_agg",
+    "udtf_grouped_map_normalize",
+    "udtf_python",
+    "udf_arrow_batch",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "stream_stateful_runstate",
+}
+
+# streaming + side-effecting ops execute work at build time; plan
+# inspection of the returned (already materialized / sink-reading)
+# DataFrame would not show the interesting pipeline, and building them
+# is slow — excluded from the global sweep.
+SKIP_PLAN_SWEEP = {
+    name
+    for name, o in OPS.items()
+    if o.category.startswith("2.9") or name.startswith("sink_")
+    or name in {"join_bucketed_colocated", "stream_static_join"}
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = OPS[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_pushdown_and_pruning(spark):
+    p = _plan(spark, "agg_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # 7 of 11 lineitem columns read
+    rs = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in rs and "l_quantity" in rs
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = _plan(spark, "join_star_5way")
+    assert "BroadcastHashJoin" in p
+    rs = [l for l in p.splitlines() if "ReadSchema" in l and "l_extendedprice" in l]
+    assert rs and "l_quantity" not in rs[0]  # fact scan pruned to 3 cols
+
+
+def test_topk_compiles_bounded(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "limit_topk")
+    assert "WindowGroupLimit" in _plan(spark, "win_topk_per_group")
+
+
+def test_predicate_pushdown_compound(spark):
+    p = _plan(spark, "filter_conjunctive")
+    assert "PushedFilters: [Or(And(" in p
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(OPS) - PYTHON_OK - SKIP_PLAN_SWEEP)
+)
+def test_no_python_eval_in_plan(spark, name):
+    """Every non-UDF operator must stay fully JVM-side: no row-at-a-time
+    or Arrow Python evaluation nodes anywhere in its plan."""
+    p = _plan(spark, name)
+    assert "BatchEvalPython" not in p, f"{name} fell back to Python rows"
+    assert "ArrowEvalPython" not in p, f"{name} fell back to Python batches"
+    assert "FlatMapGroupsInPandas" not in p, f"{name} uses pandas groups"

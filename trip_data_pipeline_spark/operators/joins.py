@@ -265,6 +265,60 @@ def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "join_range_bucketed",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS s FROM events)
+SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id,
+       CAST(e2.s - e1.s AS BIGINT) AS delta_s
+FROM e e1 JOIN e e2
+  ON e1.user_id = e2.user_id
+ AND e2.s > e1.s
+ AND e2.s <= e1.s + 21600
+""",
+    category=CAT,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB formulation of join_theta_band: bucket time into
+    band-width chunks and turn the inequality join into an EQUI-join
+    on (user_id, bucket) — each left row probes its own bucket and the
+    next, then the exact band predicate filters.  Same oracle as
+    join_theta_band (results must be identical); the equi-join keys
+    bound candidate pairs per partition instead of exploding per user.
+    """
+    band = 21600
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_s("ts").alias("s")
+    )
+    e2 = ev.select(
+        F.col("event_id").alias("id2"),
+        F.col("user_id").alias("u2"),
+        F.col("s").alias("s2"),
+        (F.col("s") / band).cast("bigint").alias("bucket"),
+    )
+    e1 = ev.select(
+        F.col("event_id").alias("id1"),
+        "user_id",
+        F.col("s").alias("s1"),
+        F.explode(
+            F.array(
+                (F.col("s") / band).cast("bigint"),
+                (F.col("s") / band).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        e1.join(e2, (e1.user_id == e2.u2) & (e1.bucket == e2.bucket))
+        .filter((F.col("s2") > F.col("s1")) & (F.col("s2") <= F.col("s1") + band))
+        .select(
+            "id1",
+            "id2",
+            "user_id",
+            bigint(F.col("s2") - F.col("s1")).alias("delta_s"),
+        )
+    )
+
+
+@op(
     "join_asof_latest",
     oracle="""
 WITH o AS (
