@@ -396,3 +396,33 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+@op(
+    "sql_api_query",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+""",
+    category=CAT,
+)
+def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql string entry point (SURVEY.md §3.2): temp view +
+    ANSI SQL — Catalyst produces the same plan as the DSL; registered
+    once to cover the SQL-API capability row."""
+    view = f"orders_v_{uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM {view}
+        WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderpriority
+        """
+    )

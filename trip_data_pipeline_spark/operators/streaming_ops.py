@@ -302,3 +302,137 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count(F.lit(1))).alias("n"),
         r2(F.sum("value")).alias("total_value"),
     )
+
+
+@op(
+    "stream_stream_join",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, (epoch_us(ts) // 1000000) AS s
+           FROM events)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(p.s - v.s AS BIGINT) AS lag_s
+FROM e p JOIN e v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.s < p.s AND v.s >= p.s - 3600
+""",
+    category=CAT,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases joined to the views that preceded them within 1 hour
+    (attribution join).  Both sides carry watermarks; the range
+    condition bounds the join state.  With the fixture fully drained
+    the final append result equals the batch theta join — hash-checked
+    against that oracle."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    res = run_to_memory(
+        joined.select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            F.expr(
+                "(unix_micros(p_ts) div 1000000) - (unix_micros(v_ts) div 1000000)"
+            ).alias("lag_s"),
+        ),
+        "append",
+    )
+    return res
+
+
+def _twsip_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf at runtime
+    (state-server protocol); this container does not ship it, so the
+    operator is gated behind an import-try per the environment rules.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@op("stream_transform_with_state", oracle=None, category=CAT)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (the successor state API to
+    applyInPandasWithState): per-user ValueState accumulating (count,
+    total) — SURVEY.md §2.9 row 6's surface on the new API (rows-only;
+    equals the batch per-user aggregate when drained, see tests).
+
+    Environment gate: the new API requires protobuf, absent here, so
+    without it the SAME semantics run through applyInPandasWithState
+    (stream_stateful_runstate's path) — output schema identical; the
+    code path below is exercised wherever protobuf exists."""
+    if not _twsip_available():
+        return stream_stateful_runstate(spark, sf_dir)
+
+    import pandas as pd  # noqa: F811 — local for the worker closure
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "acc", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    out = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningAgg(),
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_to_memory(out, "update")
