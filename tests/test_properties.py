@@ -161,3 +161,14 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan
+
+
+def test_sample_seeded_reproducible(spark):
+    from trip_data_pipeline_spark.operators.setops import sample_seeded
+    from trip_data_pipeline_spark.io import load
+
+    a = sorted(map(tuple, sample_seeded(spark, SF).collect()))
+    b = sorted(map(tuple, sample_seeded(spark, SF).collect()))
+    assert a == b, "same seed must give identical samples"
+    total = load(spark, SF, "lineitem").count()
+    assert 0.05 * total < len(a) < 0.15 * total

@@ -15,7 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trip_data_pipeline_spark.io import SCHEMAS, load
+from trip_data_pipeline_spark.io import load
 from trip_data_pipeline_spark.operators.common import bigint, r2, r4
 from trip_data_pipeline_spark.registry import op
 from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory

@@ -78,3 +78,75 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewed = ev.filter(F.col("event_type") == "view").select("user_id")
     purchased = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return viewed.subtract(purchased)
+
+
+@op(
+    "set_intersect_all",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    category=CAT,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: min multiplicity) — §2.7
+    extension."""
+    ev = load(spark, sf_dir, "events")
+    viewed = ev.filter(F.col("event_type") == "view").select("user_id")
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewed.intersectAll(purchased)
+
+
+@op(
+    "set_except_all",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    category=CAT,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicity subtraction) — §2.7
+    extension."""
+    ev = load(spark, sf_dir, "events")
+    viewed = ev.filter(F.col("event_type") == "view").select("user_id")
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewed.exceptAll(purchased)
+
+
+@op(
+    "set_union_missing_cols",
+    oracle="""
+SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+FROM customer
+UNION ALL BY NAME
+SELECT s_name AS name, s_acctbal AS acctbal, NULL AS segment
+FROM supplier
+""",
+    category=CAT,
+)
+def set_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-evolving feed
+    union, absent columns null-filled — §2.7 extension."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@op("sample_seeded", oracle=None, category=CAT)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (rows-only: the sampled set is
+    engine-specific but reproducible — same seed, same rows; asserted
+    in tests/test_properties.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

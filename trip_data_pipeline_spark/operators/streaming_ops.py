@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trip_data_pipeline_spark.io import RAW_EVENTS_SCHEMA, load, ns_to_ts, table_path
+from trip_data_pipeline_spark.io import RAW_EVENTS_SCHEMA, load, ns_to_ts
 from trip_data_pipeline_spark.operators.common import bigint, r2
 from trip_data_pipeline_spark.registry import op
 from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, r2
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.10 UDF surface"
