@@ -23,6 +23,19 @@ def r4(c: Column) -> Column:
     return F.round(c, 4)
 
 
+def nz(c: Column) -> Column:
+    """Normalize negative zero: a rounded near-zero value computed by
+    two independent pipelines can land on +0.0 in one engine and -0.0
+    in the other (sum-order noise crossing zero) — map both to +0.0.
+    Oracle-side mirror: ``CASE WHEN x = 0 THEN CAST(0.0 AS DOUBLE) ELSE x END``.
+    """
+    return F.when(c == 0, F.lit(0.0)).otherwise(c)
+
+
+def duck_nz(expr: str) -> str:
+    return f"CASE WHEN {expr} = 0 THEN CAST(0.0 AS DOUBLE) ELSE {expr} END"
+
+
 def bigint(c: Column) -> Column:
     """Cast to BIGINT so Spark counts/ranks match DuckDB's BIGINT
     (SURVEY.md §5.3 rule 3)."""

@@ -5,6 +5,8 @@ multi-join aggregations and calendar-spine ETL patterns — the
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -206,3 +208,56 @@ def explode_outer_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(longw).alias("word")
     )
+
+
+@op(
+    "subquery_correlated",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+""",
+    category=CAT,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders >2x their customer's average)
+    — exercises Catalyst's RewriteCorrelatedScalarSubquery: the
+    correlated aggregate decorrelates into a grouped join, not a
+    per-row re-scan.  Expressed via spark.sql (the DSL has no
+    correlated-subquery surface)."""
+    view = f"orders_sq_{uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM {view} o
+        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                  FROM {view} o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@op(
+    "join_null_safe",
+    oracle="""
+WITH a AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k FROM orders
+           WHERE o_orderkey < 500),
+     b AS (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS k FROM orders)
+SELECT a.o_orderkey, a.k AS k
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    category=CAT,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics a merge on a
+    nullable natural key needs."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    )
+    b = o.select(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("bk")).distinct()
+    return a.join(b, a.k.eqNullSafe(b.bk)).select("o_orderkey", "k")

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, r4
+from trip_data_pipeline_spark.operators.common import bigint, nz, r4
 from trip_data_pipeline_spark.operators.text_ops import _duck_words, _words
 from trip_data_pipeline_spark.registry import op
 
@@ -258,7 +258,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE vec_id < 200)
 SELECT e1.vec_id AS vec_id1, e2.vec_id AS vec_id2,
-       round(list_cosine_similarity(e1.emb, e2.emb), 4) AS cos
+       CASE WHEN round(list_cosine_similarity(e1.emb, e2.emb), 4) = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE round(list_cosine_similarity(e1.emb, e2.emb), 4) END AS cos
 FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
 ORDER BY cos DESC, vec_id1 ASC, vec_id2 ASC
 LIMIT 10
@@ -289,9 +291,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("e1.vec_id").alias("vec_id1"),
             F.col("e2.vec_id").alias("vec_id2"),
-            r4(
-                dot(F.col("e1.emb"), F.col("e2.emb"))
-                / (F.col("e1.nrm") * F.col("e2.nrm"))
+            nz(
+                r4(
+                    dot(F.col("e1.emb"), F.col("e2.emb"))
+                    / (F.col("e1.nrm") * F.col("e2.nrm"))
+                )
             ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id1").asc(), F.col("vec_id2").asc())

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import as_date, bigint, epoch_s, r2
+from trip_data_pipeline_spark.operators.common import as_date, bigint, epoch_s, nz, r2
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.8 scalar functions"
@@ -330,7 +330,7 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        CAST(generate_subscripts(list_slice(embedding, 1, 8), 1) AS BIGINT) AS pos,
-       round(CAST(unnest(list_slice(embedding, 1, 8)) AS DOUBLE), 4)       AS val
+       CAST(unnest(list_slice(embedding, 1, 8)) AS DOUBLE)                 AS val
 FROM embeddings
 """,
     category=CAT,
@@ -338,13 +338,19 @@ FROM embeddings
 def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional explode of the first 8 embedding dims — SURVEY.md
     §2.8 row 12 (Spark posexplode is 0-based, DuckDB subscripts are
-    1-based: +1 on the Spark side)."""
+    1-based: +1 on the Spark side).
+
+    Raw elements are projected UNROUNDED: both engines widen the same
+    float32 to the same double, so equality is exact — while rounding
+    a float-origin value at 4 dp hits shortest-repr half-boundaries
+    (e.g. 0.01235) that Spark (decimal HALF_UP) and DuckDB (binary
+    round) resolve differently (observed at sf0.1)."""
     e = load(spark, sf_dir, "embeddings")
     sliced = F.slice(F.col("embedding"), 1, 8)
     return e.select("vec_id", F.posexplode(sliced).alias("pos0", "v")).select(
         "vec_id",
         bigint(F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("v").cast("double"), 4).alias("val"),
+        F.col("v").cast("double").alias("val"),
     )
 
 
@@ -355,9 +361,11 @@ WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings)
 SELECT vec_id,
-       round(list_aggregate(emb, 'sum'), 4)                         AS vec_sum,
-       CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT)            AS n_pos,
-       list_transform(list_slice(emb, 1, 4), x -> round(x * 2, 4))  AS first4_doubled
+       CASE WHEN round(list_aggregate(emb, 'sum'), 4) = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE round(list_aggregate(emb, 'sum'), 4) END     AS vec_sum,
+       CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT)     AS n_pos,
+       list_transform(list_slice(emb, 1, 4), x -> x * 2)     AS first4_doubled
 FROM e
 """,
     category=CAT,
@@ -366,18 +374,18 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions (transform/aggregate/filter) for vector
     math without UDFs — SURVEY.md §2.8 row 13.  Elements are cast
     float->double BEFORE arithmetic on both engines (FIXTURES.md gotcha
-    5)."""
+    5).  x*2 is projected unrounded (exact same double both engines);
+    only the fold sum is rounded — see array_posexplode's note on why
+    rounding float-origin elements is the unsafe direction."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.round(
-            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 4
+        nz(
+            F.round(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 4)
         ).alias("vec_sum"),
         bigint(F.size(F.filter(emb, lambda x: x > 0))).alias("n_pos"),
-        F.transform(F.slice(emb, 1, 4), lambda x: F.round(x * 2, 4)).alias(
-            "first4_doubled"
-        ),
+        F.transform(F.slice(emb, 1, 4), lambda x: x * 2).alias("first4_doubled"),
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, r4
+from trip_data_pipeline_spark.operators.common import bigint, nz, r4
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.11 similarity search"
@@ -51,7 +51,9 @@ WITH q AS (SELECT vec_id AS q_id, {_DUCK_EMB} AS qe FROM embeddings WHERE vec_id
                   CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
            FROM s)
-SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 5
+SELECT q_id, c_id AS neighbor_id,
+       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos,
+       rn FROM r WHERE rn <= 5
 """,
     category=CAT,
 )
@@ -90,7 +92,7 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.withColumn("rn", bigint(F.row_number().over(w)))
         .filter(F.col("rn") <= 5)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), "cos", "rn")
+        .select("q_id", F.col("c_id").alias("neighbor_id"), nz(F.col("cos")).alias("cos"), "rn")
     )
 
 
@@ -105,7 +107,9 @@ WITH q AS (SELECT vec_id AS q_id, {_DUCK_EMB} AS qe FROM embeddings WHERE vec_id
                   row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS rn
            FROM s)
-SELECT q_id, c_id AS neighbor_id, label AS predicted_label, cos FROM r WHERE rn = 1
+SELECT q_id, c_id AS neighbor_id, label AS predicted_label,
+       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos
+FROM r WHERE rn = 1
 """,
     category=CAT,
 )
@@ -142,7 +146,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             F.col("c_id").alias("neighbor_id"),
             F.col("label").alias("predicted_label"),
-            "cos",
+            nz(F.col("cos")).alias("cos"),
         )
     )
 
@@ -163,7 +167,9 @@ WITH e AS (SELECT vec_id, label, {_DUCK_EMB} AS emb,
                   CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
            FROM s)
-SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 3
+SELECT q_id, c_id AS neighbor_id,
+       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos,
+       rn FROM r WHERE rn <= 3
 """,
     category=CAT,
 )
@@ -210,7 +216,7 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.withColumn("rn", bigint(F.row_number().over(w)))
         .filter(F.col("rn") <= 3)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), "cos", "rn")
+        .select("q_id", F.col("c_id").alias("neighbor_id"), nz(F.col("cos")).alias("cos"), "rn")
     )
 
 
@@ -220,27 +226,35 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT vec_id, label, {_DUCK_EMB} AS emb FROM embeddings)
 SELECT vec_id, label,
        round(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 4) AS l2,
-       round(list_aggregate(emb, 'sum') / len(emb), 4)                        AS mean_val,
-       round(list_aggregate(emb, 'min'), 4)                                   AS min_val,
-       round(list_aggregate(emb, 'max'), 4)                                   AS max_val
+       CASE WHEN round(list_aggregate(emb, 'sum') / len(emb), 4) = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE round(list_aggregate(emb, 'sum') / len(emb), 4) END          AS mean_val,
+       list_aggregate(emb, 'min')                                             AS min_val,
+       list_aggregate(emb, 'max')                                             AS max_val
 FROM e
 """,
     category=CAT,
 )
 def multimodal_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm and dim stats via HOFs — SURVEY.md §2.11
-    row 8."""
+    row 8.  min/max are raw float-origin elements: projected UNROUNDED
+    (exact across engines; rounding them at 4 dp hits shortest-repr
+    half-boundaries — observed at sf0.1).  l2/mean are derived reals
+    where 4 dp rounding is tie-free."""
     e = load(spark, sf_dir, "embeddings")
     emb = as_double_vec()
     return e.select(
         "vec_id",
         "label",
         r4(l2norm(emb)).alias("l2"),
-        r4(
-            F.aggregate(emb, F.lit(0.0), lambda s, x: s + x) / F.size("embedding")
+        nz(
+            r4(
+                F.aggregate(emb, F.lit(0.0), lambda s, x: s + x)
+                / F.size("embedding")
+            )
         ).alias("mean_val"),
-        r4(F.array_min(emb)).alias("min_val"),
-        r4(F.array_max(emb)).alias("max_val"),
+        F.array_min(emb).alias("min_val"),
+        F.array_max(emb).alias("max_val"),
     )
 
 

@@ -98,7 +98,9 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_grouped_map_normalize",
     oracle="""
 SELECT event_id, event_type,
-       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+       CASE WHEN round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) END AS z
 FROM events
 WINDOW w AS (PARTITION BY event_type)
 """,
@@ -111,7 +113,7 @@ def udtf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        z = ((v - v.mean()) / v.std()).round(4)
+        z = ((v - v.mean()) / v.std()).round(4) + 0.0  # +0.0 kills -0.0
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z}
         )
