@@ -278,3 +278,89 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint"),
         )
     )
+
+
+@op(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_duck_words()}) AS word FROM documents),
+     tf  AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY doc_id, word),
+     df  AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM tok GROUP BY word),
+     n   AS (SELECT count(*) AS n_docs FROM documents),
+     s   AS (SELECT tf.doc_id, tf.word,
+                    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+                      AS score
+             FROM tf JOIN df USING (word) CROSS JOIN n),
+     r   AS (SELECT doc_id, word, score,
+                    CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, word ASC) AS BIGINT) AS rn
+             FROM s)
+SELECT doc_id, word, score, rn FROM r WHERE rn <= 3
+""",
+    category=CAT,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring, top-3 terms per document — task-brief text
+    addition.  Smoothed idf = ln((N+1)/(df+1)) + 1.
+
+    Shape at scale: one explode -> two keyed aggregations (tf by
+    (doc, word), df by word) -> broadcast-joined df + scalar N -> per-
+    doc top-k via WindowGroupLimit.  The document-frequency table is
+    vocabulary-sized, so it broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(bigint(F.count(F.lit(1))).alias("tf"))
+    df = tok.groupBy("word").agg(bigint(F.countDistinct("doc_id")).alias("df"))
+    n_docs = d.count()  # scalar dimension of the corpus, computed once
+    score = F.round(
+        F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+    )
+    s = tf.join(F.broadcast(df), "word").select(
+        "doc_id", "word", score.alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        s.withColumn("rn", bigint(F.row_number().over(w)))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "score", "rn")
+    )
+
+
+@op(
+    "text_ngram_freq",
+    oracle=f"""
+WITH t AS (SELECT {_duck_words()} AS ws FROM documents),
+     b AS (SELECT unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM t WHERE len(ws) >= 2)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+    category=CAT,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency, top-20 — task-brief text addition (the
+    n-gram layer under n-gram-Jaccard dedup)."""
+    d = load(spark, sf_dir, "documents")
+    wsc = F.col("ws")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(wsc) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(wsc, i + 1), F.element_at(wsc, i + 2)
+        ),
+    )
+    return (
+        d.select(_words().alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
