@@ -503,3 +503,37 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")), F.lit("none")
         ).alias("pri"),
     )
+
+
+@op(
+    "error_safe_funcs",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+       TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS pri_num,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_custkey % 3), 4) END AS per_unit,
+       string_split(o_orderpriority, '-')[99] AS oob_elem
+FROM orders
+""",
+    category=CAT,
+)
+def error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation under ANSI mode (Spark 4 defaults ANSI on,
+    where bad casts / div-by-zero / out-of-bounds THROW): try_cast,
+    try_divide, try_element_at return NULL instead — the semantics a
+    quarantine-style pipeline needs to not die on one bad record.
+    DuckDB mirrors via TRY_CAST / CASE guard / permissive indexing."""
+    o = load(spark, sf_dir, "orders")
+    denom = F.col("o_custkey") % 3
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
+        F.split(F.col("o_orderpriority"), "-").getItem(0).try_cast("int").alias(
+            "pri_num"
+        ),
+        F.round(F.try_divide(F.col("o_totalprice"), denom), 4).alias("per_unit"),
+        F.try_element_at(F.split(F.col("o_orderpriority"), "-"), F.lit(99)).alias(
+            "oob_elem"
+        ),
+    )
