@@ -1,0 +1,124 @@
+"""Scaling probe (docs/SCALE.md evidence): replicate the sf0.1 fixtures
+10x into /tmp (6M lineitem / 1.5M orders / 1M events rows, keys shifted
+so cardinalities scale realistically), then time representative
+operators at both scales.  Near-linear wall-clock growth (<<10x at 10x
+data on fixed cores = the fixed per-stage overhead amortizing) is the
+evidence that the plans are work-bound, not overhead-bound, and
+partition correctly.
+
+Usage: python tools/scale_probe.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark import get_session
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.registry import OPS, queries
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_probe_sf1"
+COPIES = 10
+
+PROBE_QUERIES = [
+    "agg_pricing_summary",
+    "join_star_5way",
+    "sessionize_batch",
+    "win_topk_per_group",
+    "dedup_exact_hash",
+    "text_term_freq",
+]
+
+
+def build(spark) -> None:
+    if os.path.exists(f"{DST}/_DONE"):
+        return
+    os.makedirs(DST, exist_ok=True)
+    copies = F.explode(F.array(*[F.lit(i) for i in range(COPIES)])).alias("cp")
+
+    o = load(spark, SRC, "orders")
+    n_orders = o.count()
+    (
+        o.select("*", copies)
+        .select(
+            (F.col("o_orderkey") + F.col("cp") * n_orders).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{DST}/orders.parquet")
+    )
+    li = load(spark, SRC, "lineitem")
+    (
+        li.select("*", copies)
+        .select(
+            (F.col("l_orderkey") + F.col("cp") * n_orders).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{DST}/lineitem.parquet")
+    )
+    ev = load(spark, SRC, "events")
+    n_events = ev.count()
+    (
+        ev.select("*", copies)
+        .select(
+            (F.col("event_id") + F.col("cp") * n_events).alias("event_id"),
+            # shift each copy by cp seconds: preserves per-user session
+            # structure while keeping events distinct in time
+            F.expr("timestamp_micros(unix_micros(ts) + cp * 1000000)").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{DST}/events.parquet")
+    )
+    # small dims: copy as-is (dims don't scale with the fact tables)
+    for t in ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]:
+        load(spark, SRC, t).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+    open(f"{DST}/_DONE", "w").close()
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    fn = OPS[name].fn
+
+    def run() -> None:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    run()  # warm
+    t0 = time.perf_counter()
+    run()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    queries()
+    spark = get_session("scale-probe")
+    build(spark)
+    out = {"copies": COPIES, "queries": {}}
+    for name in PROBE_QUERIES:
+        t_small = time_query(spark, name, SRC)
+        t_big = time_query(spark, name, DST)
+        out["queries"][name] = {
+            "sf0.1_sec": t_small,
+            "x10_sec": t_big,
+            "scaling": round(t_big / t_small, 2),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -537,3 +537,70 @@ def error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oob_elem"
         ),
     )
+
+
+@op(
+    "json_variant_ops",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract(props, '$.k') AS INTEGER) > 50 AS is_large
+FROM events
+""",
+    category=CAT,
+)
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType semi-structured path: parse_json ->
+    variant_get typed extraction — the successor to string-based
+    get_json_object (binary variant encoding, no re-parse per access).
+    Oracle uses DuckDB's JSON extraction on the same column."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_int"),
+        (k > 50).alias("is_large"),
+    )
+
+
+@op(
+    "map_higher_order",
+    oracle="""
+WITH per_type AS (
+  SELECT user_id, event_type, round(sum(value), 2) AS total
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)                                   AS n_types,
+       CAST(count(CASE WHEN total > 100 THEN 1 END) AS BIGINT)    AS big_types,
+       round(sum(total), 2)                                       AS all_total
+FROM per_type GROUP BY user_id
+""",
+    category=CAT,
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build MapType event_type->total,
+    then size / map_filter / aggregate-over-values — MapType analytics
+    without exploding back to rows.  Oracle expresses the same answers
+    relationally (map internals are not portable across engines,
+    §2.8 map_from_entries note)."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        r2(F.sum("value")).alias("total")
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "total"))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        bigint(F.size("m")).alias("n_types"),
+        bigint(F.size(F.map_filter(F.col("m"), lambda k, v: v > 100))).alias(
+            "big_types"
+        ),
+        r2(
+            F.aggregate(F.map_values("m"), F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("all_total"),
+    )
