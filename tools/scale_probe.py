@@ -86,8 +86,32 @@ def build(spark) -> None:
         .write.mode("overwrite")
         .parquet(f"{DST}/events.parquet")
     )
+    # documents/embeddings are "facts" for the text/dedup/sim ops —
+    # scale them too (ids shifted per copy, text/vec payloads repeat)
+    docs = load(spark, SRC, "documents")
+    n_docs = docs.count()
+    (
+        docs.select("*", copies)
+        .select(
+            (F.col("doc_id") + F.col("cp") * n_docs).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{DST}/documents.parquet")
+    )
+    emb = load(spark, SRC, "embeddings")
+    n_emb = emb.count()
+    (
+        emb.select("*", copies)
+        .select(
+            (F.col("vec_id") + F.col("cp") * n_emb).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{DST}/embeddings.parquet")
+    )
     # small dims: copy as-is (dims don't scale with the fact tables)
-    for t in ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         load(spark, SRC, t).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
     open(f"{DST}/_DONE", "w").close()
 

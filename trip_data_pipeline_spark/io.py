@@ -151,9 +151,15 @@ def ns_to_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Convert a LongType ns-epoch column to TimestampType (µs).
 
     Exact parity with DuckDB, which also truncates this parquet type to
-    µs TIMESTAMP (measured: zero sub-µs residue in the fixtures)."""
-    from pyspark.sql import functions as F
+    µs TIMESTAMP (measured: zero sub-µs residue in the fixtures).
 
+    No-op when the column is already TimestampType (e.g. derived
+    fixtures re-written by our own sinks carry a µs timestamp)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[col].dataType, T.TimestampType):
+        return df
     return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
 
 

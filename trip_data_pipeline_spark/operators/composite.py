@@ -261,3 +261,246 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = o.select(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("bk")).distinct()
     return a.join(b, a.k.eqNullSafe(b.bk)).select("o_orderkey", "k")
+
+
+@op(
+    "q4_order_priority_exists",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category=CAT,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped priority check: EXISTS decorrelates to a LEFT
+    SEMI join on the order key (shipdate>orderdate+30d stands in for
+    commit/receipt lateness, which the fixtures lack).  The quarter
+    filter prunes orders before the semi-join's shuffle."""
+    o = load(spark, sf_dir, "orders").filter(
+        (as_date(F.col("o_orderdate")) >= F.lit("1996-07-01").cast("date"))
+        & (as_date(F.col("o_orderdate")) < F.lit("1996-10-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(bigint(F.count("*")).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@op(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    category=CAT,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local supplier volume: 6-way join where the
+    customer and supplier must share a nation, restricted to one region
+    and year.  region/nation/supplier/customer are all broadcast-side;
+    only orders<->lineitem shuffles on the order key."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (as_date(F.col("o_orderdate")) >= F.lit("1996-01-01").cast("date"))
+        & (as_date(F.col("o_orderdate")) < F.lit("1997-01-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@op(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    category=CAT,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast revenue: pure scan-filter-agg, no join.
+    All three predicates reach the parquet scan (PushedFilters) and the
+    sum is a single partial+final agg — the canonical pushdown probe."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (as_date(F.col("l_shipdate")) >= F.lit("1996-01-01").cast("date"))
+        & (as_date(F.col("l_shipdate")) < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        bigint(F.count("*")).alias("n_lines"),
+    )
+
+
+@op(
+    "q12_late_lines_by_priority",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+""",
+    category=CAT,
+)
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping check (no l_shipmode in fixtures, so
+    the 'late' predicate is shipdate>orderdate+60d and the split is by
+    ship year): join + conditional counts via sum(CASE WHEN).  The
+    non-equi lateness predicate stays a post-join filter on the single
+    equi-join."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            bigint(F.sum(F.when(high, 1).otherwise(0))).alias("high_line_count"),
+            bigint(F.sum(F.when(~high, 1).otherwise(0))).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@op(
+    "q14_promo_revenue_pct",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1996-10-01'
+""",
+    category=CAT,
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: month-filtered lineitem joined to
+    a broadcast part dim, ratio of conditional to total revenue in one
+    aggregate pass (no second scan)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (as_date(F.col("l_shipdate")) >= F.lit("1996-09-01").cast("date"))
+        & (as_date(F.col("l_shipdate")) < F.lit("1996-10-01").cast("date"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@op(
+    "q18_large_volume_customer",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    category=CAT,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume customers: the IN-subquery is a
+    grouped HAVING on lineitem semi-joined back, then the 3-way join
+    re-aggregates per order.  The heavy groupBy(l_orderkey) happens
+    once on the narrow (key, qty) projection."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 200)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.withColumnRenamed("l_orderkey", "lk")
+        .join(big, F.col("lk") == F.col("l_orderkey"), "inner")
+        .join(o, F.col("lk") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            as_date(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(r2(F.sum(F.col("l_quantity"))).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
