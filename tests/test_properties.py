@@ -172,3 +172,24 @@ def test_sample_seeded_reproducible(spark):
     assert a == b, "same seed must give identical samples"
     total = load(spark, SF, "lineitem").count()
     assert 0.05 * total < len(a) < 0.15 * total
+
+
+def test_hll_sketch_estimate_bounded_error(spark):
+    """agg_hll_sketch (rows-only) property: per-group estimates are
+    within 5% of the exact distinct count the op carries alongside,
+    and the unioned '_all' estimate is within 5% of the true global
+    distinct-user count."""
+    from trip_data_pipeline_spark.io import load
+    from trip_data_pipeline_spark.registry import OPS, queries
+
+    queries()
+    rows = OPS["agg_hll_sketch"].fn(spark, SF).collect()
+    per_type = [r for r in rows if r.event_type != "_all"]
+    assert per_type, "no per-type rows"
+    for r in per_type:
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), r
+    (all_row,) = [r for r in rows if r.event_type == "_all"]
+    true_all = (
+        load(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert abs(all_row.approx_users - true_all) <= max(1, 0.05 * true_all)

@@ -426,3 +426,200 @@ def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@op(
+    "agg_string_concat_sorted",
+    oracle="""
+SELECT n_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+WHERE c_custkey <= 200
+GROUP BY n_nationkey
+ORDER BY n_nationkey
+""",
+    category=CAT,
+)
+def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg semantics) made
+    deterministic: collect_list -> sort_array -> concat_ws, so the
+    result is order-independent of partitioning — the only way a
+    distributed string_agg can be reproducible."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("c_mktsegment"))
+            ).alias("segs")
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@op(
+    "agg_bitwise",
+    oracle="""
+SELECT l_linestatus,
+       bit_and(CAST(l_orderkey % 4096 AS BIGINT)) AS b_and,
+       bit_or(CAST(l_orderkey % 4096 AS BIGINT))  AS b_or,
+       bit_xor(CAST(l_orderkey % 4096 AS BIGINT)) AS b_xor
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    category=CAT,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — order- and
+    partition-insensitive folds, so they distribute with plain
+    partial+final aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    k = (F.col("l_orderkey") % 4096).cast("bigint")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.bit_and(k).alias("b_and"),
+            F.bit_or(k).alias("b_or"),
+            F.bit_xor(k).alias("b_xor"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@op(
+    "agg_median_mode",
+    oracle="""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+modes AS (
+  SELECT c_nationkey, c_mktsegment AS mode_seg,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY n DESC, c_mktsegment) AS rn
+  FROM counts
+)
+SELECT c.c_nationkey,
+       round(median(c.c_acctbal), 2) AS med_bal,
+       any_value(m.mode_seg)         AS mode_seg
+FROM customer c
+JOIN modes m ON m.c_nationkey = c.c_nationkey AND m.rn = 1
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    category=CAT,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (= percentile 0.5, linear interpolation — same rule
+    as DuckDB's quantile_cont) plus a DETERMINISTIC mode: built-in
+    mode() breaks ties arbitrarily, so ties are broken by
+    (count DESC, value ASC) via max_by over a struct — reproducible
+    across partitionings, which a distributed mode must be."""
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    # min over (-n, segment): highest count first, then smallest value
+    modes = counts.groupBy("c_nationkey").agg(
+        F.expr("min_by(c_mktsegment, struct(-n, c_mktsegment))").alias("mode_seg")
+    )
+    med = c.groupBy("c_nationkey").agg(
+        F.round(F.median("c_acctbal"), 2).alias("med_bal")
+    )
+    return (
+        med.join(modes, "c_nationkey")
+        .select("c_nationkey", "med_bal", "mode_seg")
+        .orderBy("c_nationkey")
+    )
+
+
+@op(
+    "lateral_correlated_topk",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_name, c_acctbal FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+""",
+    category=CAT,
+)
+def lateral_correlated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL API): per-nation top-2
+    customers by balance.  Catalyst decorrelates the LATERAL into a
+    window-rank under the hood — same plan family as win_topk_per_group
+    but exercising the LATERAL front-end path."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM _lat_nation n,
+             LATERAL (SELECT c_name, c_acctbal FROM _lat_customer
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
+
+
+@op("agg_hll_sketch", oracle=None, category=CAT)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): per-type user sketches via
+    hll_sketch_agg, then hll_union_agg folds them to a global estimate —
+    the re-aggregatable rollup pattern (store sketches per partition,
+    union at query time) that exact count-distinct can't do at scale.
+    Rows-only: sketch estimates are engine-specific; the companion
+    property test bounds the error vs the exact count."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        bigint(F.count_distinct("user_id")).alias("exact_users"),
+    )
+    per_type.createOrReplaceTempView("_hll_per_type")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(hll_sketch_estimate(sk) AS BIGINT) AS approx_users,
+               exact_users
+        FROM _hll_per_type
+        UNION ALL
+        SELECT '_all', CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM _hll_per_type
+        ORDER BY event_type
+        """
+    )
+
+
+@op(
+    "regexp_extract_all_freq",
+    oracle="""
+SELECT tok AS num_token, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY freq DESC, num_token
+LIMIT 20
+""",
+    category=CAT,
+)
+def regexp_extract_all_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all -> explode -> frequency: the extract-all-
+    matches path (vs str_regexp's single-group extract).  Stays in
+    whole-stage codegen; explode volume is bounded by matches/doc."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{5,}"), 0)
+            ).alias("num_token")
+        )
+        .groupBy("num_token")
+        .agg(bigint(F.count("*")).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("num_token"))
+        .limit(20)
+    )
