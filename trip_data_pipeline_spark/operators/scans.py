@@ -131,3 +131,46 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(bigint(F.count(F.lit(1))).alias("n"))
     )
+
+
+@op(
+    "scan_csv_options",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice
+FROM orders
+""",
+    category=CAT,
+)
+def scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-default CSV dialect round trip, hash-checked against the
+    source table: '|' delimiter, explicit null token, header, explicit
+    schema on read (no inference — inference is a full extra pass at
+    scale).  Doubles survive exactly because Spark's CSV writer emits
+    shortest-roundtrip decimal strings; the oracle is simply the
+    original table, so the whole write+read dialect path must be
+    lossless."""
+    out = tempfile.mkdtemp(prefix="scan_csv_opts_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    (
+        o.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "|")
+        .option("nullValue", "\\N")
+        .csv(out)
+    )
+    return (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_orderdate date, o_totalprice double"
+        )
+        .option("header", True)
+        .option("sep", "|")
+        .option("nullValue", "\\N")
+        .csv(out)
+    )

@@ -364,3 +364,44 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@op(
+    "text_chunk_sliding",
+    oracle="""
+SELECT doc_id,
+       CAST(t.start AS BIGINT) AS chunk_start,
+       array_to_string(toks[t.start + 1 : t.start + 32], ' ') AS chunk,
+       CAST(least(32, len(toks) - t.start) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+     LATERAL unnest(range(0, greatest(len(toks), 1), 24)) AS t(start)
+ORDER BY doc_id, chunk_start
+""",
+    category=CAT,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (training-data prep): 32-token
+    windows, stride 24 (8-token overlap), short tail chunks kept.
+    sequence -> explode -> slice stays in codegen; chunk volume per doc
+    is bounded by token count / stride, so the explode is linear in
+    corpus token count — the same plan at 100 TB, partitioned by input
+    split."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(24)
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("bigint").alias("chunk_start"),
+            F.array_join(F.slice(F.col("toks"), F.col("s") + 1, 32), " ").alias(
+                "chunk"
+            ),
+            F.least(F.lit(32), F.size("toks") - F.col("s"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
