@@ -90,3 +90,28 @@ def test_no_python_eval_in_plan(spark, name):
     assert "BatchEvalPython" not in p, f"{name} fell back to Python rows"
     assert "ArrowEvalPython" not in p, f"{name} fell back to Python batches"
     assert "FlatMapGroupsInPandas" not in p, f"{name} uses pandas groups"
+
+
+def test_q5_broadcasts_all_dims(spark):
+    p = _plan(spark, "q5_local_supplier_volume")
+    # formatted explain lists nodes in tree + details: 5 joins -> >=5 hits
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p  # only lineitem<->orders shuffles
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    p = _plan(spark, "q4_order_priority_exists")
+    assert "LeftSemi" in p
+
+
+def test_q6_full_pushdown(spark):
+    p = _plan(spark, "q6_forecast_revenue")
+    pf = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    rs = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in rs  # pruned to the 4 needed columns
+
+
+def test_embed_quantize_is_map_only(spark):
+    p = _plan(spark, "embed_quantize_int8")
+    assert "Exchange" not in p  # zero-shuffle projection

@@ -504,7 +504,8 @@ modes AS (
   FROM counts
 )
 SELECT c.c_nationkey,
-       round(median(c.c_acctbal), 2) AS med_bal,
+       CAST(median(CAST(round(c.c_acctbal * 100) AS BIGINT)) * 2 AS BIGINT)
+           AS med_bal_halfcents,
        any_value(m.mode_seg)         AS mode_seg
 FROM customer c
 JOIN modes m ON m.c_nationkey = c.c_nationkey AND m.rn = 1
@@ -518,19 +519,27 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DuckDB's quantile_cont) plus a DETERMINISTIC mode: built-in
     mode() breaks ties arbitrarily, so ties are broken by
     (count DESC, value ASC) via max_by over a struct — reproducible
-    across partitionings, which a distributed mode must be."""
+    across partitionings, which a distributed mode must be.
+
+    The median is computed in integer CENTS and reported x2
+    (half-cent units): even-count groups interpolate to k+0.5 cents,
+    which doubled is exact in int64 — no float round-off to disagree
+    on.  Rounding the interpolated double instead fails at sf0.1
+    (x.xx5 boundaries round differently per engine — §5.3 rule 1's
+    float-origin caveat, found by the sf0.1 gate)."""
     c = load(spark, sf_dir, "customer")
     counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
     # min over (-n, segment): highest count first, then smallest value
     modes = counts.groupBy("c_nationkey").agg(
         F.expr("min_by(c_mktsegment, struct(-n, c_mktsegment))").alias("mode_seg")
     )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
     med = c.groupBy("c_nationkey").agg(
-        F.round(F.median("c_acctbal"), 2).alias("med_bal")
+        (F.median(cents) * 2).cast("bigint").alias("med_bal_halfcents")
     )
     return (
         med.join(modes, "c_nationkey")
-        .select("c_nationkey", "med_bal", "mode_seg")
+        .select("c_nationkey", "med_bal_halfcents", "mode_seg")
         .orderBy("c_nationkey")
     )
 

@@ -288,12 +288,14 @@ def multimodal_join_doc_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_quantize_int8",
     oracle="""
 SELECT vec_id,
-       round(list_aggregate(embedding, 'min'), 4) AS v_min,
-       round(list_aggregate(embedding, 'max'), 4) AS v_max,
+       CAST(floor(CAST(list_aggregate(embedding, 'min') AS DOUBLE) * 10000 + 0.5)
+            AS BIGINT) AS v_min_1e4,
+       CAST(floor(CAST(list_aggregate(embedding, 'max') AS DOUBLE) * 10000 + 0.5)
+            AS BIGINT) AS v_max_1e4,
        list_transform(embedding, x -> CAST(coalesce(
-           floor((x - list_aggregate(embedding, 'min'))
-                 / nullif(list_aggregate(embedding, 'max')
-                          - list_aggregate(embedding, 'min'), 0)
+           floor((CAST(x AS DOUBLE) - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                 / nullif(CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                          - CAST(list_aggregate(embedding, 'min') AS DOUBLE), 0)
                  * 255 + 0.5) - 128, 0) AS INTEGER)) AS q
 FROM embeddings
 """,
@@ -307,17 +309,21 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python — at 100 TB this is a map-only pass that cuts vector
     bytes 4x before the ANN index build."""
     emb = load(spark, sf_dir, "embeddings")
-    mn = F.array_min("embedding")
-    mx = F.array_max("embedding")
+    # every intermediate in float64 on BOTH engines: float32 arithmetic
+    # vs float64 promotion disagrees by 1 ulp exactly at a floor
+    # boundary on ~1/2000 vectors (found by the sf0.1 gate)
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
     rng = F.nullif(mx - mn, F.lit(0.0))
     return emb.select(
         "vec_id",
-        F.round(mn, 4).alias("v_min"),
-        F.round(mx, 4).alias("v_max"),
+        F.floor(mn * 10000 + 0.5).cast("bigint").alias("v_min_1e4"),
+        F.floor(mx * 10000 + 0.5).cast("bigint").alias("v_max_1e4"),
         F.transform(
             "embedding",
             lambda x: F.coalesce(
-                F.floor((x - mn) / rng * 255 + 0.5) - 128, F.lit(0)
+                F.floor((x.cast("double") - mn) / rng * 255 + 0.5) - 128,
+                F.lit(0),
             ).cast("int"),
         ).alias("q"),
     )
