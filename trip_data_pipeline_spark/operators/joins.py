@@ -435,3 +435,62 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("value")).alias("total"),
         )
     )
+
+
+@op(
+    "join_asof_nearest",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         o_custkey % 150 AS uid,
+         1704067200 + (o_orderkey * 1700) % 2592000 AS order_s
+  FROM orders WHERE o_orderkey < 2000
+), e AS (
+  SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS ev_s FROM events
+), j AS (
+  SELECT o.o_orderkey, o.order_s, e.event_id, e.ev_s,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY abs(e.ev_s - o.order_s), e.event_id) AS rn
+  FROM o JOIN e ON e.user_id = o.uid
+                AND abs(e.ev_s - o.order_s) <= 86400
+)
+SELECT o_orderkey, order_s, event_id AS nearest_event_id,
+       CAST(abs(ev_s - order_s) AS BIGINT) AS dist_s
+FROM j WHERE rn = 1
+""",
+    category=CAT,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST join (vs join_asof_latest's latest-prior): match
+    each probe row to the event minimizing |Δt| within a ±1-day
+    tolerance, ties to the smaller event_id.  The tolerance bounds the
+    candidate set exactly like the latest-prior variant; at scale both
+    sides pre-bucket on floor(t/86400) and join on adjacent buckets,
+    turning the band predicate into an equi-join."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("uid"),
+            (F.lit(1704067200) + (F.col("o_orderkey") * 1700) % 2592000).alias(
+                "order_s"
+            ),
+        )
+    )
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_s("ts").alias("ev_s")
+    )
+    dist = F.abs(F.col("ev_s") - F.col("order_s"))
+    j = o.join(e, (e.user_id == o.uid) & (dist <= 86400))
+    w = Window.partitionBy("o_orderkey").orderBy(dist.asc(), F.col("event_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "order_s",
+            F.col("event_id").alias("nearest_event_id"),
+            dist.cast("bigint").alias("dist_s"),
+        )
+    )
