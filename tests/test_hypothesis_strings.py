@@ -98,9 +98,21 @@ def test_reverse_grapheme_divergence(spark):
     assert want == s  # grapheme cluster preserved
 
 
-@given(_TEXTS)
+# trim() diverges on Unicode space separators (hypothesis-discovered,
+# pinned below): DuckDB ltrim/rtrim strip the full Unicode whitespace
+# set (e.g. U+00A0 NBSP), Spark strips ASCII space only.  Fuzz trim
+# with Zs excluded and explicit ASCII-space padding instead.
+_CHARS_NO_ZS = st.characters(
+    blacklist_categories=("Cs", "Cc", "Zs", "Zl", "Zp"),
+    max_codepoint=0x2FFFF,
+)
+_TEXTS_NO_ZS = st.lists(st.text(_CHARS_NO_ZS, max_size=40), min_size=1, max_size=8)
+
+
+@given(_TEXTS_NO_ZS)
 @_SETTINGS
 def test_trim_concat(spark, texts):
+    texts = [f"  {t} " for t in texts]
     sdf, con = _both(spark, texts)
     _cmp(
         sdf,
@@ -111,6 +123,22 @@ def test_trim_concat(spark, texts):
         ],
         "SELECT id, ltrim(rtrim(s)), concat(s, '|', s) FROM t",
     )
+
+
+def test_trim_nbsp_divergence(spark):
+    """Pin the hypothesis-discovered divergence: DuckDB trims U+00A0
+    (and other Unicode whitespace), Spark trims ASCII space only.  No
+    §2 operator trims fixture text with non-ASCII whitespace; this
+    documents the boundary."""
+    s = "\xa0x\xa0"
+    (got,) = spark.createDataFrame([(s,)], "s string").select(
+        F.ltrim(F.rtrim("s"))
+    ).first()
+    assert got == s  # Spark: NBSP untouched
+    (want,) = duckdb.connect().execute(
+        "SELECT ltrim(rtrim(?))", [s]
+    ).fetchone()
+    assert want == "x"  # DuckDB: NBSP stripped
 
 
 @given(_TEXTS)

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import as_date, bigint, r2
+from trip_data_pipeline_spark.operators.common import as_date, bigint, epoch_s, r2
 from trip_data_pipeline_spark.registry import op
 
 CAT = "composite queries"
@@ -503,4 +503,133 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r2(F.sum(F.col("l_quantity"))).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
+    )
+
+
+@op(
+    "funnel_conversion",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts) // 1000000) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t_view
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND (epoch_us(e.ts) // 1000000) >= s.t_signup
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) // 1000000) >= v.t_view
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_then_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_then_purchase
+""",
+    category=CAT,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> later view -> later purchase): each
+    stage keeps users whose stage event occurs at-or-after their
+    previous stage's first event.  Three narrow grouped mins over one
+    scan family, joined on user_id — shuffles carry (user, ts) pairs
+    only.  All time math in integer epoch seconds (§5.3 rule 2)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_s("ts").alias("s")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("s") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("s") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_purchase"))
+    )
+    return (
+        s.agg(bigint(F.count("*")).alias("n_signup"))
+        .crossJoin(v.agg(bigint(F.count("*")).alias("n_then_view")))
+        .crossJoin(p.agg(bigint(F.count("*")).alias("n_then_purchase")))
+    )
+
+
+@op(
+    "retention_cohort",
+    oracle="""
+WITH d AS (
+  SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS day
+  FROM events
+), c AS (
+  SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id
+)
+SELECT CAST(c.d0 // 7 AS BIGINT)          AS cohort_week,
+       CAST((d.day - c.d0) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_users
+FROM d JOIN c ON d.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+""",
+    category=CAT,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity week,
+    counted distinct per week offset.  Day/week numbers are integer
+    epoch-day arithmetic — engine-independent, no calendar functions
+    (§5.3 rule 5).  The cohort map (user -> d0) is a narrow aggregate
+    reused via join; at scale it broadcasts if the user dimension is
+    small or co-partitions on user_id otherwise."""
+    d = load(spark, sf_dir, "events").select(
+        "user_id", (epoch_s("ts") / F.lit(86400)).cast("bigint").alias("day")
+    )
+    c = d.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        d.join(c, "user_id")
+        .groupBy(
+            (F.col("d0") / 7).cast("bigint").alias("cohort_week"),
+            ((F.col("day") - F.col("d0")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(bigint(F.count_distinct("user_id")).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@op(
+    "histogram_fixed_width",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1 ORDER BY bucket
+""",
+    category=CAT,
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor(x/w) bucketing — one partial+
+    final aggregate, no sort; identical IEEE double division on both
+    engines so bucket edges agree exactly.  min/max round at the 2dp
+    value grid (§5.3 rule 1)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            bigint(F.count("*")).alias("n"),
+            r2(F.min("o_totalprice")).alias("lo"),
+            r2(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("bucket")
     )
