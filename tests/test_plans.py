@@ -42,7 +42,10 @@ SKIP_PLAN_SWEEP = {
     name
     for name, o in OPS.items()
     if o.category.startswith("2.9") or name.startswith("sink_")
-    or name in {"join_bucketed_colocated", "stream_static_join"}
+    or name in {"join_bucketed_colocated", "stream_static_join",
+                # iterative: executes supersteps at build time; the
+                # returned df is a localCheckpoint scan (no plan to read)
+                "graph_connected_components"}
 }
 
 
@@ -115,3 +118,13 @@ def test_q6_full_pushdown(spark):
 def test_embed_quantize_is_map_only(spark):
     p = _plan(spark, "embed_quantize_int8")
     assert "Exchange" not in p  # zero-shuffle projection
+
+
+def test_layout_partition_pruning(spark):
+    """The read-back side of the partitioned+sorted publish layout must
+    prune at the directory level (PartitionFilters on o_year) and read
+    only the projected columns."""
+    p = _plan(spark, "layout_partition_sort")
+    assert "PartitionFilters" in p and "o_year" in p
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "o_orderdate" not in rs[0]  # source date col not re-read

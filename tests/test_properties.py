@@ -193,3 +193,55 @@ def test_hll_sketch_estimate_bounded_error(spark):
         load(spark, SF, "events").select("user_id").distinct().count()
     )
     assert abs(all_row.approx_users - true_all) <= max(1, 0.05 * true_all)
+
+
+def test_sample_stratified_reproducible_and_bounded(spark):
+    from trip_data_pipeline_spark.operators.setops import sample_stratified
+
+    a = {r.event_type: r.n_sampled for r in sample_stratified(spark, SF).collect()}
+    b = {r.event_type: r.n_sampled for r in sample_stratified(spark, SF).collect()}
+    assert a == b  # same seed -> same strata counts
+    from trip_data_pipeline_spark.io import load
+
+    totals = {
+        r.event_type: r.n
+        for r in load(spark, SF, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    fractions = {"view": 0.05, "click": 0.1, "purchase": 0.5, "signup": 1.0, "error": 1.0}
+    for et, frac in fractions.items():
+        n, tot = a.get(et, 0), totals[et]
+        if frac == 1.0:
+            assert n == tot  # fraction-1 strata kept whole
+        else:
+            # Bernoulli draw: allow 5 sigma around the mean
+            import math
+
+            sigma = math.sqrt(tot * frac * (1 - frac))
+            assert abs(n - tot * frac) <= 5 * sigma + 1
+
+
+def test_connected_components_fixed_point(spark):
+    """CC output is a valid fixed point: both endpoints of every edge
+    share a component, and each component's label is the min node id
+    of its members (the canonical representative)."""
+    from trip_data_pipeline_spark.operators.graph import (
+        _copart_edges,
+        connected_components,
+    )
+
+    edges = _copart_edges(spark, SF)
+    labels = connected_components(edges)
+    viol = (
+        edges.join(labels.withColumnRenamed("node", "src").withColumnRenamed("component", "c1"), "src")
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("component", "c2"), "dst")
+        .filter(F.col("c1") != F.col("c2"))
+        .count()
+    )
+    assert viol == 0
+    bad_rep = (
+        labels.groupBy("component")
+        .agg(F.min("node").alias("mn"))
+        .filter(F.col("component") != F.col("mn"))
+        .count()
+    )
+    assert bad_rep == 0

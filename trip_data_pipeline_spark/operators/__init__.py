@@ -7,6 +7,7 @@ from trip_data_pipeline_spark.operators import (  # noqa: F401
     dedup,
     extras,
     filters,
+    graph,
     joins,
     multimodal,
     scalar_funcs,

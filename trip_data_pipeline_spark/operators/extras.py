@@ -632,3 +632,64 @@ def regexp_extract_all_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("num_token"))
         .limit(20)
     )
+
+
+@op(
+    "agg_corr_regr",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 4)           AS corr_price_qty,
+       round(covar_samp(l_extendedprice, l_quantity), 2)     AS covar_s,
+       round(covar_pop(l_extendedprice, l_quantity), 2)      AS covar_p,
+       round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    category=CAT,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates: correlation, covariance
+    (sample+population), and simple linear regression slope/intercept,
+    per group.  All are one-pass partial-aggregatable moments (sum,
+    sum^2, cross-sum) so the shuffle carries O(groups) state — the
+    same plan shape as agg_stats, just wider moment vectors.  Both
+    engines use (y, x) argument order for regr_*."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr(y, x)).alias("corr_price_qty"),
+        r2(F.covar_samp(y, x)).alias("covar_s"),
+        r2(F.covar_pop(y, x)).alias("covar_p"),
+        r4(F.regr_slope(y, x)).alias("slope"),
+        r2(F.regr_intercept(y, x)).alias("intercept"),
+        bigint(F.regr_count(y, x)).alias("n"),
+    )
+
+
+@op(
+    "agg_percentile_disc",
+    oracle="""
+WITH t AS (
+  SELECT event_type, value,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+  FROM events
+)
+SELECT event_type,
+       min(CASE WHEN cd >= 0.5 THEN value END) AS p50_disc,
+       min(CASE WHEN cd >= 0.9 THEN value END) AS p90_disc
+FROM t GROUP BY event_type
+""",
+    category=CAT,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (smallest value whose cume_dist >= p — the
+    SQL-standard PERCENTILE_DISC definition, which the oracle spells
+    out via cume_dist so no engine-specific quantile interpolation is
+    involved).  Returns actual data values, so no rounding is needed:
+    the selected doubles are bit-identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),
+    )

@@ -1,0 +1,124 @@
+"""Iterative graph operators: connected components over a
+co-occurrence graph.
+
+This is the dedup-cluster-resolution shape for a training-data
+pipeline: near-dup candidate pairs (from MinHash/SimHash banding)
+form edges, and connected components give the duplicate clusters from
+which one survivor per cluster is kept.  The fixture graph links parts
+that co-occur in the same (sampled) order — sparse, many components.
+
+Spark has no recursive CTE, so components are computed by Pregel-style
+iterative min-label propagation: every node starts labelled with its
+own id, and each superstep every node takes the min of its own label
+and its neighbors' labels, until a fixed point.  That is the classic
+MapReduce/Spark formulation (cf. Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14 — the large-star/small-star variant
+converges in fewer rounds; plain propagation in diameter rounds, which
+is small for the bounded candidate-cluster graphs this targets).
+
+Scale notes (100 TB): each superstep is one shuffle-join of the edge
+list with the (node,label) map on `node` plus a min-aggregate on
+`dst` — both hash-partitioned on the same keys, so with a persisted,
+co-partitioned edge list the per-round cost is one co-located join +
+one partial/final agg.  `localCheckpoint()` truncates the lineage each
+round so the plan does not grow with iteration count (driver-side
+iteration is inherent to the algorithm, not a collect of data rows:
+only the 1-row convergence aggregate comes back to the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint
+from trip_data_pipeline_spark.registry import op
+
+CAT = "graph / iterative"
+
+MAX_ROUNDS = 50
+
+
+def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge list (both directions): parts co-occurring in
+    the same sampled order (l_orderkey % 97 == 0 keeps the graph
+    sparse enough to have many components)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    other = li.select("k", F.col("p").alias("p2"))
+    return (
+        li.join(other, "k")
+        .filter(F.col("p") != F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation to a fixed point.
+
+    `edges` must contain both directions of every undirected edge.
+    Returns (node, component) where component == min node id reachable.
+    Convergence detector: labels only ever decrease, so an unchanged
+    sum(label) between rounds proves the fixed point (monotone +
+    bounded below) without a row-level diff join.
+    """
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("label", F.coalesce("nbr", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select("node", F.col("label").alias("component"))
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixed point in {max_rounds} rounds")
+
+
+@op(
+    "graph_connected_components",
+    oracle="""
+WITH RECURSIVE
+op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e0 AS (SELECT a.p AS src, b.p AS dst FROM op_ a JOIN op_ b
+       ON a.k = b.k AND a.p <> b.p),
+n AS (SELECT DISTINCT src AS node FROM e0),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN e0 e ON re.r = e.src
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY node
+""",
+    category=CAT,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-part graph by iterative min-label
+    propagation; the DuckDB oracle computes the same labelling via a
+    recursive-CTE transitive closure (component id == min reachable
+    node id on both sides)."""
+    edges = _copart_edges(spark, sf_dir)
+    return connected_components(edges).select(
+        bigint(F.col("node")).alias("node"),
+        bigint(F.col("component")).alias("component"),
+    ).orderBy("node")

@@ -174,3 +174,36 @@ def scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("nullValue", "\\N")
         .csv(out)
     )
+
+
+@op(
+    "layout_partition_sort",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE extract(year FROM o_orderdate) = 1995
+""",
+    category=CAT,
+)
+def layout_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side data layout: range-repartition by (year, custkey),
+    sort within partitions, write partitioned-by-year parquet; read
+    back one partition.  Hash-checked lossless vs a direct filter of
+    the source.  At 100 TB this is the publish layout that makes the
+    read side cheap: directory-level partition pruning on o_year
+    (asserted in tests/test_plans.py) plus clustered o_custkey so
+    parquet row-group min/max statistics prune within files."""
+    out = tempfile.mkdtemp(prefix="layout_psort_")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year(as_date(F.col("o_orderdate")))
+    )
+    (
+        o.repartitionByRange(8, "o_year", "o_custkey")
+        .sortWithinPartitions("o_year", "o_custkey")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    return back.select(
+        "o_orderkey", "o_custkey", r2(F.col("o_totalprice")).alias("o_totalprice")
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.7 set operations"
@@ -150,3 +151,17 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@op("sample_stratified", oracle=None, category=CAT)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-key fraction) sampling via sampleBy — the
+    class-rebalancing primitive for training-data curation (downsample
+    the dominant event types, keep the rare ones whole).  Rows-only:
+    the sampled set is engine-specific but seed-reproducible (asserted
+    in tests/test_properties.py).  Map-only at scale: each row is a
+    local hash draw against its stratum's fraction, no shuffle."""
+    ev = load(spark, sf_dir, "events")
+    fractions = {"view": 0.05, "click": 0.1, "purchase": 0.5, "signup": 1.0, "error": 1.0}
+    s = ev.sampleBy("event_type", fractions, seed=42)
+    return s.groupBy("event_type").agg(bigint(F.count(F.lit(1))).alias("n_sampled"))
