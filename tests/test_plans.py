@@ -45,7 +45,9 @@ SKIP_PLAN_SWEEP = {
     or name in {"join_bucketed_colocated", "stream_static_join",
                 # iterative: executes supersteps at build time; the
                 # returned df is a localCheckpoint scan (no plan to read)
-                "graph_connected_components"}
+                "graph_connected_components",
+                # side-effecting compaction; returns a literal summary
+                "layout_compact_small_files"}
 }
 
 

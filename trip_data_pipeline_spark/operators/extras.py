@@ -693,3 +693,57 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_disc"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),
     )
+
+
+@op(
+    "agg_boolean_countif",
+    oracle="""
+SELECT event_type,
+       bool_and(value > 0)                    AS all_positive,
+       bool_or(value > 100)                   AS any_large,
+       CAST(count_if(value > 50) AS BIGINT)   AS n_over_50,
+       CAST(count_if(value IS NULL) AS BIGINT) AS n_null
+FROM events GROUP BY event_type
+""",
+    category=CAT,
+)
+def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional-count aggregates (bool_and / bool_or /
+    count_if) — data-quality assertion primitives, all partial-
+    aggregatable to 1-bit/1-long state per group."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(v > 0).alias("all_positive"),
+        F.bool_or(v > 100).alias("any_large"),
+        bigint(F.count_if(v > 50)).alias("n_over_50"),
+        bigint(F.count_if(v.isNull())).alias("n_null"),
+    )
+
+
+@op(
+    "text_pii_redact",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digits_masked
+FROM events WHERE event_id % 211 = 0
+""",
+    category=CAT,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based redaction: every digit run in the semi-structured
+    props payload is masked to '#', with a per-record count of masked
+    characters — the anonymize-before-publish step of a training-data
+    pipeline (cf. pipeline_anonymize_trips for the hash/bucket form).
+    Map-only whole-stage-codegen regexes; the sampled key filter is
+    pushed to the scan."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 211 == 0)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
+        bigint(
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).alias("n_digits_masked"),
+    )

@@ -207,3 +207,87 @@ def layout_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", "o_custkey", r2(F.col("o_totalprice")).alias("o_totalprice")
     )
+
+
+def _duck_zval() -> str:
+    """DuckDB-side 16-bit Morton (z-order) interleave of
+    (o_custkey % 256, floor(o_totalprice/2000) % 256)."""
+    xs = "(o_custkey % 256)"
+    ys = "(CAST(floor(o_totalprice / 2000) AS BIGINT) % 256)"
+    terms = []
+    for i in range(8):
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spark_zval():
+    """Spark-side Morton interleave, same bit layout as _duck_zval."""
+    xs = F.col("o_custkey") % 256
+    ys = F.floor(F.col("o_totalprice") / 2000).cast("bigint") % 256
+    z = F.lit(0)
+    for i in range(8):
+        z = z + F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@op(
+    "layout_zorder_cluster",
+    oracle=f"""
+WITH z AS (SELECT o_custkey, {_duck_zval()} AS zval FROM orders)
+SELECT CAST(zval // 1024 AS BIGINT)      AS z_bucket,
+       CAST(count(*) AS BIGINT)          AS n,
+       CAST(min(o_custkey) AS BIGINT)    AS min_custkey,
+       CAST(max(o_custkey) AS BIGINT)    AS max_custkey,
+       CAST(min(zval) AS BIGINT)         AS min_z,
+       CAST(max(zval) AS BIGINT)         AS max_z
+FROM z GROUP BY 1 ORDER BY z_bucket
+""",
+    category=CAT,
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering key: 16-bit Morton (z-order)
+    interleave of two dimensions, then per-z-range stats.  This is the
+    Delta/Iceberg OPTIMIZE ZORDER layout primitive: range-partitioning
+    on zval keeps BOTH o_custkey and o_totalprice locally dense in each
+    file, so min/max statistics prune on either dimension.  The
+    interleave is pure integer bit arithmetic — identical on both
+    engines, hash-checked per bucket."""
+    o = load(spark, sf_dir, "orders")
+    z = o.select("o_custkey", _spark_zval().alias("zval"))
+    return (
+        z.groupBy((F.col("zval") / 1024).cast("bigint").alias("z_bucket"))
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            bigint(F.min("o_custkey")).alias("min_custkey"),
+            bigint(F.max("o_custkey")).alias("max_custkey"),
+            bigint(F.min("zval")).alias("min_z"),
+            bigint(F.max("zval")).alias("max_z"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+@op("layout_compact_small_files", oracle=None, category=CAT)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 64-way fragmented events table is
+    rewritten to 4 right-sized files with row-count parity asserted in
+    the output.  The 100 TB housekeeping op — streaming ingest leaves
+    thousands of small files per partition; periodic compaction
+    restores scan efficiency (fewer tasks, bigger sequential reads).
+    Rows-only: side-effecting."""
+    import os as _os
+
+    frag = tempfile.mkdtemp(prefix="layout_frag_")
+    compact = tempfile.mkdtemp(prefix="layout_compact_")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    n_files_before = len([f for f in _os.listdir(frag) if f.endswith(".parquet")])
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    n_files_after = len([f for f in _os.listdir(compact) if f.endswith(".parquet")])
+    back = spark.read.parquet(compact)
+    return spark.createDataFrame(
+        [(n_files_before, n_files_after, ev.count(), back.count())],
+        "n_files_before int, n_files_after int, n_rows_src long, n_rows_compacted long",
+    )

@@ -244,3 +244,49 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w).alias("richest"),
         F.last("c_name").over(w).alias("poorest"),
     )
+
+
+@op(
+    "win_time_weighted_avg",
+    oracle="""
+WITH t AS (
+  SELECT user_id, value,
+         epoch_us(ts) // 1000000 AS s,
+         lead(epoch_us(ts) // 1000000) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) // 1000000, event_id) AS ns
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * (ns - s)) / sum(ns - s), 4) AS twap,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM t WHERE ns IS NOT NULL AND ns > s
+GROUP BY user_id
+""",
+    category=CAT,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by its
+    holding time until the next observation (lead over the per-user
+    timeline), then one grouped ratio.  The irregular-timeseries
+    rollup a tick store needs; all time math in integer epoch seconds
+    (§5.3 rule 2), total order (s, event_id) so lead() is
+    deterministic on both engines.  One shuffle on user_id serves both
+    the window sort and the final aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value", "event_id", epoch_s("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    t = ev.withColumn("ns", F.lead("s").over(w))
+    return (
+        t.filter(F.col("ns").isNotNull() & (F.col("ns") > F.col("s")))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * (F.col("ns") - F.col("s")))
+                / F.sum(F.col("ns") - F.col("s")),
+                4,
+            ).alias("twap"),
+            bigint(F.count(F.lit(1))).alias("n_intervals"),
+        )
+    )
