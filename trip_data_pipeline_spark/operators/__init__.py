@@ -4,6 +4,7 @@ from SURVEY.md §2 into trip_data_pipeline_spark.registry.OPS."""
 from trip_data_pipeline_spark.operators import (  # noqa: F401
     aggregates,
     composite,
+    composite2,
     dedup,
     extras,
     filters,
