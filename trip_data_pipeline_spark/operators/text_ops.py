@@ -405,3 +405,97 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_start")
     )
+
+
+@op(
+    "pipeline_training_data_prep",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         len(str_split(text, ' ')) AS n_toks
+  FROM documents
+),
+kept AS (SELECT * FROM base WHERE n_toks >= 20),
+uniq AS (
+  SELECT min(doc_id) AS survivor_id,
+         arg_min(lang, doc_id)   AS lang,
+         arg_min(n_toks, doc_id) AS n_toks
+  FROM (SELECT *, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+        FROM kept)
+  GROUP BY h
+),
+per_lang_base AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY lang
+),
+per_lang_kept AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang
+),
+per_lang_uniq AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_unique,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(sum((greatest(n_toks, 1) + 23) // 24) AS BIGINT) AS n_chunks
+  FROM uniq GROUP BY lang
+)
+SELECT b.lang, b.n_docs,
+       coalesce(k.n_kept, 0)       AS n_kept,
+       coalesce(u.n_unique, 0)     AS n_unique,
+       coalesce(u.total_tokens, 0) AS total_tokens,
+       coalesce(u.n_chunks, 0)     AS n_chunks
+FROM per_lang_base b
+LEFT JOIN per_lang_kept k USING (lang)
+LEFT JOIN per_lang_uniq u USING (lang)
+ORDER BY lang
+""",
+    category=CAT,
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over the documents corpus:
+    tokenize -> quality gate (>= 20 whitespace tokens) -> corpus-wide
+    exact dedup on normalized-text md5 (min-doc_id survivor, min_by
+    carries the survivor's attributes) -> sliding-window chunk count
+    (32/24, same grid as text_chunk_sliding) -> per-language corpus
+    report.  One scan feeds every stage; the only wide exchange is the
+    dedup groupBy on the 128-bit hash, which at 100 TB partitions
+    uniformly by construction (hash keys), then three narrow per-lang
+    aggregates over the deduped survivors."""
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    kept = base.filter(F.col("n_toks") >= 20)
+    h = F.md5(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, ""))
+    uniq = (
+        kept.select(h.alias("h"), "doc_id", "lang", "n_toks")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_toks", "doc_id").alias("n_toks"),
+        )
+    )
+    per_lang_base = base.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n_docs"))
+    per_lang_kept = kept.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n_kept"))
+    chunks_per_doc = F.floor(
+        (F.greatest(F.col("n_toks"), F.lit(1)) + 23) / 24
+    )
+    per_lang_uniq = uniq.groupBy("lang").agg(
+        bigint(F.count(F.lit(1))).alias("n_unique"),
+        bigint(F.sum("n_toks")).alias("total_tokens"),
+        bigint(F.sum(chunks_per_doc)).alias("n_chunks"),
+    )
+    return (
+        per_lang_base.join(per_lang_kept, "lang", "left")
+        .join(per_lang_uniq, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        )
+        .orderBy("lang")
+    )
