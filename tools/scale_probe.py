@@ -35,6 +35,10 @@ PROBE_QUERIES = [
     "win_topk_per_group",
     "dedup_exact_hash",
     "text_term_freq",
+    "graph_connected_components",
+    "q21_suppliers_kept_waiting",
+    "pipeline_training_data_prep",
+    "layout_zorder_cluster",
 ]
 
 
