@@ -5,6 +5,7 @@ from trip_data_pipeline_spark.operators import (  # noqa: F401
     aggregates,
     composite,
     composite2,
+    composite3,
     dedup,
     extras,
     filters,

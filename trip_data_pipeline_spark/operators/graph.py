@@ -9,12 +9,13 @@ that co-occur in the same (sampled) order — sparse, many components.
 
 Spark has no recursive CTE, so components are computed by Pregel-style
 iterative min-label propagation: every node starts labelled with its
-own id, and each superstep every node takes the min of its own label
-and its neighbors' labels, until a fixed point.  That is the classic
+own id, and each round every node takes the min of its own label and
+its neighbors' labels (one hop), then short-cuts via pointer jumping
+(label := label-of-label), so chains collapse exponentially and the
+loop converges in O(log diameter) rounds.  Both tricks are the classic
 MapReduce/Spark formulation (cf. Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14 — the large-star/small-star variant
-converges in fewer rounds; plain propagation in diameter rounds, which
-is small for the bounded candidate-cluster graphs this targets).
+in MapReduce and Beyond", SoCC'14; pointer jumping from
+Shiloach-Vishkin).
 
 Scale notes (100 TB): each superstep is one shuffle-join of the edge
 list with the (node,label) map on `node` plus a min-aggregate on
@@ -68,6 +69,9 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     sum(label) between rounds proves the fixed point (monotone +
     bounded below) without a row-level diff join.
     """
+    # materialize the edge list once — every round re-joins it, and a
+    # checkpointed copy avoids re-running the distinct-pairs build.
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -76,15 +80,30 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_rounds):
+        # superstep 1: neighbor propagation (one hop along edges)
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr"))
         )
+        hop = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("label", F.coalesce("nbr", "label")).alias("label")
+        )
+        # superstep 2: pointer jumping (label := label-of-label) —
+        # collapses chains exponentially, so total rounds are
+        # O(log diameter) instead of O(diameter).  Every label is a
+        # node, so the self-join always matches (left join is defensive).
+        jump = hop.select(F.col("node").alias("j_node"), F.col("label").alias("j_label"))
+        # lazy checkpoint: the convergence probe below is the action
+        # that materializes it, folding checkpoint + probe into ONE job
+        # per round (eager=True would schedule two).
         labels = (
-            labels.join(nbr_min, "node", "left")
-            .select("node", F.least("label", F.coalesce("nbr", "label")).alias("label"))
-            .localCheckpoint()
+            hop.join(jump, hop.label == jump.j_node, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("j_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
