@@ -3,6 +3,7 @@ from SURVEY.md §2 into trip_data_pipeline_spark.registry.OPS."""
 
 from trip_data_pipeline_spark.operators import (  # noqa: F401
     aggregates,
+    behavior,
     composite,
     composite2,
     composite3,
@@ -11,6 +12,8 @@ from trip_data_pipeline_spark.operators import (  # noqa: F401
     filters,
     graph,
     joins,
+    lifecycle,
+    mlprep,
     multimodal,
     scalar_funcs,
     scans,
