@@ -1,0 +1,168 @@
+"""Corpus-level composites: duplicate-cluster canonicalization (the
+full dedup story end-to-end) and an order-backlog sweep line.
+
+`dedup_cluster_canonical` is the piece that turns pairwise dup signals
+into an actual deduplicated corpus: exact-hash pairs (md5, cross-block)
+UNION blocked edit-distance pairs feed the iterative
+connected-components operator (operators/graph.py), and every clustered
+document maps to the minimum doc_id of its component — the canonical
+survivor.  This is how production corpus dedup actually composes
+(pair generation is cheap and parallel; transitive closure makes
+A~B, B~C collapse to one cluster even when A~C was never compared).
+
+Scale notes: the md5 pair join is a plain hash join on the digest (no
+quadratic stage); the edit-distance stage is bounded by blocking
+(mlprep.py); components iterate in O(log diameter) supersteps, and dup
+clusters are near-cliques with tiny diameter, so 2-3 supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint
+from trip_data_pipeline_spark.operators.graph import connected_components
+from trip_data_pipeline_spark.registry import op
+
+EDIT_MAX = 20  # same near-dup threshold as mlprep.dedup_blocked_editdist
+
+
+@op(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE
+b AS (
+  SELECT doc_id, lang, n_chars // 50 AS bkt, substr(text, 1, 40) AS head,
+         md5(text) AS h
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS x, b2.doc_id AS y
+  FROM b a JOIN b b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+  UNION
+  SELECT a.doc_id AS x, b2.doc_id AS y
+  FROM b a JOIN b b2
+    ON a.lang = b2.lang AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id
+  WHERE levenshtein(a.head, b2.head) <= {EDIT_MAX}
+),
+e AS (SELECT x AS src, y AS dst FROM pairs
+      UNION SELECT y AS src, x AS dst FROM pairs),
+n AS (SELECT DISTINCT src AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT re.node, e2.dst FROM reach re JOIN e e2 ON re.r = e2.src
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+    category="2.11 deduplication",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-dedup composition: (exact md5 pairs ∪ blocked
+    edit-distance pairs) -> undirected edges -> iterative connected
+    components -> per-doc canonical id (= min doc_id of the cluster).
+    The DuckDB oracle recomputes the same labelling with a
+    recursive-CTE transitive closure, so the hash check covers the
+    whole chain including the iterative operator."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 50").alias("bkt"),
+        F.substring("text", 1, 40).alias("head"),
+        F.md5("text").alias("h"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    exact = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    near = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.levenshtein(F.col("a.head"), F.col("b.head")) <= EDIT_MAX)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    )
+    pairs = exact.unionAll(near).distinct()
+    edges = pairs.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    return (
+        connected_components(edges)
+        .select(
+            bigint(F.col("node")).alias("doc_id"),
+            bigint(F.col("component")).alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@op(
+    "orders_backlog_sweep",
+    oracle="""
+WITH opened AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         count(*) AS delta
+  FROM orders GROUP BY 1
+),
+closed AS (
+  SELECT close_day + 1 AS day, -count(*) AS delta FROM (
+    SELECT l_orderkey,
+           max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))
+             AS close_day
+    FROM lineitem GROUP BY l_orderkey
+  ) GROUP BY 1
+),
+daily AS (
+  SELECT day, sum(delta) AS net_change
+  FROM (SELECT * FROM opened UNION ALL SELECT * FROM closed)
+  GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(net_change AS BIGINT) AS net_change,
+       CAST(sum(net_change) OVER (ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM daily ORDER BY day
+""",
+    category="composite queries",
+)
+def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by sweep-line: +1 at order date,
+    -1 the day after the order's last line ships, then a running sum
+    over per-day net changes.  The classic interval-stabbing question
+    answered without an interval join: deltas aggregate to day
+    granularity FIRST (map-side combinable, one shuffle), so the
+    global cumulative window runs over |days| rows — thousands —
+    regardless of source scale.  Integer epoch-day arithmetic
+    throughout."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    opened = (
+        o.select(F.unix_date(F.to_date("o_orderdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("delta"))
+    )
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.unix_date(F.to_date("l_shipdate"))).alias("close_day"))
+        .groupBy((F.col("close_day") + 1).alias("day"))
+        .agg((-F.count("*")).alias("delta"))
+    )
+    daily = (
+        opened.unionAll(closed).groupBy("day").agg(F.sum("delta").alias("net_change"))
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        bigint(F.col("day")).alias("day"),
+        bigint(F.col("net_change")).alias("net_change"),
+        bigint(F.sum("net_change").over(w)).alias("backlog"),
+    ).orderBy("day")
