@@ -39,6 +39,13 @@ PROBE_QUERIES = [
     "q21_suppliers_kept_waiting",
     "pipeline_training_data_prep",
     "layout_zorder_cluster",
+    # round-1 final tranches
+    "interval_merge_overlaps",
+    "events_markov_transition",
+    "basket_pair_affinity",
+    "orders_backlog_sweep",
+    "dedup_cluster_canonical",
+    "kmeans_lloyd_int",
 ]
 
 

@@ -336,3 +336,48 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc"),
     ).orderBy("n_name")
+
+
+@op(
+    "win_sliding_distinct_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS day, user_id
+  FROM events
+),
+win AS (
+  SELECT day,
+         count(DISTINCT user_id) OVER (
+           ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS users_7d
+  FROM du
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(users_7d AS BIGINT) AS users_7d
+FROM win GROUP BY day, users_7d ORDER BY day
+""",
+    category=CAT,
+)
+def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    DISTINCT aggregate Spark's window API lacks natively, emulated as
+    `size(collect_set(user))` over a RANGE frame on the distinct
+    (day, user) grain.  Input reduces to day×user pairs FIRST, so the
+    global range window sees the reduced relation only.  At 100 TB
+    day×user can itself be large: the scalable variant keeps per-day
+    HLL sketches and merges 7 of them per output row (see
+    `agg_hll_sketch`); this exact form is the small/medium-cardinality
+    path and the correctness oracle for that sketch."""
+    du = (
+        load(spark, sf_dir, "events")
+        .select(
+            (epoch_s("ts") / F.lit(86400)).cast("bigint").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return (
+        du.select("day", F.size(F.collect_set("user_id").over(w)).alias("users_7d"))
+        .distinct()
+        .select(bigint(F.col("day")).alias("day"), bigint(F.col("users_7d")).alias("users_7d"))
+        .orderBy("day")
+    )

@@ -291,3 +291,109 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_files_before, n_files_after, ev.count(), back.count())],
         "n_files_before int, n_files_after int, n_rows_src long, n_rows_compacted long",
     )
+
+
+@op(
+    "scan_schema_evolution_merge",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_qty,
+       CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_price,
+       CAST(sum(CASE WHEN l_orderkey % 2 = 0
+                     THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS total_qty,
+       CAST(sum(CASE WHEN l_orderkey % 2 = 1
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS total_price_cents
+FROM lineitem
+""",
+    category=CAT,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations with different
+    column sets (an old writer without l_extendedprice, a new one
+    without l_quantity) land in one directory; `mergeSchema=true`
+    unifies them, null-filling the missing columns per file.  The
+    oracle recomputes the same totals from the base table, so the
+    merged read must be lossless.  At scale, schema merge costs one
+    footer pass over files (not data) — the standard upgrade path when
+    a pipeline adds columns without rewriting history."""
+    li = load(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    old_gen = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    new_gen = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    old_gen.write.mode("overwrite").parquet(f"{out}/gen=0")
+    new_gen.write.mode("overwrite").parquet(f"{out}/gen=1")
+    merged = spark.read.option("mergeSchema", True).parquet(f"{out}/gen=0", f"{out}/gen=1")
+    return merged.agg(
+        bigint(F.count("*")).alias("n_rows"),
+        bigint(F.count("l_quantity")).alias("n_with_qty"),
+        bigint(F.count("l_extendedprice")).alias("n_with_price"),
+        bigint(F.sum(F.coalesce(F.col("l_quantity").cast("bigint"), F.lit(0)))).alias(
+            "total_qty"
+        ),
+        bigint(
+            F.sum(
+                F.coalesce(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint"), F.lit(0)
+                )
+            )
+        ).alias("total_price_cents"),
+    )
+
+
+N_CORRUPT = 3
+
+
+@op(
+    "scan_csv_malformed_permissive",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_good,
+       CAST({N_CORRUPT} AS BIGINT) AS n_corrupt,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+""",
+    category=CAT,
+)
+def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion: a CSV publish of `nation` plus 3
+    injected garbage lines, read back in PERMISSIVE mode with a
+    `_corrupt_record` column — good rows parse, bad rows quarantine
+    instead of failing the job.  The oracle pins the expected good /
+    corrupt split against the base table.  This is the ingest contract
+    a 100 TB pipeline needs at the edge: schema-on-read with explicit
+    quarantine, never inference, never abort-on-first-error."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="csv_malformed_")
+    n = load(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").csv(f"{out}/data")
+    # NB: must not start with "_" or "." — Spark's file index skips
+    # those as metadata/hidden files and the garbage would never load.
+    with open(os.path.join(out, "data", "zz-garbage.csv"), "w") as fh:
+        for i in range(N_CORRUPT):
+            fh.write(f"not-a-key,garbage-row-{i},also-not-a-key\n")
+    schema = (
+        "n_nationkey int, n_name string, n_regionkey int, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{out}/data")
+        .cache()
+    )
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    return good.agg(
+        bigint(F.count("*")).alias("n_good"),
+        bigint(F.sum("n_nationkey")).alias("key_sum"),
+    ).crossJoin(bad.agg(bigint(F.count("*")).alias("n_corrupt"))).select(
+        "n_good", "n_corrupt", "key_sum"
+    )
