@@ -245,3 +245,40 @@ def test_connected_components_fixed_point(spark):
         .count()
     )
     assert bad_rep == 0
+
+
+def test_stream_outer_join_floor_semantics(spark):
+    """The streaming LEFT OUTER join's result must (a) contain every
+    inner (matched) pair the batch theta join produces, and (b) only
+    null-extend purchases that genuinely have no qualifying view."""
+    from trip_data_pipeline_spark.io import load
+    from trip_data_pipeline_spark.operators.streaming_ops import (
+        stream_outer_join_watermark,
+    )
+
+    out = stream_outer_join_watermark(spark, SF).cache()
+    ev = load(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    batch_inner = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "view_id")
+
+    stream_matched = out.filter(F.col("view_id").isNotNull()).select(
+        "purchase_id", "view_id"
+    )
+    # (a) matched pairs == the batch inner join exactly
+    assert stream_matched.exceptAll(batch_inner).count() == 0
+    assert batch_inner.exceptAll(stream_matched).count() == 0
+    # (b) a null-extended purchase has zero qualifying views
+    null_ext = out.filter(F.col("view_id").isNull()).select("purchase_id")
+    assert null_ext.join(batch_inner, "purchase_id", "left_semi").count() == 0

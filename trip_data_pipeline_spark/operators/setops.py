@@ -165,3 +165,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"view": 0.05, "click": 0.1, "purchase": 0.5, "signup": 1.0, "error": 1.0}
     s = ev.sampleBy("event_type", fractions, seed=42)
     return s.groupBy("event_type").agg(bigint(F.count(F.lit(1))).alias("n_sampled"))
+
+
+@op(
+    "sample_deterministic_hash",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem
+WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                           || CAST(l_linenumber AS VARCHAR)), 1, 4)) AS INT)
+      % 100 < 10
+ORDER BY l_orderkey, l_linenumber
+""",
+    category=CAT,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 10% sample: keep a row iff the first 16 md5
+    bits of its business key land under the threshold.  Unlike
+    `sample(seed=..)` (engine-specific RNG, rows-only checkable), this
+    picks the SAME rows on any engine, any partitioning, any cluster
+    size — so it hash-checks exactly, and downstream experiments are
+    reproducible across stacks.  Map-only: no shuffle, predicate
+    evaluates per-row in codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 100
+    return (
+        li.filter(bucket < 10)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

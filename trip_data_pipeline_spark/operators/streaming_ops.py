@@ -436,3 +436,47 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, "update")
+
+
+@op("stream_outer_join_watermark", oracle=None, category=CAT)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-bounded state:
+    purchases left-joined to preceding same-user views within 1 hour.
+    Unmatched left rows emit (with null view columns) only once the
+    watermark passes their join-window end, so the result is the inner
+    matches plus the subset of null-extended rows whose window closed
+    before the fixture drained — engine-defined, hence rows-only
+    (semantic floor asserted in tests/test_properties.py: result ⊇
+    inner matches, and every null-extended purchase has no qualifying
+    view).  At scale the watermark bounds both sides' state stores
+    exactly as in the inner variant."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    return run_to_memory(
+        joined.select("purchase_id", "view_id", "user_id"), "append"
+    )
