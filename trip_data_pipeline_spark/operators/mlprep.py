@@ -38,13 +38,15 @@ EDIT_MAX = 20  # head-40-chars edit distance at/below this = near-dup pair
     "dedup_blocked_editdist",
     oracle=f"""
 WITH b AS (
-  SELECT doc_id, lang, n_chars // 50 AS bkt, substr(text, 1, 40) AS head
+  SELECT doc_id, lang, n_chars // 50 AS bkt, substr(text, 1, 3) AS pfx,
+         substr(text, 1, 40) AS head
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        CAST(levenshtein(a.head, b2.head) AS BIGINT) AS dist
 FROM b a
-JOIN b b2 ON a.lang = b2.lang AND a.bkt = b2.bkt AND a.doc_id < b2.doc_id
+JOIN b b2 ON a.lang = b2.lang AND a.bkt = b2.bkt AND a.pfx = b2.pfx
+         AND a.doc_id < b2.doc_id
 WHERE levenshtein(a.head, b2.head) <= {EDIT_MAX}
 ORDER BY doc_a, doc_b
 """,
@@ -52,15 +54,23 @@ ORDER BY doc_a, doc_b
 )
 def dedup_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs via blocked edit distance: block documents
-    by (lang, length-bucket), compare 40-char heads pairwise only
-    within a block, keep pairs at distance <= 20.  The block key
-    bounds the quadratic stage — the join shuffles both sides on
-    (lang, bkt) and each block's pair expansion happens locally on one
-    executor, so cost is sum(block²), not corpus², at any scale."""
+    by (lang, length-bucket, 3-char head prefix), compare 40-char
+    heads pairwise only within a block, keep pairs at distance <= 20.
+    The block key bounds the quadratic stage — the join shuffles both
+    sides on the key and each block's pair expansion happens locally,
+    so cost is sum(block²), not corpus².  The prefix component is the
+    part that keeps block sizes (and join parallelism = #distinct
+    keys) growing WITH the corpus instead of blocks growing
+    quadratically inside a fixed key set — measured 10x-replica
+    evidence in docs/SCALE.md.  Recall trade-off (near-dups differing
+    in the first 3 chars are missed) is the standard blocking
+    compromise; multi-pass blocking on different keys is the recall
+    fix, same plan shape per pass."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.expr("n_chars div 50").alias("bkt"),
+        F.substring("text", 1, 3).alias("pfx"),
         F.substring("text", 1, 40).alias("head"),
     )
     a = d.alias("a")
@@ -71,6 +81,7 @@ def dedup_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(dist <= EDIT_MAX)
