@@ -494,3 +494,50 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("dist_s"),
         )
     )
+
+
+@op(
+    "join_prefilter_semi_reduction",
+    oracle="""
+SELECT o.o_custkey,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000)
+                AS BIGINT)) / 1000.0 AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+GROUP BY o.o_custkey
+""",
+    category=CAT,
+)
+def join_prefilter_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-reduction pattern for 100 TB joins: reduce the FACT side
+    with a broadcast LEFT SEMI join on the (small, filtered) key set
+    BEFORE the expensive fact-fact shuffle join, so only surviving rows
+    are shuffled.  Semantically identical to filtering after the join —
+    the oracle is the plain formulation — but the physical plan prunes
+    orders first (runtime-filter / bloom-prefilter pattern expressed at
+    the DataFrame level).  Revenue quantized to milli-units pre-sum."""
+    cust_keys = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders_pruned = load(spark, sf_dir, "orders").join(
+        F.broadcast(cust_keys),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev_milli = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000
+    ).cast("bigint")
+    return (
+        orders_pruned.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            bigint(F.count_distinct("o_orderkey")).alias("n_orders"),
+            (F.sum(rev_milli) / 1000.0).alias("revenue"),
+        )
+    )

@@ -604,3 +604,67 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.map_values("m"), F.lit(0.0), lambda acc, x: acc + x)
         ).alias("all_total"),
     )
+
+
+_VOCAB = ["join", "filter", "window", "spark", "merge", "batch", "data", "query"]
+_VOCAB_SQL = "[" + ", ".join(f"'{w}'" for w in _VOCAB) + "]"
+
+
+@op(
+    "array_set_ops",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS toks,
+         {_VOCAB_SQL} AS vocab
+  FROM documents
+)
+SELECT doc_id,
+       list_sort(list_intersect(toks, vocab)) AS inter,
+       CAST(len(list_distinct(list_concat(toks, vocab))) AS BIGINT) AS n_union,
+       CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
+            AS BIGINT) AS n_except
+FROM t
+""",
+    category=CAT,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra against a literal vocabulary:
+    intersect / union / except with explicit distinct+sort
+    normalization on both engines (Spark's array_* set fns dedup;
+    DuckDB's list fns are normalized to match).  Map-only — no
+    shuffle; at 100 TB this is a pure codegen projection pass."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.sort_array(F.array_intersect(toks, vocab)).alias("inter"),
+        bigint(F.size(F.array_union(toks, vocab))).alias("n_union"),
+        bigint(F.size(F.array_except(toks, vocab))).alias("n_except"),
+    )
+
+
+@op(
+    "str_encode_hex_base64",
+    oracle="""
+SELECT c_custkey,
+       lower(hex(c_name)) AS name_hex,
+       to_base64(encode(c_name)) AS name_b64,
+       CAST(bit_count(c_custkey) AS BIGINT) AS key_bits
+FROM customer
+""",
+    category=CAT,
+)
+def str_encode_hex_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encodings of strings/ints: hex (case-normalized — Spark
+    emits uppercase, DuckDB upper too, lower() both), RFC-4648 base64
+    (no line wrapping in either engine), and popcount of the integer
+    key.  Map-only projection."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.hex(F.col("c_name"))).alias("name_hex"),
+        F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+        F.expr("CAST(bit_count(c_custkey) AS BIGINT)").alias("key_bits"),
+    )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
@@ -203,4 +203,33 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("bigint").alias("qty"),
         )
         .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@op(
+    "sample_topk_hash_per_group",
+    oracle="""
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+""",
+    category=CAT,
+)
+def sample_topk_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample: the 5 docs with the smallest
+    content hash per language — a reservoir-sample stand-in that is
+    content-addressed, so ANY engine / partitioning / run picks the
+    identical rows (unlike rand()-seeded sampling).  At 100 TB this is
+    a WindowGroupLimit (per-group top-k heap), no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", bigint(F.col("rn")).alias("rn"))
     )
