@@ -161,3 +161,67 @@ def _exec_plan(spark, name: str) -> str:
     formatted explain moves them to a details section)."""
     df = OPS[name].fn(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_ivf_is_equijoin_not_bnlj(spark):
+    """The ANN scale path must prune via the bucket equi-join: a
+    BroadcastHashJoin on the bucket key, never a BroadcastNestedLoop /
+    cartesian all-pairs scan (that is brute-force's job)."""
+    p = _exec_plan(spark, "sim_ann_ivf_bucket")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_geo_haversine_single_shuffle(spark):
+    """lag() window and the per-user groupBy share the user_id hash
+    partitioning: exactly one exchange, one events scan."""
+    p = _exec_plan(spark, "geo_haversine_trip_distance")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_geo_density_partial_agg_bounded_topk(spark):
+    """Cell density: map-side partial aggregate before the single
+    shuffle, and the top-20 compiles to TakeOrderedAndProject (no
+    global sort)."""
+    p = _exec_plan(spark, "geo_grid_cell_density")
+    assert p.count("HashAggregate") == 2, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_hypertable_reaggregates_not_rescans(spark):
+    """Daily level must be computed FROM the hourly aggregate: one raw
+    events scan, two partial+final aggregate pairs."""
+    p = _exec_plan(spark, "rollup_hypertable_2level")
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("HashAggregate") == 4, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_gap_fill_broadcasts_observations(spark):
+    """Spine <- observations join is a broadcast hash join (the spine
+    side stays partition-local); no sort-merge shuffle pair.  The one
+    BNLJ is the bounded 10x30 spine cross join."""
+    p = _exec_plan(spark, "timeseries_gap_fill_locf")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_cumulative_distinct_two_shuffles(spark):
+    """The rewrite's whole point: min-first-seen (shuffle on user_id)
+    + daily count (shuffle on day) + tiny running sum — never a
+    windowed COUNT(DISTINCT) over an expanding frame."""
+    p = _exec_plan(spark, "agg_cumulative_distinct")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_iqr_fences_broadcast_join(spark):
+    """Per-group fences (tiny) broadcast back onto the value stream:
+    BroadcastHashJoin, no sort-merge."""
+    p = _exec_plan(spark, "dq_outlier_iqr")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p, p

@@ -128,13 +128,29 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-# events.ts is physically TIMESTAMP(NANOS) which Spark 4 refuses by
-# default; with nanosAsLong it arrives as LongType ns-since-epoch.  This
-# raw schema is what readStream must declare before conversion.
+# Raw schema for *derived* event files that our own sinks write with
+# ``ts`` as long ns-since-epoch (e.g. the watermark-late micro-batch
+# dirs).  ns_to_ts converts the long column after the streaming read.
 RAW_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# Schema for streaming the ORIGINAL events.parquet, whose physical type
+# is TIMESTAMP(NANOS): PySpark 4.1.2 surfaces it as TIMESTAMP_NTZ (the
+# legacy nanosAsLong conf is a runtime no-op in this build), so the
+# readStream declaration must say NTZ; ns_to_ts then casts to
+# TimestampType (identity under the pinned-UTC session TZ).
+EVENTS_NTZ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -148,18 +164,31 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def ns_to_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Convert a LongType ns-epoch column to TimestampType (µs).
+    """Normalize the events ``ts`` column to TimestampType (µs).
+
+    The parquet file stores TIMESTAMP(NANOS).  Depending on the Spark
+    build/conf it surfaces three ways, all handled here:
+
+    - ``TimestampNTZType`` (PySpark 4.1.2 default for nanos parquet):
+      cast to TimestampType — the session TZ is pinned UTC, so the
+      NTZ→TZ cast is the identity, and Spark's native nanos→µs
+      truncation matches DuckDB ``epoch_us`` exactly (verified
+      µs-identical on the fixtures).
+    - ``LongType`` (a build honoring ``nanosAsLong``): ns-epoch integer,
+      ``div 1000`` → µs → ``timestamp_micros``.
+    - ``TimestampType`` already (derived fixtures re-written by our own
+      sinks): no-op.
 
     Exact parity with DuckDB, which also truncates this parquet type to
-    µs TIMESTAMP (measured: zero sub-µs residue in the fixtures).
-
-    No-op when the column is already TimestampType (e.g. derived
-    fixtures re-written by our own sinks carry a µs timestamp)."""
+    µs TIMESTAMP (measured: zero sub-µs residue in the fixtures)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if isinstance(df.schema[col].dataType, T.TimestampType):
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType):
         return df
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
 
 
@@ -171,7 +200,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # built (the driver constructs its own SparkSession).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # runtime-settable (verified); required for the ns-timestamp file
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanos parquet arrives as TIMESTAMP_NTZ in this PySpark build
+        # (the legacy nanosAsLong conf is a no-op at runtime here);
+        # ns_to_ts normalizes whatever type the read produced.
         return ns_to_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))

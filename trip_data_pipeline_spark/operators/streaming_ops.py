@@ -201,7 +201,6 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes the on-time windows, and every batch-2 row is days older
     than the watermark, so the state operator drops them and the
     emitted (finalized) windows equal an on-time-only run."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = _late_batches_dir(spark, sf_dir)
     raw = (

@@ -18,17 +18,16 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from trip_data_pipeline_spark.io import RAW_EVENTS_SCHEMA, ns_to_ts
+from trip_data_pipeline_spark.io import EVENTS_NTZ_SCHEMA, ns_to_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (ns->µs ts conversion as in
+    """events.parquet as a bounded stream (NTZ->µs ts conversion as in
     batch io.load)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.format("parquet")
-        .schema(RAW_EVENTS_SCHEMA)
+        .schema(EVENTS_NTZ_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
