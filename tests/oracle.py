@@ -7,6 +7,7 @@ CORRECTNESS_r{N}.json, but are debuggable."""
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import duckdb
@@ -17,9 +18,12 @@ from trip_data_pipeline_spark.io import TABLES, table_path
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
+        path = table_path(sf_dir, t)
+        if os.path.isdir(path):
+            # Spark-written table: a directory of part files (e.g. the
+            # 10x replicated probe dataset) — DuckDB needs the glob.
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
