@@ -225,3 +225,52 @@ def test_iqr_fences_broadcast_join(spark):
     p = _exec_plan(spark, "dq_outlier_iqr")
     assert p.count("BroadcastHashJoin") == 1, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_repetition_metrics_map_only(spark):
+    """Quality scoring must be a pure map pass: zero Exchange."""
+    p = _exec_plan(spark, "text_repetition_metrics")
+    assert p.count("Exchange") == 0, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_boilerplate_broadcasts_frequent_grams(spark):
+    """The corpus-wide df-aggregation output (small frequent-gram set)
+    must broadcast back onto the gram stream — never a sort-merge of
+    the full gram table against itself."""
+    p = _exec_plan(spark, "corpus_boilerplate_ngram_prune")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """Eval-side distinct grams (bounded by the held-out split)
+    broadcast against the streaming train grams."""
+    p = _exec_plan(spark, "eval_contamination_ngram")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_lang_balance_uses_window_group_limit(spark):
+    """Quota resampling compiles to WindowGroupLimit (rank prune
+    before the per-lang sort) with a single lang shuffle."""
+    p = _exec_plan(spark, "corpus_lang_balance_resample")
+    assert "WindowGroupLimit" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_packing_shard_local_single_shuffle(spark):
+    """Shard-local packing: the running-sum window and the (shard, bin)
+    groupBy share the shard hash partitioning — exactly one exchange,
+    never a global single-partition window."""
+    p = _exec_plan(spark, "pack_sequences_greedy")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SinglePartition" not in p, p
+
+
+def test_lsh_ann_is_equijoin(spark):
+    """Hyperplane LSH, like IVF, must probe via the bucket equi-join."""
+    p = _exec_plan(spark, "sim_ann_lsh_hyperplane")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -46,6 +46,12 @@ PROBE_QUERIES = [
     "orders_backlog_sweep",
     "dedup_cluster_canonical",
     "kmeans_lloyd_int",
+    # round-2 corpus-curation tranche
+    "corpus_boilerplate_ngram_prune",
+    "eval_contamination_ngram",
+    "text_repetition_metrics",
+    "pack_sequences_greedy",
+    "sim_ann_lsh_hyperplane",
 ]
 
 

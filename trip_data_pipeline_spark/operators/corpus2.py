@@ -1,0 +1,449 @@
+"""Round-2 training-data pipeline tranche (SURVEY.md §2.15).
+
+Corpus-curation operators a large-scale LLM data pipeline needs beyond
+the round-1 dedup/similarity/text families: cross-corpus boilerplate
+removal, eval-set contamination detection, intra-document repetition
+metrics (Gopher-style quality signals), language-balanced resampling,
+shard-local sequence packing, source-reputation gating, and a
+random-hyperplane LSH ANN variant.
+
+All operate on the ``documents`` / ``embeddings`` fixtures and carry
+DuckDB oracles (hash check).  Scale designs are noted per op; the
+common theme is: corpus-wide statistics reduce to a SMALL set
+(boilerplate grams, eval grams, per-source stats) that broadcasts back
+onto the document stream, so the only big shuffle is the one
+aggregation that builds the small set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint, nz, r2, r4
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.15 corpus curation (round-2 additions)"
+
+
+def words_of(col: str = "text") -> Column:
+    """Space-separated word array; fixtures are single-space separated
+    (DuckDB mirror: ``string_split(text, ' ')``)."""
+    return F.split(F.col(col), " ")
+
+
+def word_ngrams(w: Column, n: int) -> Column:
+    """All n-word grams joined by spaces, with multiplicity, in
+    document order.  Guarded for docs shorter than n (Spark's
+    ``sequence(1, k)`` DESCENDS for k < 1 — an unguarded short doc
+    would silently produce garbage grams).
+
+    DuckDB mirror: ``list_transform(range(1, len(w) - {n-2}),
+    i -> array_to_string(w[i:i+{n-1}], ' '))`` (range is
+    exclusive-upper; slice is inclusive 1-based on both engines).
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def _duck_ngrams(n: int, w: str = "w") -> str:
+    return (
+        f"list_transform(range(1, len({w}) - {n - 2}), "
+        f"i -> array_to_string({w}[i:i+{n - 1}], ' '))"
+    )
+
+
+@op(
+    "corpus_boilerplate_ngram_prune",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest({_duck_ngrams(5)}) AS gram FROM d),
+boiler AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+  WHERE df >= 4
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.gram) AS BIGINT) AS n_boiler,
+       round(1.0 - count(b.gram) / count(*), 4) AS keep_ratio
+FROM g LEFT JOIN boiler b USING (gram)
+GROUP BY g.doc_id
+""",
+    category=CAT,
+)
+def corpus_boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus boilerplate removal, reported as per-doc
+    prune stats: a 5-gram occurring in >=4 distinct documents is
+    boilerplate; each document reports how much of it survives.
+
+    Scale: the document-frequency aggregation is the one big shuffle
+    (keyed by gram — high cardinality, well-spread); the resulting
+    boilerplate set is tiny (frequent grams only) and broadcasts back
+    onto the gram stream, so the per-doc stats need no second
+    corpus-wide shuffle of text."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", word_ngrams(words_of(), 5).alias("grams")
+    )
+    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    boiler = (
+        g.dropDuplicates(["doc_id", "gram"])
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 4)
+        .select("gram")
+    )
+    marked = g.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(1))), "gram", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_grams"),
+        bigint(F.count("is_boiler")).alias("n_boiler"),
+        r4(1.0 - F.count("is_boiler") / F.count(F.lit(1))).alias("keep_ratio"),
+    )
+
+
+@op(
+    "eval_contamination_ngram",
+    oracle=f"""
+WITH d AS (SELECT doc_id, md5(text) AS h, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, h, unnest({_duck_ngrams(6)}) AS gram FROM d),
+eval_grams AS (SELECT DISTINCT gram FROM g WHERE substr(h, 1, 1) IN ('0','1','2','3')),
+train AS (SELECT doc_id, gram FROM g WHERE substr(h, 1, 1) NOT IN ('0','1','2','3'))
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(e.gram) AS BIGINT) AS n_contam,
+       round(count(e.gram) / count(*), 4) AS contam_ratio
+FROM train t LEFT JOIN eval_grams e USING (gram)
+GROUP BY t.doc_id
+""",
+    category=CAT,
+)
+def eval_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: held-out docs (content-addressed
+    md5 split, ~25%) contribute a distinct 6-gram set; every training
+    doc reports how many of its 6-gram instances also appear in eval.
+
+    Scale: the eval-side gram set is bounded by the (small) eval split
+    and broadcasts; training grams stream through a broadcast left
+    join + per-doc aggregation — no all-pairs comparison anywhere."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        word_ngrams(words_of(), 6).alias("grams"),
+    )
+    g = d.select(
+        "doc_id",
+        F.substring("h", 1, 1).isin("0", "1", "2", "3").alias("is_eval"),
+        F.explode("grams").alias("gram"),
+    )
+    eval_grams = g.filter("is_eval").select("gram").distinct()
+    train = g.filter(~F.col("is_eval"))
+    marked = train.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_grams"),
+        bigint(F.count("hit")).alias("n_contam"),
+        r4(F.count("hit") / F.count(F.lit(1))).alias("contam_ratio"),
+    )
+
+
+@op(
+    "text_repetition_metrics",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, w,
+             list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS bg
+      FROM d)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(w)) / len(w), 4) AS word_rep_ratio,
+       round(1.0 - len(list_distinct(bg)) / len(bg), 4) AS bigram_rep_ratio,
+       CAST(list_max(list_transform(list_distinct(w),
+              x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS max_word_freq
+FROM g
+""",
+    category=CAT,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word
+    and duplicate-bigram ratios plus the hottest word's frequency —
+    standard quality-filter features for pretraining corpora.
+
+    Scale: pure map-only higher-order-function arithmetic (zero
+    Exchange, plan-asserted) — the shape a 100 TB quality-scoring pass
+    must have.  The O(distinct x words) inner count is bounded by
+    document length, not corpus size."""
+    w = words_of()
+    bg = word_ngrams(words_of(), 2)
+    dw = F.array_distinct(w)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        bigint(F.size(w)).alias("n_words"),
+        bigint(F.size(dw)).alias("n_distinct"),
+        r4(1.0 - F.size(dw) / F.size(w)).alias("word_rep_ratio"),
+        r4(1.0 - F.size(F.array_distinct(bg)) / F.size(bg)).alias("bigram_rep_ratio"),
+        bigint(
+            F.array_max(
+                F.transform(dw, lambda x: F.size(F.filter(w, lambda y: y == x)))
+            )
+        ).alias("max_word_freq"),
+    )
+
+
+@op(
+    "corpus_lang_balance_resample",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 60
+""",
+    category=CAT,
+)
+def corpus_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: keep at most 60 docs per
+    language, chosen content-addressed (md5 rank) so the sample is
+    deterministic and partitioning-independent — the standard rebalance
+    step before mixing a multilingual training corpus.
+
+    Scale: one shuffle keyed by lang; per-key top-k compiles to
+    WindowGroupLimit (rank prune before the full sort).  A skewed
+    dominant language is bounded by the same quota it is being
+    resampled to."""
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", bigint(F.row_number().over(w)).alias("rk"))
+        .filter(F.col("rk") <= 60)
+    )
+
+
+@op(
+    "pack_sequences_greedy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT shard, CAST((cum - tokens) // 2048 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       round(sum(tokens) / 2048.0, 4) AS fill_ratio
+FROM c
+GROUP BY shard, (cum - tokens) // 2048
+""",
+    category=CAT,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are concatenated
+    in deterministic order and cut into 2048-token bins; reports bin
+    occupancy per shard.  A doc starts in the bin its running prefix
+    ends in — exactly the greedy packing a tokenizer pipeline applies.
+
+    Scale: packing is SHARD-LOCAL by construction (doc_id % 8) — the
+    running sum never needs a global single-partition window, which is
+    the classic scaling trap for packing; each shard's window runs
+    independently after one hash shuffle."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        bigint(F.size(words_of())).alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("tokens").over(w))
+    return (
+        c.withColumn("bin", bigint(F.expr("(cum - tokens) div 2048")))
+        .groupBy("shard", "bin")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_docs"),
+            bigint(F.sum("tokens")).alias("total_tokens"),
+            r4(F.sum("tokens") / 2048.0).alias("fill_ratio"),
+        )
+    )
+
+
+@op(
+    "corpus_source_reputation_gate",
+    oracle="""
+WITH per_doc AS (
+  SELECT source, len(string_split(text, ' ')) AS nw,
+         len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq
+  FROM documents
+),
+stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(nw), 2) AS avg_words, round(avg(uniq), 4) AS avg_uniq
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, avg_words, avg_uniq,
+       CASE WHEN source IN ('src7', 'src13') THEN 'blocklist'
+            WHEN avg_words < 40 THEN 'low_quality'
+            ELSE 'ok' END AS verdict
+FROM stats
+""",
+    category=CAT,
+)
+def corpus_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level gating (RefinedWeb-style): per-source volume
+    and quality aggregates, each source ruled blocklist / low-quality /
+    ok.  The verdict table is what a curation pipeline joins back onto
+    the corpus as its source filter.
+
+    Scale: one groupBy(source) over map-side-computed per-doc features;
+    the verdict table is dimension-sized and broadcastable."""
+    w = words_of()
+    per_doc = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(w).alias("nw"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("uniq"),
+    )
+    stats = per_doc.groupBy("source").agg(
+        bigint(F.count(F.lit(1))).alias("n_docs"),
+        r2(F.avg("nw")).alias("avg_words"),
+        r4(F.avg("uniq")).alias("avg_uniq"),
+    )
+    return stats.select(
+        "source",
+        "n_docs",
+        "avg_words",
+        "avg_uniq",
+        F.when(F.col("source").isin("src7", "src13"), "blocklist")
+        .when(F.col("avg_words") < 40, "low_quality")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+
+
+def _lsh_planes_sql() -> str:
+    """DuckDB bucket expression for the 6 deterministic hyperplanes."""
+    bits = []
+    for j in range(6):
+        s = (
+            "list_aggregate(list_transform(range(0, 64), i -> "
+            f"CAST(round(embedding[i + 1] * 1000) AS BIGINT)"
+            f" * ((((i * 31) + {j * 17}) % 7) - 3)), 'sum')"
+        )
+        bits.append(f"CAST({s} > 0 AS INT) * {1 << j}")
+    return " + ".join(bits)
+
+
+@op(
+    "sim_ann_lsh_hyperplane",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         {_lsh_planes_sql()} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM e WHERE vec_id < 20),
+s AS (SELECT q.q_id, e.vec_id AS c_id,
+             round(list_cosine_similarity(q.qe, e.emb), 4) AS cos
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+r AS (SELECT q_id, c_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
+      FROM s)
+SELECT q_id, c_id AS neighbor_id,
+       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos,
+       rn FROM r WHERE rn <= 3
+""",
+    category=CAT,
+)
+def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 6 deterministic integer-weight
+    hyperplanes (weight(i, j) = ((i*31 + j*17) % 7) - 3 over the 64
+    dims) sign-quantize each embedding into a 6-bit bucket; neighbors
+    are searched only within the bucket via an equality join.
+
+    Complements `sim_ann_ivf_bucket` (data-dependent octant quantizer)
+    with the data-INDEPENDENT quantizer real LSH uses.  The plane
+    projections use round(x*1000) integer dot products, so the bucket
+    assignment is bit-exact across engines — no float sign boundary.
+
+    Scale: identical shape to the IVF variant — bucket equi-join
+    bounds candidates to ~n/2^b per probe; plane count trades recall
+    for probe cost without changing the plan."""
+    from trip_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+        l2norm,
+    )
+
+    iv = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint")
+    )
+
+    def plane_dot(j: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.element_at(F.col("iv"), i + 1)
+            * (((i * 31 + F.lit(j * 17)) % 7) - 3).cast("bigint"),
+        )
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec().alias("emb"), iv.alias("iv"))
+        .select(
+            "vec_id",
+            "emb",
+            sum(
+                ((plane_dot(j) > 0).cast("int") * (1 << j) for j in range(6)),
+                F.lit(0),
+            ).alias("bucket"),
+        )
+    )
+    e = e.withColumn("nrm", l2norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    s = (
+        F.broadcast(q)
+        .join(e, ["bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            r4(
+                dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        s.withColumn("rn", bigint(F.row_number().over(w)))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            nz(F.col("cos")).alias("cos"),
+            "rn",
+        )
+    )

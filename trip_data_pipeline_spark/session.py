@@ -38,6 +38,13 @@ def get_session(app_name: str = "trip-data-pipeline-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Tuning escape hatch: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies
+    # additional session confs (used by bench experiments; a cluster
+    # deployment would set these in spark-defaults instead).
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
