@@ -228,9 +228,12 @@ def test_iqr_fences_broadcast_join(spark):
 
 
 def test_repetition_metrics_map_only(spark):
-    """Quality scoring must be a pure map pass: zero Exchange."""
+    """Quality scoring must stay a narrow map pass: no KEYED shuffle
+    (the one round-robin exchange is the deliberate CPU rebalance of a
+    byte-small single-split source — common.spread)."""
     p = _exec_plan(spark, "text_repetition_metrics")
-    assert p.count("Exchange") == 0, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert p.count("Exchange RoundRobinPartitioning") == 1, p
     assert p.count("Scan parquet") == 1, p
 
 
@@ -269,8 +272,11 @@ def test_packing_shard_local_single_shuffle(spark):
 
 
 def test_lsh_ann_is_equijoin(spark):
-    """Hyperplane LSH, like IVF, must probe via the bucket equi-join."""
+    """Hyperplane LSH, like IVF, must probe via the bucket equi-join —
+    every join hash-based (bucket assignment join-back + broadcast
+    probe), never an all-pairs BNLJ/cartesian scan."""
     p = _exec_plan(spark, "sim_ann_lsh_hyperplane")
-    assert p.count("BroadcastHashJoin") == 1, p
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "SortMergeJoin" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p

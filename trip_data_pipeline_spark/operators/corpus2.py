@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, nz, r2, r4
+from trip_data_pipeline_spark.operators.common import bigint, nz, r2, r4, spread
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.15 corpus curation (round-2 additions)"
@@ -88,10 +88,13 @@ def corpus_boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFram
     boilerplate set is tiny (frequent grams only) and broadcasts back
     onto the gram stream, so the per-doc stats need no second
     corpus-wide shuffle of text."""
-    d = load(spark, sf_dir, "documents").select(
+    d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", word_ngrams(words_of(), 5).alias("grams")
     )
-    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    # Materialize the gram table once: both the df-aggregation branch
+    # and the mark-join branch consume it, and recomputing the
+    # (interpreted-HOF) gram build per branch measured ~2x the cost.
+    g = d.select("doc_id", F.explode("grams").alias("gram")).localCheckpoint()
     boiler = (
         g.dropDuplicates(["doc_id", "gram"])
         .groupBy("gram")
@@ -133,16 +136,18 @@ def eval_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the eval-side gram set is bounded by the (small) eval split
     and broadcasts; training grams stream through a broadcast left
     join + per-doc aggregation — no all-pairs comparison anywhere."""
-    d = load(spark, sf_dir, "documents").select(
+    d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.md5("text").alias("h"),
         word_ngrams(words_of(), 6).alias("grams"),
     )
+    # Materialized once: the eval-distinct and train branches both read
+    # it (same two-consumer recompute as the boilerplate op).
     g = d.select(
         "doc_id",
         F.substring("h", 1, 1).isin("0", "1", "2", "3").alias("is_eval"),
         F.explode("grams").alias("gram"),
-    )
+    ).localCheckpoint()
     eval_grams = g.filter("is_eval").select("gram").distinct()
     train = g.filter(~F.col("is_eval"))
     marked = train.join(
@@ -178,24 +183,36 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     and duplicate-bigram ratios plus the hottest word's frequency —
     standard quality-filter features for pretraining corpora.
 
-    Scale: pure map-only higher-order-function arithmetic (zero
-    Exchange, plan-asserted) — the shape a 100 TB quality-scoring pass
-    must have.  The O(distinct x words) inner count is bounded by
-    document length, not corpus size."""
+    Scale: narrow map work (no keyed shuffle, plan-asserted) behind a
+    round-robin spread — see common.spread.  max_word_freq is a single
+    O(n) run-length fold over the SORTED word array (the max
+    multiplicity is the longest equal-run), not the naive
+    O(distinct x words) nested filter, which measured ~50x slower."""
     w = words_of()
     bg = word_ngrams(words_of(), 2)
     dw = F.array_distinct(w)
-    return load(spark, sf_dir, "documents").select(
+    sw = F.sort_array(w)
+    zero = F.lit(0).cast("bigint")
+    run_state = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_freq = F.aggregate(sw, run_state, step, lambda acc: acc["best"])
+    return spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         bigint(F.size(w)).alias("n_words"),
         bigint(F.size(dw)).alias("n_distinct"),
         r4(1.0 - F.size(dw) / F.size(w)).alias("word_rep_ratio"),
         r4(1.0 - F.size(F.array_distinct(bg)) / F.size(bg)).alias("bigram_rep_ratio"),
-        bigint(
-            F.array_max(
-                F.transform(dw, lambda x: F.size(F.filter(w, lambda y: y == x)))
-            )
-        ).alias("max_word_freq"),
+        bigint(max_freq).alias("max_word_freq"),
     )
 
 
@@ -385,37 +402,38 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical shape to the IVF variant — bucket equi-join
     bounds candidates to ~n/2^b per probe; plane count trades recall
-    for probe cost without changing the plan."""
+    for probe cost without changing the plan.  The plane projections
+    run as posexplode -> 6 integer conditional sums in ONE
+    groupBy(vec_id) — plain whole-stage-codegen arithmetic.  (Both a
+    per-element aggregate() fold and a 384-term unrolled expression
+    measured ~20x slower: the fold is interpreted per step, the unroll
+    blows Janino's 64 KB method limit and falls back to interpreted.)
+    Integer sums are order-independent, so the groupBy's partial-agg
+    ordering cannot perturb the bucket, unlike a float projection."""
     from trip_data_pipeline_spark.operators.similarity import (
         as_double_vec,
         dot,
         l2norm,
     )
 
-    iv = F.transform(
-        F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint")
+    raw = spread(load(spark, sf_dir, "embeddings"))
+    exploded = raw.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", "pos", F.round(F.col("val") * 1000).cast("bigint").alias("iv")
     )
-
-    def plane_dot(j: int) -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(63)),
-            F.lit(0).cast("bigint"),
-            lambda acc, i: acc
-            + F.element_at(F.col("iv"), i + 1)
-            * (((i * 31 + F.lit(j * 17)) % 7) - 3).cast("bigint"),
-        )
-
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double_vec().alias("emb"), iv.alias("iv"))
-        .select(
-            "vec_id",
-            "emb",
-            sum(
-                ((plane_dot(j) > 0).cast("int") * (1 << j) for j in range(6)),
-                F.lit(0),
-            ).alias("bucket"),
-        )
+    plane_sums = [
+        F.sum(
+            F.col("iv") * (((F.col("pos") * 31 + F.lit(j * 17)) % 7) - 3)
+        ).alias(f"s{j}")
+        for j in range(6)
+    ]
+    buckets = exploded.groupBy("vec_id").agg(*plane_sums)
+    bucket = sum(
+        ((F.col(f"s{j}") > 0).cast("int") * (1 << j) for j in range(6)), F.lit(0)
+    )
+    e = raw.join(buckets.select("vec_id", bucket.alias("bucket")), "vec_id").select(
+        "vec_id", as_double_vec().alias("emb"), "bucket"
     )
     e = e.withColumn("nrm", l2norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < 20).select(

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, nz, r4
+from trip_data_pipeline_spark.operators.common import bigint, nz, r4, spread
 from trip_data_pipeline_spark.operators.text_ops import _duck_words, _words
 from trip_data_pipeline_spark.registry import op
 
@@ -43,7 +43,7 @@ GROUP BY 1
 def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text md5, deterministic survivor —
     SURVEY.md §2.11 row 4."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     h = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
     return (
         d.select(h.alias("text_hash"), "doc_id")
@@ -141,7 +141,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: 3-shingles -> 64-perm MinHash -> 16-band LSH
     -> candidate pairs -> verified Jaccard >= 0.5 — SURVEY.md §2.11
     row 5 (rows-only; property-tested in tests/test_properties.py)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     docs = d.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= SHINGLE_K)
     pairs = minhash_candidate_pairs(docs)
     return verified_jaccard_pairs(docs, pairs, tau=0.5)
@@ -175,7 +175,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands of 16 bits -> equality join per band -> hamming distance
     <= 6 verification.  Banding guarantees recall for hamming <= 3
     (pigeonhole: one of 4 bands must match exactly)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id",
         F.expr(
@@ -239,7 +239,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     task-brief dedup addition, hash-checked (the bounded pair set makes
     an exact SQL oracle possible; the LSH variant above is the
     all-pairs scale path)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.array_distinct(_words()).alias("ws"))
     t1, t2 = t.alias("t1"), t.alias("t2")
     inter = F.size(F.array_intersect(F.col("t1.ws"), F.col("t2.ws")))
@@ -277,7 +277,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trip_data_pipeline_spark.operators.similarity import dot, l2norm
 
     e = (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .filter(F.col("vec_id") < 200)
         .select(
             "vec_id",

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, nz, r4
+from trip_data_pipeline_spark.operators.common import bigint, nz, r4, spread
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.11 similarity search"
@@ -65,7 +65,7 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; per-candidate work is one fused HOF expression.  At 100 TB
     brute force is the correctness baseline; sim_ann_ivf_bucket is the
     pruned path."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     # normalize-once: norms are computed per SIDE (n + q rows), not per
     # pair (n*q) — one fold per pair (the dot) instead of three.
     q = e.filter(F.col("vec_id") < 10).select(
@@ -115,7 +115,7 @@ FROM r WHERE rn = 1
 )
 def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN label assignment per query vector — SURVEY.md §2.11 row 7."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         as_double_vec().alias("qe"),
@@ -183,7 +183,7 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches ~n/2^b of the corpus.  A real IVF uses learned centroids;
     the octant quantizer keeps it deterministic and SQL-checkable
     (recall vs brute force is property-tested)."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         as_double_vec().alias("emb"),
@@ -241,7 +241,7 @@ def multimodal_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact across engines; rounding them at 4 dp hits shortest-repr
     half-boundaries — observed at sf0.1).  l2/mean are derived reals
     where 4 dp rounding is tie-free."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     emb = as_double_vec()
     return e.select(
         "vec_id",
@@ -272,8 +272,8 @@ FROM documents JOIN embeddings ON vec_id = doc_id
 def multimodal_join_doc_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join text table with its embedding table (1:1 on id), combining
     text stats and vector stats — SURVEY.md §2.11 row 9."""
-    d = load(spark, sf_dir, "documents")
-    e = load(spark, sf_dir, "embeddings")
+    d = spread(load(spark, sf_dir, "documents"))
+    e = spread(load(spark, sf_dir, "embeddings"))
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id",
         "lang",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, r2, r4
+from trip_data_pipeline_spark.operators.common import bigint, r2, r4, spread
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.11 text analysis"
@@ -48,7 +48,7 @@ FROM documents
 def text_normalize_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize + whitespace tokenize + per-doc count — SURVEY.md
     §2.11 row 1."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     w = _words()
     return d.select(
         "doc_id",
@@ -73,7 +73,7 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top-20 with total tie-break — SURVEY.md
     §2.11 row 2.  explode -> partial-agg'd count -> TakeOrdered(20):
     the shuffle carries only (word, partial_count)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(_words()).alias("word"))
         .groupBy("word")
@@ -97,7 +97,7 @@ GROUP BY lang, source
 )
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stats per (lang, source) — SURVEY.md §2.11 row 3."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.groupBy("lang", "source").agg(
         bigint(F.count(F.lit(1))).alias("n_docs"),
         r2(F.avg("n_chars")).alias("avg_chars"),
@@ -139,7 +139,7 @@ def _marker_regex(words: list[str]) -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID vs labeled lang (confusion counts) —
     task-brief text-analysis addition (language-ID heuristic)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     pred = F.lit(None).cast("string")
     expr = None
     for lg, ws in _LANG_MARKERS.items():
@@ -182,7 +182,7 @@ FROM t
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring (length / punctuation / stopword
     ratios) — task-brief text-analysis addition."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     ws = _words()
     len_raw = F.length("text").cast("double")
     len_norm = F.length(
@@ -222,7 +222,7 @@ FROM documents
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting — task-brief
     text-analysis addition."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         bigint(F.size(F.split(F.col("text"), " "))).alias("n_ws_tokens"),
@@ -254,7 +254,7 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 'hash' is the md5 16-hex prefix so both engines agree exactly;
     min over the shingle set = the canonical winnowing selection with
     window == document."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     ws = _words()
     return (
         d.select("doc_id", ws.alias("ws"))
@@ -309,7 +309,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, word), df by word) -> broadcast-joined df + scalar N -> per-
     doc top-k via WindowGroupLimit.  The document-frequency table is
     vocabulary-sized, so it broadcasts."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(_words()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(bigint(F.count(F.lit(1))).alias("tf"))
     df = tok.groupBy("word").agg(bigint(F.countDistinct("doc_id")).alias("df"))
@@ -347,7 +347,7 @@ LIMIT 20
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequency, top-20 — task-brief text addition (the
     n-gram layer under n-gram-Jaccard dedup)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     wsc = F.col("ws")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(wsc) - 2),
@@ -386,7 +386,7 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by token count / stride, so the explode is linear in
     corpus token count — the same plan at 100 TB, partitioned by input
     split."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(24)
@@ -459,7 +459,7 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup groupBy on the 128-bit hash, which at 100 TB partitions
     uniformly by construction (hash keys), then three narrow per-lang
     aggregates over the deduped survivors."""
-    base = load(spark, sf_dir, "documents").select(
+    base = spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         "text",
