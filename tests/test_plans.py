@@ -280,3 +280,21 @@ def test_lsh_ann_is_equijoin(spark):
     assert "SortMergeJoin" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_quality_sample_map_only_predicate(spark):
+    """Importance sampling needs no corpus statistics: the keep
+    decision is a map-side predicate (no keyed shuffle)."""
+    p = _exec_plan(spark, "corpus_quality_weighted_sample")
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_covariance_partial_agg_single_shuffle(spark):
+    """Sufficient-statistics pattern: partial aggregates bound each
+    partition's shuffle output to the fixed 2,080-cell grid — one hash
+    exchange, partial+final HashAggregate pair, no join."""
+    p = _exec_plan(spark, "embed_covariance_int")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("HashAggregate") == 2, p
+    assert "Join" not in p, p

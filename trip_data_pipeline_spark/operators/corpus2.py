@@ -360,7 +360,7 @@ def _lsh_planes_sql() -> str:
     for j in range(6):
         s = (
             "list_aggregate(list_transform(range(0, 64), i -> "
-            f"CAST(round(embedding[i + 1] * 1000) AS BIGINT)"
+            f"CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
             f" * ((((i * 31) + {j * 17}) % 7) - 3)), 'sum')"
         )
         bits.append(f"CAST({s} > 0 AS INT) * {1 << j}")
@@ -397,7 +397,7 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complements `sim_ann_ivf_bucket` (data-dependent octant quantizer)
     with the data-INDEPENDENT quantizer real LSH uses.  The plane
-    projections use round(x*1000) integer dot products, so the bucket
+    projections use floor(x*1000 + 0.5) integer dot products, so the bucket
     assignment is bit-exact across engines — no float sign boundary.
 
     Scale: identical shape to the IVF variant — bucket equi-join
@@ -420,7 +420,9 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = raw.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select(
-        "vec_id", "pos", F.round(F.col("val") * 1000).cast("bigint").alias("iv")
+        "vec_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000 + 0.5).cast("bigint").alias("iv"),
     )
     plane_sums = [
         F.sum(
@@ -464,4 +466,243 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             nz(F.col("cos")).alias("cos"),
             "rn",
         )
+    )
+
+
+@op(
+    "vocab_topk_coverage",
+    oracle="""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+freq AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+ranked AS (
+  SELECT word, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rk,
+         sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM freq
+)
+SELECT rk, word, cnt, round(cum / (SELECT n FROM tot), 4) AS coverage
+FROM ranked WHERE rk <= 50
+""",
+    category=CAT,
+)
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building with coverage accounting: corpus word
+    frequencies ranked, with the cumulative fraction of all tokens the
+    top-k vocabulary covers — the decision curve for sizing a
+    tokenizer vocab (keep adding entries until coverage plateaus).
+
+    Scale: one shuffle on word for the frequency table; the ranked
+    cumulative pass runs over the (vocab-sized, tiny) frequency table,
+    not the corpus; the global token count is a broadcast scalar."""
+    words = spread(load(spark, sf_dir, "documents")).select(
+        F.explode(words_of()).alias("word")
+    )
+    freq = words.groupBy("word").agg(bigint(F.count(F.lit(1))).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = freq.select(
+        bigint(F.row_number().over(wr)).alias("rk"),
+        "word",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+    ).filter(F.col("rk") <= 50)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rk", "word", "cnt", r4(F.col("cum") / F.col("n")).alias("coverage")
+    )
+
+
+@op(
+    "corpus_quality_weighted_sample",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST((len(list_distinct(string_split(text, ' '))) * 1000)
+           // len(string_split(text, ' ')) AS BIGINT) AS uniq_ppm,
+         CAST(('0x' || substr(md5(text), 1, 4))::BIGINT AS BIGINT) AS h16
+  FROM documents
+)
+SELECT doc_id, lang, uniq_ppm
+FROM scored
+WHERE h16 * 2000 < uniq_ppm * 65536
+""",
+    category=CAT,
+)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each doc's keep
+    probability is proportional to its lexical-diversity score
+    (distinct/total words), decided by comparing a 16-bit md5 slice
+    against the integer-scaled score — deterministic, partitioning-
+    independent, and engine-exact (the inequality is cross-multiplied
+    so no float division is compared).
+
+    Scale: pure map-side predicate — the sample decision needs no
+    corpus statistics, so it composes with any upstream filter at zero
+    shuffle cost (the shape importance-resampling needs at 100 TB)."""
+    w = words_of()
+    # integer floor division on BOTH engines: a double divide then cast
+    # truncates in Spark but ROUNDS in DuckDB — `div` / `//` are exact
+    uniq_ppm = F.expr(
+        "CAST((size(array_distinct(split(text, ' '))) * 1000)"
+        " div size(split(text, ' ')) AS BIGINT)"
+    )
+    h16 = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("bigint")
+    return (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", uniq_ppm.alias("uniq_ppm"), h16.alias("h16"))
+        .filter(F.col("h16") * 2000 < F.col("uniq_ppm") * 65536)
+        .select("doc_id", "lang", "uniq_ppm")
+    )
+
+
+@op(
+    "embed_covariance_int",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS iv
+  FROM embeddings
+),
+cells AS (
+  SELECT i.i AS di, j.j AS dj, q.iv[i.i + 1] AS vi, q.iv[j.j + 1] AS vj
+  FROM q
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+  WHERE j.j >= i.i
+)
+SELECT CAST(di AS BIGINT) AS di, CAST(dj AS BIGINT) AS dj,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vi) AS BIGINT) AS sum_i,
+       CAST(sum(vj) AS BIGINT) AS sum_j,
+       CAST(sum(vi * vj) AS BIGINT) AS sum_ij
+FROM cells
+GROUP BY di, dj
+""",
+    category=CAT,
+)
+def embed_covariance_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance accumulators (PCA/whitening prep): the
+    upper-triangular 64x64 grid of (n, sum_i, sum_j, sum_i*j) over
+    round(x*1000) integer-quantized components — the exact sufficient
+    statistics cov(i,j) = sum_ij/n - sum_i*sum_j/n^2 needs, kept in
+    integers so the result is bit-exact regardless of aggregation
+    order (a float covariance would hash-mismatch on partial-agg
+    ordering).
+
+    Scale: one map-side explode to (vector x upper-tri pair) rows and
+    ONE aggregation keyed by the fixed 2,080-cell grid — partial aggs
+    reduce each partition to at most 2,080 rows before the shuffle, so
+    network cost is constant in corpus size (the textbook
+    sufficient-statistics pattern for distributed PCA)."""
+    # floor(x*1000 + 0.5): engine-independent rounding — DuckDB round()
+    # and Spark round() disagree at exact .5 boundaries (hit at sf0.1)
+    q = spread(load(spark, sf_dir, "embeddings")).select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("bigint"),
+        ).alias("iv")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, 63), i ->"
+                " transform(sequence(i, 63), j ->"
+                " struct(i AS di, j AS dj, iv[i] AS vi, iv[j] AS vj))))"
+            )
+        ).alias("c")
+    ).select("c.di", "c.dj", "c.vi", "c.vj")
+    return pairs.groupBy(
+        bigint(F.col("di")).alias("di"), bigint(F.col("dj")).alias("dj")
+    ).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("vi")).alias("sum_i"),
+        bigint(F.sum("vj")).alias("sum_j"),
+        bigint(F.sum(F.col("vi") * F.col("vj"))).alias("sum_ij"),
+    )
+
+
+@op(
+    "knn_eval_confusion",
+    oracle="""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS true_label, emb AS qe FROM e WHERE vec_id < 50),
+s AS (SELECT q.q_id, q.true_label, e.label AS cand_label,
+             round(list_cosine_similarity(q.qe, e.emb), 4) AS cos, e.vec_id AS c_id
+      FROM q JOIN e ON e.vec_id <> q.q_id),
+r AS (SELECT q_id, true_label, cand_label, cos, c_id,
+             row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, c_id ASC) AS rn
+      FROM s),
+votes AS (
+  SELECT q_id, true_label, cand_label, count(*) AS v, min(rn) AS best
+  FROM r WHERE rn <= 5 GROUP BY q_id, true_label, cand_label
+),
+pred AS (
+  SELECT q_id, true_label, cand_label AS pred_label,
+         row_number() OVER (PARTITION BY q_id ORDER BY v DESC, best ASC) AS pr
+  FROM votes
+)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE pr = 1
+GROUP BY true_label, pred_label
+""",
+    category=CAT,
+)
+def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation: 5-NN majority vote (deterministic
+    nearest-rank tie-break) for 50 held-out queries, reported as the
+    (true_label, predicted_label) confusion matrix — the quality gate
+    a label-propagation / auto-labeling pipeline runs before trusting
+    its labels.
+
+    Scale: same broadcast-bounded-query shape as the other brute-force
+    sim ops (the eval set is small by construction); the vote and
+    confusion aggregations act on k x |eval| rows — negligible."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    from trip_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+        l2norm,
+    )
+
+    base = e.select(
+        "vec_id", "label", as_double_vec().alias("emb"), l2norm(as_double_vec()).alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    s = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("cand_label"),
+            F.col("vec_id").alias("c_id"),
+            r4(dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    top5 = s.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("q_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("v"), F.min("rn").alias("best")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("v").desc(), F.col("best").asc())
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("true_label", F.col("cand_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        bigint(F.count(F.lit(1))).alias("n")
     )
