@@ -65,7 +65,6 @@ PRIORITY: tuple[str, ...] = (
     "validate_quarantine",
     # 2.3 joins
     "join_inner_equi",
-    "join_left_outer",
     "join_broadcast_dim",
     "join_theta_band",
     "join_asof_latest",
@@ -75,7 +74,6 @@ PRIORITY: tuple[str, ...] = (
     # 2.5 window functions
     "win_rank_dense_rownum",
     "win_topk_per_group",
-    "win_moving_avg",
     "win_lag_lead",
     # 2.6 sort/limit/distinct
     "sort_multikey_nulls",
@@ -84,16 +82,13 @@ PRIORITY: tuple[str, ...] = (
     # 2.7 set operations / sampling
     "set_union_all",
     "set_intersect",
-    "set_except",
     "sample_deterministic_hash",
     # 2.8 scalar functions
     "str_basics",
     "date_parts",
     "time_bucket_15min",
     "math_suite",
-    "array_higher_order",
     "json_extract_props",
-    "map_higher_order",
     # 2.9 streaming (batch form + true streams)
     "sessionize_batch",
     "stream_tumbling_count",
@@ -120,6 +115,12 @@ PRIORITY: tuple[str, ...] = (
     "dq_outlier_iqr",
     # lifecycle / sessionless analytics
     "interval_merge_overlaps",
+    # 2.15 corpus curation (round-2 additions)
+    "corpus_boilerplate_ngram_prune",
+    "eval_contamination_ngram",
+    "text_repetition_metrics",
+    "sim_ann_lsh_hyperplane",
+    "embed_covariance_int",
 )
 
 
