@@ -298,3 +298,26 @@ def test_covariance_partial_agg_single_shuffle(spark):
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("HashAggregate") == 2, p
     assert "Join" not in p, p
+
+
+def test_spread_no_shuffle_when_wide(spark):
+    """common.spread is a LOCAL-fixture fix (single-row-group parquet
+    -> one task pins CPU work to one core); at cluster scale the scan
+    already has >= defaultParallelism splits and spread must be a
+    no-op — no extra Exchange, no down-partition of a wide input."""
+    from trip_data_pipeline_spark.io import load
+    from trip_data_pipeline_spark.operators.common import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = load(spark, SF, "documents").repartition(par + 8)
+    out = spread(wide)
+    assert out is wide  # identical object: no plan node added at all
+
+    narrow = load(spark, SF, "documents")  # single-split fixture scan
+    assert narrow.rdd.getNumPartitions() < par
+    spread_plan = _df_exec_plan(spread(narrow))
+    assert f"Exchange roundrobinpartitioning({par}".lower() in spread_plan.lower(), spread_plan
+
+
+def _df_exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()

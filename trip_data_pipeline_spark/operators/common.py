@@ -63,15 +63,25 @@ def duck_epoch_s(col: str) -> str:
 
 
 def spread(df):
-    """Round-robin repartition to the session's default parallelism.
+    """Round-robin repartition to the session's default parallelism —
+    ONLY when the input is under-partitioned.
 
     Parquet scans are partitioned by BYTES (maxPartitionBytes), but a
     corpus table is byte-small and CPU-heavy — per-document/-vector
     higher-order-function work — and the fixtures are single-row-group
     files, so the scan yields ONE task and pins the whole pass to one
     core no matter how many are available.  CPU-bound narrow
-    transforms must scale with cores, not input bytes: at cluster
-    scale the source has many splits and this is a cheap rebalance;
-    locally it unlocks all cores (measured: 8-20x on the corpus ops).
+    transforms must scale with cores, not input bytes: locally the
+    rebalance unlocks all cores (measured: 8-20x on the corpus ops).
+
+    At cluster scale the scan already has thousands of splits, so an
+    unconditional repartition would (a) pointlessly shuffle raw
+    document text and (b) *down*-partition to defaultParallelism.
+    Hence the guard: if the plan already has >= defaultParallelism
+    partitions, return the input untouched — no extra Exchange
+    (plan-locked in tests/test_plans.py::test_spread_no_shuffle_when_wide).
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
