@@ -29,7 +29,7 @@ PYTHON_OK = {
     "udtf_grouped_map_normalize",
     "udtf_python",
     "udf_arrow_batch",
-    "multimodal_decode_stub",
+    "multimodal_decode_ppm",
     "multimodal_frame_sample",
     "stream_stateful_runstate",
 }

