@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
 from trip_data_pipeline_spark.operators.common import bigint, nz, r4, spread
-from trip_data_pipeline_spark.operators.text_ops import _duck_words, _words
+from trip_data_pipeline_spark.operators.text_ops import (
+    _duck_norm,
+    _duck_words,
+    _norm,
+    _words,
+)
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.11 deduplication"
@@ -32,7 +37,7 @@ SHINGLE_K = 3
 @op(
     "dedup_exact_hash",
     oracle=f"""
-SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS text_hash,
+SELECT md5({_duck_norm()}) AS text_hash,
        CAST(min(doc_id) AS BIGINT) AS survivor_id,
        CAST(count(*) AS BIGINT)    AS n_copies
 FROM documents
@@ -42,9 +47,11 @@ GROUP BY 1
 )
 def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text md5, deterministic survivor —
-    SURVEY.md §2.11 row 4."""
+    SURVEY.md §2.11 row 4.  Round 3: normalization is the shared
+    translate() char-map (text_ops._norm) — the old Java regex was
+    ~75% of this op's wall time at the 10x probe (2.03 s -> 0.63 s)."""
     d = spread(load(spark, sf_dir, "documents"))
-    h = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    h = F.md5(_norm())
     return (
         d.select(h.alias("text_hash"), "doc_id")
         .groupBy("text_hash")
@@ -284,13 +291,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 6 verification.  Banding guarantees recall for hamming <= 3
     (pigeonhole: one of 4 bands must match exactly)."""
     d = spread(load(spark, sf_dir, "documents"))
-    docs = d.select(
-        "doc_id",
-        F.expr(
-            simhash_bits_expr(
-                "split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' ')"
-            )
-        ).alias("sh"),
+    # normalize via the shared translate() char-map first (DataFrame
+    # API — no SQL-literal escaping of the punctuation set needed),
+    # then the SQL-dialect SimHash fold over the named column.
+    docs = d.select("doc_id", _words().alias("ws")).select(
+        "doc_id", F.expr(simhash_bits_expr("ws")).alias("sh")
     )
     bands = docs.select(
         "doc_id",

