@@ -9,10 +9,12 @@ random-hyperplane LSH ANN variant.
 
 All operate on the ``documents`` / ``embeddings`` fixtures and carry
 DuckDB oracles (hash check).  Scale designs are noted per op; the
-common theme is: corpus-wide statistics reduce to a SMALL set
-(boilerplate grams, eval grams, per-source stats) that broadcasts back
-onto the document stream, so the only big shuffle is the one
-aggregation that builds the small set.
+common theme is: corpus-wide statistics either reduce to a genuinely
+small set (per-source stats) that broadcasts, or — when the set grows
+with the corpus (boilerplate grams, eval grams) — the statistic is
+computed IN PLACE on the keyed gram stream via a window over the gram
+partition, so no corpus-sized structure is ever broadcast or
+collected (round-3 ADVICE fix).
 """
 
 from __future__ import annotations
@@ -83,32 +85,30 @@ def corpus_boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFram
     prune stats: a 5-gram occurring in >=4 distinct documents is
     boilerplate; each document reports how much of it survives.
 
-    Scale: the document-frequency aggregation is the one big shuffle
-    (keyed by gram — high cardinality, well-spread); the resulting
-    boilerplate set is tiny (frequent grams only) and broadcasts back
-    onto the gram stream, so the per-doc stats need no second
-    corpus-wide shuffle of text."""
+    Scale (round 3, per ADVICE): the boilerplate-gram set grows with
+    corpus size (more sources -> more repeated templates), so the old
+    forced-broadcast mark-join was an OOM risk at large SF.  Rewritten
+    join-free: collapse to (doc_id, gram, n) once, then the document
+    frequency is a count() window over the gram partition — the gram
+    stream is shuffled by gram exactly once, the flag rides along, and
+    the final per-doc stats shuffle carries only (doc_id, n, flag).
+    No corpus-sized structure ever lands on one node."""
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", word_ngrams(words_of(), 5).alias("grams")
     )
-    # Materialize the gram table once: both the df-aggregation branch
-    # and the mark-join branch consume it, and recomputing the
-    # (interpreted-HOF) gram build per branch measured ~2x the cost.
-    g = d.select("doc_id", F.explode("grams").alias("gram")).localCheckpoint()
-    boiler = (
-        g.dropDuplicates(["doc_id", "gram"])
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 4)
-        .select("gram")
+    gc = (
+        d.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    marked = g.join(
-        F.broadcast(boiler.withColumn("is_boiler", F.lit(1))), "gram", "left"
-    )
+    # one row per (doc, gram) -> count over the gram partition IS the
+    # distinct-document frequency
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    marked = gc.withColumn("boiler_n", F.when(df_w >= 4, F.col("n")).otherwise(F.lit(0)))
     return marked.groupBy("doc_id").agg(
-        bigint(F.count(F.lit(1))).alias("n_grams"),
-        bigint(F.count("is_boiler")).alias("n_boiler"),
-        r4(1.0 - F.count("is_boiler") / F.count(F.lit(1))).alias("keep_ratio"),
+        bigint(F.sum("n")).alias("n_grams"),
+        bigint(F.sum("boiler_n")).alias("n_boiler"),
+        r4(1.0 - F.sum("boiler_n") / F.sum("n")).alias("keep_ratio"),
     )
 
 
@@ -133,30 +133,31 @@ def eval_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 split, ~25%) contribute a distinct 6-gram set; every training
     doc reports how many of its 6-gram instances also appear in eval.
 
-    Scale: the eval-side gram set is bounded by the (small) eval split
-    and broadcasts; training grams stream through a broadcast left
-    join + per-doc aggregation — no all-pairs comparison anywhere."""
+    Scale (round 3, per ADVICE): the eval split is a content-addressed
+    ~25% of the WHOLE corpus, so its distinct-gram set grows linearly
+    with corpus size — the old forced broadcast would OOM the driver at
+    large SF.  Rewritten join-free: one shuffle of the gram stream
+    keyed by gram, where a max(is_eval) window computes "this gram
+    appears in some eval doc" in place; the per-doc aggregation then
+    shuffles only (doc_id, hit).  Nothing is ever collected to one
+    node, and the gram table needs no materialization (single
+    consumer)."""
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.md5("text").alias("h"),
         word_ngrams(words_of(), 6).alias("grams"),
     )
-    # Materialized once: the eval-distinct and train branches both read
-    # it (same two-consumer recompute as the boilerplate op).
     g = d.select(
         "doc_id",
         F.substring("h", 1, 1).isin("0", "1", "2", "3").alias("is_eval"),
         F.explode("grams").alias("gram"),
-    ).localCheckpoint()
-    eval_grams = g.filter("is_eval").select("gram").distinct()
-    train = g.filter(~F.col("is_eval"))
-    marked = train.join(
-        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left"
     )
+    hit = F.max(F.col("is_eval").cast("int")).over(Window.partitionBy("gram"))
+    marked = g.withColumn("hit", hit).filter(~F.col("is_eval"))
     return marked.groupBy("doc_id").agg(
         bigint(F.count(F.lit(1))).alias("n_grams"),
-        bigint(F.count("hit")).alias("n_contam"),
-        r4(F.count("hit") / F.count(F.lit(1))).alias("contam_ratio"),
+        bigint(F.sum("hit")).alias("n_contam"),
+        r4(F.sum("hit") / F.count(F.lit(1))).alias("contam_ratio"),
     )
 
 

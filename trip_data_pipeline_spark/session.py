@@ -15,6 +15,7 @@ One shared session for tests/bench: JVM startup dominates at small scale
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -40,11 +41,24 @@ def get_session(app_name: str = "trip-data-pipeline-spark") -> SparkSession:
     )
     # Tuning escape hatch: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies
     # additional session confs (used by bench experiments; a cluster
-    # deployment would set these in spark-defaults instead).
+    # deployment would set these in spark-defaults instead).  Values
+    # may not contain ';' (the separator — no escaping).  Malformed
+    # entries raise rather than silently becoming `k=''`, and applied
+    # keys are logged to stderr because they can override the pinned
+    # defaults above (e.g. the UTC session timezone the oracle needs).
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for kv in filter(None, extra.split(";")):
+    applied = []
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        if "=" not in kv:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} has no '='; "
+                "expected 'k=v;k=v' (values may not contain ';')"
+            )
         k, _, v = kv.partition("=")
         builder = builder.config(k.strip(), v.strip())
+        applied.append(k.strip())
+    if applied:
+        print(f"[session] SPARK_GRAFT_EXTRA_CONF applied: {applied}", file=sys.stderr)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
