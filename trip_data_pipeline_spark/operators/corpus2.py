@@ -372,21 +372,22 @@ def _lsh_planes_sql() -> str:
     "sim_ann_lsh_hyperplane",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS emb,
          {_lsh_planes_sql()} AS bucket
   FROM embeddings
 ),
-q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM e WHERE vec_id < 20),
-s AS (SELECT q.q_id, e.vec_id AS c_id,
-             round(list_cosine_similarity(q.qe, e.emb), 4) AS cos
-      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+n AS (SELECT vec_id, emb, bucket, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket FROM n WHERE vec_id < 20),
+s AS (SELECT q.q_id, n.vec_id AS c_id,
+             floor(list_inner_product(q.qe, n.emb) / (q.qn * n.nrm) * 10000 + 0.5)
+               / 10000.0 AS cos
+      FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id <> q.q_id),
 r AS (SELECT q_id, c_id, cos,
              CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
       FROM s)
-SELECT q_id, c_id AS neighbor_id,
-       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos,
-       rn FROM r WHERE rn <= 3
+SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 3
 """,
     category=CAT,
 )
@@ -410,11 +411,14 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ~20x slower: the fold is interpreted per step, the unroll
     blows Janino's 64 KB method limit and falls back to interpreted.)
     Integer sums are order-independent, so the groupBy's partial-agg
-    ordering cannot perturb the bucket, unlike a float projection."""
+    ordering cannot perturb the bucket, unlike a float projection.
+    Neighbor RANKING uses the integer-exact quantized cosine
+    (similarity.qvec — round-3 ADVICE fix)."""
     from trip_data_pipeline_spark.operators.similarity import (
-        as_double_vec,
         dot,
+        fr4,
         l2norm,
+        qvec,
     )
 
     raw = spread(load(spark, sf_dir, "embeddings"))
@@ -436,7 +440,7 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col(f"s{j}") > 0).cast("int") * (1 << j) for j in range(6)), F.lit(0)
     )
     e = raw.join(buckets.select("vec_id", bucket.alias("bucket")), "vec_id").select(
-        "vec_id", as_double_vec().alias("emb"), "bucket"
+        "vec_id", qvec().alias("emb"), "bucket"
     )
     e = e.withColumn("nrm", l2norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < 20).select(
@@ -452,7 +456,7 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            r4(
+            fr4(
                 dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))
             ).alias("cos"),
         )
@@ -464,7 +468,7 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("c_id").alias("neighbor_id"),
-            nz(F.col("cos")).alias("cos"),
+            "cos",
             "rn",
         )
     )
@@ -627,12 +631,16 @@ def embed_covariance_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "knn_eval_confusion",
     oracle="""
-WITH e AS (SELECT vec_id, label,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-           FROM embeddings),
-q AS (SELECT vec_id AS q_id, label AS true_label, emb AS qe FROM e WHERE vec_id < 50),
+WITH e0 AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS emb
+            FROM embeddings),
+e AS (SELECT vec_id, label, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e0),
+q AS (SELECT vec_id AS q_id, label AS true_label, emb AS qe, nrm AS qn
+      FROM e WHERE vec_id < 50),
 s AS (SELECT q.q_id, q.true_label, e.label AS cand_label,
-             round(list_cosine_similarity(q.qe, e.emb), 4) AS cos, e.vec_id AS c_id
+             floor(list_inner_product(q.qe, e.emb) / (q.qn * e.nrm) * 10000 + 0.5)
+               / 10000.0 AS cos,
+             e.vec_id AS c_id
       FROM q JOIN e ON e.vec_id <> q.q_id),
 r AS (SELECT q_id, true_label, cand_label, cos, c_id,
              row_number() OVER (PARTITION BY q_id
@@ -662,16 +670,19 @@ def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same broadcast-bounded-query shape as the other brute-force
     sim ops (the eval set is small by construction); the vote and
-    confusion aggregations act on k x |eval| rows — negligible."""
+    confusion aggregations act on k x |eval| rows — negligible.
+    Neighbor RANKING uses the integer-exact quantized cosine
+    (similarity.qvec — round-3 ADVICE fix)."""
     e = spread(load(spark, sf_dir, "embeddings"))
     from trip_data_pipeline_spark.operators.similarity import (
-        as_double_vec,
         dot,
+        fr4,
         l2norm,
+        qvec,
     )
 
     base = e.select(
-        "vec_id", "label", as_double_vec().alias("emb"), l2norm(as_double_vec()).alias("nrm")
+        "vec_id", "label", qvec().alias("emb"), l2norm(qvec()).alias("nrm")
     )
     q = base.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
@@ -688,7 +699,7 @@ def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             F.col("label").alias("cand_label"),
             F.col("vec_id").alias("c_id"),
-            r4(dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))).alias(
+            fr4(dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))).alias(
                 "cos"
             ),
         )

@@ -368,13 +368,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "dedup_embedding_cosine",
     oracle="""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-           FROM embeddings WHERE vec_id < 200)
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS emb
+           FROM embeddings WHERE vec_id < 200),
+     n AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e)
 SELECT e1.vec_id AS vec_id1, e2.vec_id AS vec_id2,
-       CASE WHEN round(list_cosine_similarity(e1.emb, e2.emb), 4) = 0
-            THEN CAST(0.0 AS DOUBLE)
-            ELSE round(list_cosine_similarity(e1.emb, e2.emb), 4) END AS cos
-FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
+       floor(list_inner_product(e1.emb, e2.emb) / (e1.nrm * e2.nrm) * 10000 + 0.5)
+         / 10000.0 AS cos
+FROM n e1 JOIN n e2 ON e1.vec_id < e2.vec_id
 ORDER BY cos DESC, vec_id1 ASC, vec_id2 ASC
 LIMIT 10
 """,
@@ -382,20 +383,19 @@ LIMIT 10
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-10 most similar pairs in a
-    bounded id range — task-brief dedup addition.
+    bounded id range — task-brief dedup addition.  The top-10
+    membership RANKS on cosine, so it uses the integer-exact quantized
+    cosine (similarity.qvec) — see the round-3 ADVICE fix.
 
     Brute-force within the bound; at 100 TB the same query runs after
     an LSH/IVF bucket join (see sim_ann_ivf_bucket) so pairs are only
     formed within buckets."""
-    from trip_data_pipeline_spark.operators.similarity import dot, l2norm
+    from trip_data_pipeline_spark.operators.similarity import dot, fr4, l2norm, qvec
 
     e = (
         spread(load(spark, sf_dir, "embeddings"))
         .filter(F.col("vec_id") < 200)
-        .select(
-            "vec_id",
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
-        )
+        .select("vec_id", qvec().alias("emb"))
         .withColumn("nrm", l2norm(F.col("emb")))  # normalize-once per side
     )
     e1, e2 = e.alias("e1"), e.alias("e2")
@@ -404,11 +404,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("e1.vec_id").alias("vec_id1"),
             F.col("e2.vec_id").alias("vec_id2"),
-            nz(
-                r4(
-                    dot(F.col("e1.emb"), F.col("e2.emb"))
-                    / (F.col("e1.nrm") * F.col("e2.nrm"))
-                )
+            fr4(
+                dot(F.col("e1.emb"), F.col("e2.emb"))
+                / (F.col("e1.nrm") * F.col("e2.nrm"))
             ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id1").asc(), F.col("vec_id2").asc())

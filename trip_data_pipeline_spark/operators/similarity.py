@@ -5,9 +5,14 @@ Vector math is pure higher-order functions (zip_with/aggregate) over
 double-cast arrays — JVM-side, no UDFs (FIXTURES.md gotcha 5: cast
 float->double BEFORE arithmetic on both engines).
 
-Ranking parity rule: rank by the ROUNDED similarity (4 dp) with id
-tie-breaks, so a last-ulp difference between engines can reorder
-nothing."""
+Ranking parity rule (round 3, per ADVICE): ops whose RANKING (top-k /
+nearest / threshold order) depends on cosine compute it from
+integer-quantized vectors (``qvec``) and round it with the portable
+``fr4`` — every intermediate is then bit-identical across engines, so
+a rank can never flip at a rounding boundary.  Ops that merely OUTPUT
+a similarity keep plain ``r4`` (a last-ulp output difference is
+absorbed by rounding except at measure-zero half-boundaries, verified
+empty at 3 SFs)."""
 
 from __future__ import annotations
 
@@ -37,29 +42,60 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def qvec(col: str = "embedding") -> Column:
+    """Embedding quantized to integer millis — floor(x*1000 + 0.5) —
+    kept as doubles.  Dot products and squared norms of these are
+    exact integers well under 2^53, so their sums are EXACT in any
+    partial-agg order, sqrt/divide are correctly-rounded IEEE ops on
+    bit-identical inputs, and the resulting cosine is bit-identical
+    across Spark and DuckDB: rankings computed on it cannot flip at a
+    float boundary (round-3 ADVICE fix)."""
+    return F.transform(
+        F.col(col),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("double"),
+    )
+
+
+def fr4(c: Column) -> Column:
+    """Engine-portable 4-dp half-up round: floor(x*10000 + 0.5)/10000.
+    Multiply/add/floor/divide are single IEEE ops, identical on both
+    engines for a bit-identical input — unlike round(), whose decimal
+    re-rounding path is engine-specific.  Never produces -0.0."""
+    return F.floor(c * 10000 + F.lit(0.5)).cast("double") / F.lit(10000.0)
+
+
 _DUCK_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+# SQL mirrors of qvec / fr4 (see qvec docstring for the exactness
+# argument; list_inner_product(q, q) == l2norm-squared, both exact)
+_DUCK_QEMB = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5))"
+_DUCK_QNORM = f"sqrt(list_inner_product({_DUCK_QEMB}, {_DUCK_QEMB}))"
+
+
+def duck_fr4(x: str) -> str:
+    return f"floor({x} * 10000 + 0.5) / 10000.0"
 
 
 @op(
     "sim_cosine_pairwise_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS q_id, {_DUCK_EMB} AS qe FROM embeddings WHERE vec_id < 10),
-     c AS (SELECT vec_id AS c_id, {_DUCK_EMB} AS ce FROM embeddings),
-     s AS (SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 4) AS cos
+WITH q AS (SELECT vec_id AS q_id, {_DUCK_QEMB} AS qe, {_DUCK_QNORM} AS qn
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS c_id, {_DUCK_QEMB} AS ce, {_DUCK_QNORM} AS cn
+           FROM embeddings),
+     s AS (SELECT q_id, c_id,
+                  {duck_fr4('list_inner_product(qe, ce) / (qn * cn)')} AS cos
            FROM q CROSS JOIN c WHERE c_id <> q_id),
      r AS (SELECT q_id, c_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
            FROM s)
-SELECT q_id, c_id AS neighbor_id,
-       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos,
-       rn FROM r WHERE rn <= 5
+SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 5
 """,
     category=CAT,
 )
 def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector — SURVEY.md §2.11
-    row 6.
+    row 6.  Ranks on the integer-exact quantized cosine (see qvec).
 
     The query side (vec_id < 10) is broadcast against the candidate
     scan; per-candidate work is one fused HOF expression.  At 100 TB
@@ -70,13 +106,13 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair (n*q) — one fold per pair (the dot) instead of three.
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
-        as_double_vec().alias("qe"),
-        l2norm(as_double_vec()).alias("qn"),
+        qvec().alias("qe"),
+        l2norm(qvec()).alias("qn"),
     )
     c = e.select(
         F.col("vec_id").alias("c_id"),
-        as_double_vec().alias("ce"),
-        l2norm(as_double_vec()).alias("cn"),
+        qvec().alias("ce"),
+        l2norm(qvec()).alias("cn"),
     )
     s = (
         F.broadcast(q)
@@ -85,47 +121,50 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            r4(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+            fr4(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         s.withColumn("rn", bigint(F.row_number().over(w)))
         .filter(F.col("rn") <= 5)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), nz(F.col("cos")).alias("cos"), "rn")
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "cos", "rn")
     )
 
 
 @op(
     "sim_knn_label_vote",
     oracle=f"""
-WITH q AS (SELECT vec_id AS q_id, {_DUCK_EMB} AS qe FROM embeddings WHERE vec_id < 10),
-     c AS (SELECT vec_id AS c_id, label, {_DUCK_EMB} AS ce FROM embeddings),
-     s AS (SELECT q_id, c_id, label, round(list_cosine_similarity(qe, ce), 4) AS cos
+WITH q AS (SELECT vec_id AS q_id, {_DUCK_QEMB} AS qe, {_DUCK_QNORM} AS qn
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS c_id, label, {_DUCK_QEMB} AS ce, {_DUCK_QNORM} AS cn
+           FROM embeddings),
+     s AS (SELECT q_id, c_id, label,
+                  {duck_fr4('list_inner_product(qe, ce) / (qn * cn)')} AS cos
            FROM q CROSS JOIN c WHERE c_id <> q_id),
      r AS (SELECT q_id, c_id, label, cos,
                   row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS rn
            FROM s)
-SELECT q_id, c_id AS neighbor_id, label AS predicted_label,
-       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos
+SELECT q_id, c_id AS neighbor_id, label AS predicted_label, cos
 FROM r WHERE rn = 1
 """,
     category=CAT,
 )
 def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-NN label assignment per query vector — SURVEY.md §2.11 row 7."""
+    """1-NN label assignment per query vector — SURVEY.md §2.11 row 7.
+    Ranks on the integer-exact quantized cosine (see qvec)."""
     e = spread(load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
-        as_double_vec().alias("qe"),
-        l2norm(as_double_vec()).alias("qn"),
+        qvec().alias("qe"),
+        l2norm(qvec()).alias("qn"),
     )
     c = e.select(
         F.col("vec_id").alias("c_id"),
         "label",
-        as_double_vec().alias("ce"),
-        l2norm(as_double_vec()).alias("cn"),
+        qvec().alias("ce"),
+        l2norm(qvec()).alias("cn"),
     )
     s = (
         F.broadcast(q)
@@ -135,7 +174,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "c_id",
             "label",
-            r4(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+            fr4(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
@@ -146,7 +185,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             F.col("c_id").alias("neighbor_id"),
             F.col("label").alias("predicted_label"),
-            nz(F.col("cos")).alias("cos"),
+            "cos",
         )
     )
 
@@ -154,22 +193,21 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "sim_ann_ivf_bucket",
     oracle=f"""
-WITH e AS (SELECT vec_id, label, {_DUCK_EMB} AS emb,
+WITH e AS (SELECT vec_id, label, {_DUCK_QEMB} AS emb, {_DUCK_QNORM} AS nrm,
                   CAST(embedding[1] > 0 AS INT) * 4
                 + CAST(embedding[2] > 0 AS INT) * 2
                 + CAST(embedding[3] > 0 AS INT) AS bucket
            FROM embeddings),
-     q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM e WHERE vec_id < 20),
+     q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket
+           FROM e WHERE vec_id < 20),
      s AS (SELECT q.q_id, e.vec_id AS c_id,
-                  round(list_cosine_similarity(q.qe, e.emb), 4) AS cos
+                  {duck_fr4('list_inner_product(q.qe, e.emb) / (q.qn * e.nrm)')} AS cos
            FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
      r AS (SELECT q_id, c_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
            FROM s)
-SELECT q_id, c_id AS neighbor_id,
-       CASE WHEN cos = 0 THEN CAST(0.0 AS DOUBLE) ELSE cos END AS cos,
-       rn FROM r WHERE rn <= 3
+SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 3
 """,
     category=CAT,
 )
@@ -182,11 +220,12 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB candidates are co-partitioned by bucket and each probe
     touches ~n/2^b of the corpus.  A real IVF uses learned centroids;
     the octant quantizer keeps it deterministic and SQL-checkable
-    (recall vs brute force is property-tested)."""
+    (recall vs brute force is property-tested).  Ranks on the
+    integer-exact quantized cosine (see qvec)."""
     e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
-        as_double_vec().alias("emb"),
+        qvec().alias("emb"),
         (
             (F.col("embedding").getItem(0) > 0).cast("int") * 4
             + (F.col("embedding").getItem(1) > 0).cast("int") * 2
@@ -207,7 +246,7 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            r4(dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))).alias(
+            fr4(dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm"))).alias(
                 "cos"
             ),
         )
@@ -216,7 +255,7 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.withColumn("rn", bigint(F.row_number().over(w)))
         .filter(F.col("rn") <= 3)
-        .select("q_id", F.col("c_id").alias("neighbor_id"), nz(F.col("cos")).alias("cos"), "rn")
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "cos", "rn")
     )
 
 
