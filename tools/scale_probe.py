@@ -56,6 +56,12 @@ PROBE_QUERIES = [
 
 
 def build(spark) -> None:
+    """Fact tables are written as 16 files (round-robin repartition)
+    so the replicated layout models a real multi-split table: a
+    single-file single-row-group fact makes every downstream shuffle
+    single-MAPPER, which silently disables AQE skew-partition
+    splitting (splits happen at mapper granularity) and serializes
+    scans — neither happens on a real 100 TB table."""
     if os.path.exists(f"{DST}/_DONE"):
         return
     os.makedirs(DST, exist_ok=True)
@@ -73,6 +79,7 @@ def build(spark) -> None:
             "o_orderdate",
             "o_orderpriority",
         )
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(f"{DST}/orders.parquet")
     )
@@ -83,6 +90,7 @@ def build(spark) -> None:
             (F.col("l_orderkey") + F.col("cp") * n_orders).alias("l_orderkey"),
             *[c for c in li.columns if c != "l_orderkey"],
         )
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(f"{DST}/lineitem.parquet")
     )
@@ -100,6 +108,7 @@ def build(spark) -> None:
             "value",
             "props",
         )
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(f"{DST}/events.parquet")
     )
@@ -113,6 +122,7 @@ def build(spark) -> None:
             (F.col("doc_id") + F.col("cp") * n_docs).alias("doc_id"),
             *[c for c in docs.columns if c != "doc_id"],
         )
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(f"{DST}/documents.parquet")
     )
@@ -124,6 +134,7 @@ def build(spark) -> None:
             (F.col("vec_id") + F.col("cp") * n_emb).alias("vec_id"),
             *[c for c in emb.columns if c != "vec_id"],
         )
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(f"{DST}/embeddings.parquet")
     )
