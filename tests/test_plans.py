@@ -31,6 +31,7 @@ PYTHON_OK = {
     "udf_arrow_batch",
     "multimodal_decode_ppm",
     "multimodal_frame_sample",
+    "multimodal_ppm_channel_stats",
     "stream_stateful_runstate",
 }
 
@@ -47,7 +48,11 @@ SKIP_PLAN_SWEEP = {
                 # returned df is a localCheckpoint scan (no plan to read)
                 "graph_connected_components",
                 # side-effecting compaction; returns a literal summary
-                "layout_compact_small_files"}
+                "layout_compact_small_files",
+                # executes its audited action at build time (observe
+                # metrics collect with the action); returns a local
+                # 1-row metrics relation — no pipeline plan to read
+                "observe_metrics_audit"}
 }
 
 
@@ -287,6 +292,63 @@ def test_lsh_ann_is_equijoin(spark):
     assert "SortMergeJoin" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_bpe_two_level_rollup(spark):
+    """BPE pair counting must collapse tokens to the distinct-word
+    vocabulary BEFORE extracting pairs (two keyed shuffles: word
+    counts, then pair sums — never pair-explosion of raw token
+    instances), and the top-40 must compile to TakeOrderedAndProject."""
+    p = _exec_plan(spark, "bpe_pair_counts")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_lm_bigram_window_on_aggregate(spark):
+    """The P(w2|w1) head total must be a window over the ALREADY
+    aggregated bigram table (two keyed shuffles of gram counts), with
+    the bounded top-30 as TakeOrderedAndProject."""
+    p = _exec_plan(spark, "lm_bigram_condprob")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_overlap_chain_equijoin_not_allpairs(spark):
+    """Suffix==prefix overlap detection is an equi-join on the
+    fixed-width boundary key — never an all-pairs scan."""
+    p = _exec_plan(spark, "doc_overlap_chain")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_entropy_counts_shuffle_not_text(spark):
+    """Char entropy: the keyed shuffles carry (doc, char, count) and
+    (doc, count) rows — exactly two hash exchanges after the explode,
+    one scan."""
+    p = _exec_plan(spark, "text_entropy_char")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_anon_k_single_partial_final_agg(spark):
+    """The k-anonymity gate is one partial+final aggregation — one
+    exchange, two HashAggregates, no join."""
+    p = _exec_plan(spark, "anon_k_suppress")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("HashAggregate") == 2, p
+    assert "Join" not in p, p
+
+
+def test_mixture_reweight_window_on_tiny_agg(spark):
+    """Mixture weights: the global window runs on the per-lang
+    aggregate (|langs| rows) — the SinglePartition exchange is the
+    bounded aggregate, never raw documents."""
+    p = _exec_plan(spark, "corpus_mixture_reweight")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert p.count("Scan parquet") == 1, p
 
 
 def test_quality_sample_map_only_predicate(spark):
