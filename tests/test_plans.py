@@ -32,6 +32,7 @@ PYTHON_OK = {
     "multimodal_decode_ppm",
     "multimodal_frame_sample",
     "multimodal_ppm_channel_stats",
+    "sim_cosine_topk_vectorized",
     "stream_stateful_runstate",
 }
 

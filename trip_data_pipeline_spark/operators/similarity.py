@@ -16,6 +16,7 @@ empty at 3 SFs)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -123,6 +124,87 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             fr4(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        s.withColumn("rn", bigint(F.row_number().over(w)))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "cos", "rn")
+    )
+
+
+@op(
+    "sim_cosine_topk_vectorized",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, {_DUCK_QEMB} AS qe, {_DUCK_QNORM} AS qn
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS c_id, {_DUCK_QEMB} AS ce, {_DUCK_QNORM} AS cn
+           FROM embeddings),
+     s AS (SELECT q_id, c_id,
+                  {duck_fr4('list_inner_product(qe, ce) / (qn * cn)')} AS cos
+           FROM q CROSS JOIN c WHERE c_id <> q_id),
+     r AS (SELECT q_id, c_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
+           FROM s)
+SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 5
+""",
+    category=CAT,
+)
+def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5, Arrow/numpy path — the task brief's
+    'vectorized Pandas UDF' variant beside sim_cosine_pairwise_topk's
+    pure-HOF fold.  Identical semantics and oracle.
+
+    Design (measured in docs/SCALE.md): a first attempt ran an einsum
+    scalar UDF over the pair-expanded crossJoin — SLOWER than the HOF
+    fold, because Arrow then ships O(pairs x dim) bytes (each query
+    vector re-serialized once per candidate).  The right shape ships
+    every candidate vector ONCE: the bounded probe block (10 vectors —
+    the same rows F.broadcast(q) ships JVM-side) is collected and
+    broadcast as a numpy matrix, and candidates stream through
+    mapInPandas batch matmuls (C @ Q.T), O(n x dim) transfer + one
+    BLAS call per batch.  At 100 TB this is the canonical embedding
+    scorer: broadcast the probe block, stream candidates, keep top-k.
+
+    Exactness: all math runs on the integer-quantized vectors — the
+    matmul/norm sums are float64 sums of exact integers (exact in any
+    order), sqrt/divide/floor-round are IEEE-identical — so this op,
+    the HOF-fold op, and DuckDB are bit-identical."""
+    import numpy as np
+
+    e = spread(load(spark, sf_dir, "embeddings"))
+    # bounded probe block: 10 rows, the exact rows F.broadcast(q)
+    # would ship — materialized so numpy can hold them as a matrix
+    qrows = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", qvec().alias("qe"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    qmat = np.array([r["qe"] for r in qrows])
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, qmat, qn))
+
+    def score(batches):
+        ids, qm, qnorm = bc.value
+        for pdf in batches:
+            cm = np.stack(pdf["ce"].to_numpy())
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            cos = cm @ qm.T / np.outer(cn, qnorm)
+            cos = np.floor(cos * 10000 + 0.5) / 10000.0
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(ids, len(pdf)),
+                    "c_id": np.repeat(pdf["c_id"].to_numpy(), len(ids)),
+                    "cos": cos.reshape(-1),
+                }
+            )
+
+    c = e.select(F.col("vec_id").alias("c_id"), qvec().alias("ce"))
+    s = c.mapInPandas(score, "q_id bigint, c_id bigint, cos double").filter(
+        F.col("c_id") != F.col("q_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
