@@ -52,6 +52,13 @@ PROBE_QUERIES = [
     "text_repetition_metrics",
     "pack_sequences_greedy",
     "sim_ann_lsh_hyperplane",
+    # round-3 tranche
+    "bpe_pair_counts",
+    "lm_bigram_condprob",
+    "text_entropy_char",
+    "doc_overlap_chain",
+    "multimodal_ppm_channel_stats",
+    "sim_cosine_topk_vectorized",
 ]
 
 
