@@ -352,6 +352,56 @@ def test_mixture_reweight_window_on_tiny_agg(spark):
     assert p.count("Scan parquet") == 1, p
 
 
+def test_dpp_partition_filter_from_join(spark):
+    """Dynamic partition pruning: the partitioned fact scan must carry
+    a runtime dynamicpruningexpression PartitionFilter derived from
+    the broadcast dim join — static pruning cannot see through the
+    join; only DPP prunes the directory listing."""
+    p = _exec_plan(spark, "scan_partitioned_dpp")
+    assert "dynamicpruning" in p.lower(), p
+    assert "PartitionFilters" in p, p
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level bloom filter (SPARK-32268): when a shuffle
+    join's creation side is small+filtered, Catalyst injects
+    BloomFilterMightContain on the big side so non-joining rows die at
+    the scan, not at the shuffle.  Local fixtures sit far below the
+    default 10 GiB application-side threshold, so the test lowers the
+    thresholds for its own scope only (a 100 TB fact clears them
+    as-is) and forces a merge join (broadcast joins don't need blooms).
+    """
+    import pyspark.sql.functions as F
+
+    from trip_data_pipeline_spark.io import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = load(spark, SF, "events")
+        small = (
+            load(spark, SF, "orders")
+            .filter(F.col("o_orderkey") < 500)
+            .select((F.col("o_orderkey") % 150).alias("user_id"))
+        )
+        j = ev.hint("merge").join(small.hint("merge"), "user_id")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilterMightContain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_quality_sample_map_only_predicate(spark):
     """Importance sampling needs no corpus statistics: the keep
     decision is a map-side predicate (no keyed shuffle)."""

@@ -397,3 +397,66 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     ).crossJoin(bad.agg(bigint(F.count("*")).alias("n_corrupt"))).select(
         "n_good", "n_corrupt", "key_sum"
     )
+
+
+# Deterministic region->event_type map shared by the op and its oracle
+# (both engines derive the probe set from the SAME filtered dim).
+_DPP_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@op(
+    "scan_partitioned_dpp",
+    oracle=f"""
+WITH dim AS (
+  SELECT CASE r_regionkey
+           WHEN 0 THEN '{_DPP_TYPES[0]}' WHEN 1 THEN '{_DPP_TYPES[1]}'
+           WHEN 2 THEN '{_DPP_TYPES[2]}' WHEN 3 THEN '{_DPP_TYPES[3]}'
+           ELSE '{_DPP_TYPES[4]}' END AS event_type,
+         r_name
+  FROM region WHERE r_regionkey IN (1, 3)
+)
+SELECT e.event_type, d.r_name,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(e.value * 100 + 0.5)) AS BIGINT) AS value_cents
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type, d.r_name
+""",
+    category=CAT,
+)
+def scan_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is published PARTITIONED BY
+    event_type, the probe set comes from a FILTERED dim (not a literal
+    predicate), and Catalyst injects the dim's join keys as a runtime
+    PartitionFilter on the fact scan — only the matching partition
+    directories are ever read (`dynamicpruningexpression` in the scan,
+    locked in tests/test_plans.py).
+
+    At 100 TB this is the difference between scanning 2 of 1000 date
+    partitions and scanning them all when the date set comes from a
+    lookup table: static pruning cannot see through the join, DPP
+    reuses the broadcast dim to prune at file-listing time.  The
+    partitioned publish uses the same layout as
+    sink_parquet_partitioned; integer-cent sums keep the aggregate
+    order-exact."""
+    out = tempfile.mkdtemp(prefix="dpp_events_")
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = load(spark, sf_dir, "region").filter(
+        F.col("r_regionkey").isin(1, 3)
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _DPP_TYPES]),
+            F.col("r_regionkey").cast("int") + 1,
+        ).alias("event_type"),
+        "r_name",
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type", "r_name")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            bigint(F.sum(cents)).alias("value_cents"),
+        )
+    )
