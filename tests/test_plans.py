@@ -402,6 +402,34 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
 
 
+def test_point_in_interval_bucketed_equijoin(spark):
+    """Interval x point containment must execute as a (uid, bucket)
+    equi-join with a post-join containment filter — never an
+    all-pairs/theta scan."""
+    p = _exec_plan(spark, "join_point_in_interval")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_mad_broadcasts_group_stats(spark):
+    """Both per-type statistic tables (median, MAD) broadcast back
+    onto the value stream — no sort-merge self-join.  (The dev subtree
+    feeds both the MAD aggregation and the final pass, so its
+    broadcast join is duplicated in the uncached plan: 3 BHJ total.)"""
+    p = _exec_plan(spark, "dq_anomaly_mad")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_od_matrix_two_shuffles_topk(spark):
+    """OD matrix: the user window sort and the cell-pair aggregate are
+    the only keyed shuffles; top-30 is TakeOrderedAndProject."""
+    p = _exec_plan(spark, "geo_trip_od_matrix")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
 def test_quality_sample_map_only_predicate(spark):
     """Importance sampling needs no corpus statistics: the keep
     decision is a map-side predicate (no keyed shuffle)."""

@@ -142,3 +142,70 @@ def geo_grid_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "cell_lat", "cell_lon")
         .limit(20)
     )
+
+
+@op(
+    "geo_trip_od_matrix",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {_LAT_CENTI} // 100 AS cell_lat,
+         {_LON_CENTI} // 100 AS cell_lon
+  FROM events
+),
+legs AS (
+  SELECT user_id,
+         lag(cell_lat) OVER w AS o_lat, lag(cell_lon) OVER w AS o_lon,
+         cell_lat AS d_lat, cell_lon AS d_lon
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT CAST(o_lat AS BIGINT) AS o_lat, CAST(o_lon AS BIGINT) AS o_lon,
+       CAST(d_lat AS BIGINT) AS d_lat, CAST(d_lon AS BIGINT) AS d_lon,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM legs WHERE o_lat IS NOT NULL
+GROUP BY 1, 2, 3, 4
+ORDER BY n_trips DESC, o_lat, o_lon, d_lat, d_lon
+LIMIT 30
+""",
+    category=CAT,
+)
+def geo_trip_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix: consecutive events per user form
+    trips between 1-degree grid cells; the top-30 (origin, destination)
+    cell pairs by trip count — the classic city-flow rollup a trip
+    pipeline publishes.
+
+    Exactness: cells are pure integer arithmetic; ranking is integer
+    counts with full integer tie-breaks.  Scale: one window sort per
+    user (shared with the haversine op's partitioning), then a
+    partial+final aggregate on the bounded cell-pair domain;
+    TakeOrderedAndProject for the top-k."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pts = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr(_LAT_CENTI + " div 100").alias("cell_lat"),
+        F.expr(_LON_CENTI + " div 100").alias("cell_lon"),
+    )
+    legs = pts.select(
+        "user_id",
+        F.lag("cell_lat").over(w).alias("o_lat"),
+        F.lag("cell_lon").over(w).alias("o_lon"),
+        F.col("cell_lat").alias("d_lat"),
+        F.col("cell_lon").alias("d_lon"),
+    ).filter(F.col("o_lat").isNotNull())
+    return (
+        legs.groupBy(
+            bigint(F.col("o_lat")).alias("o_lat"),
+            bigint(F.col("o_lon")).alias("o_lon"),
+            bigint(F.col("d_lat")).alias("d_lat"),
+            bigint(F.col("d_lon")).alias("d_lon"),
+        )
+        .agg(bigint(F.count(F.lit(1))).alias("n_trips"))
+        .orderBy(
+            F.col("n_trips").desc(), "o_lat", "o_lon", "d_lat", "d_lon"
+        )
+        .limit(30)
+    )

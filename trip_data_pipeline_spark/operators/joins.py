@@ -541,3 +541,76 @@ def join_prefilter_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.sum(rev_milli) / 1000.0).alias("revenue"),
         )
     )
+
+
+@op(
+    "join_point_in_interval",
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey,
+         o_custkey % 150 AS uid,
+         1704067200 + (o_orderkey * 1700) % 2592000 AS start_s,
+         1704067200 + (o_orderkey * 1700) % 2592000 + 3600 AS end_s
+  FROM orders WHERE o_orderkey < 2000
+), e AS (
+  SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS ev_s FROM events
+)
+SELECT iv.o_orderkey, e.event_id,
+       CAST(e.ev_s - iv.start_s AS BIGINT) AS offset_s
+FROM iv JOIN e
+  ON e.user_id = iv.uid AND e.ev_s >= iv.start_s AND e.ev_s <= iv.end_s
+""",
+    category=CAT,
+)
+def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval containment join (events inside each order's
+    1-hour service window) — the interval-join primitive range/asof
+    don't cover: an INTERVAL side and a POINT side, containment
+    semantics.
+
+    Scale shape: interval length (1 h) <= bucket width, so each
+    interval covers at most 2 time buckets; intervals explode to
+    their covered buckets, points map to one, and the containment
+    predicate filters AFTER a plain (uid, bucket) equi-join —
+    candidates are bounded per bucket instead of per user (the same
+    banding idea as join_range_bucketed, but interval x point rather
+    than point x point)."""
+    band = 3600
+    iv = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("uid"),
+            (F.lit(1704067200) + (F.col("o_orderkey") * 1700) % 2592000).alias(
+                "start_s"
+            ),
+        )
+        .withColumn("end_s", F.col("start_s") + band)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        (F.col("start_s") / band).cast("bigint"),
+                        (F.col("end_s") / band).cast("bigint"),
+                    )
+                )
+            ),
+        )
+    )
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_s("ts").alias("ev_s"),
+        (epoch_s("ts") / band).cast("bigint").alias("bucket"),
+    )
+    return (
+        iv.join(e, (iv.uid == e.user_id) & (iv.bucket == e.bucket))
+        .filter((F.col("ev_s") >= F.col("start_s")) & (F.col("ev_s") <= F.col("end_s")))
+        .select(
+            "o_orderkey",
+            "event_id",
+            bigint(F.col("ev_s") - F.col("start_s")).alias("offset_s"),
+        )
+    )

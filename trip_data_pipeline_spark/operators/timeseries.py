@@ -254,3 +254,63 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q3") / 100.0, 4).alias("q3"),
         )
     )
+
+
+@op(
+    "dq_anomaly_mad",
+    oracle="""
+WITH x AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+med AS (SELECT event_type, median(cents) AS med FROM x GROUP BY event_type),
+dev AS (
+  SELECT x.event_type, x.cents, abs(x.cents - med.med) AS d, med.med
+  FROM x JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(dev.med), 1)   AS med_cents,
+       round(min(mad.mad), 1)   AS mad_cents,
+       CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+""",
+    category=CAT,
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: flag
+    values more than 3 MAD from the per-group median — the
+    outlier-resistant sibling of dq_outlier_iqr (a single wild value
+    shifts an IQR fence, not a MAD fence).
+
+    Exactness: values quantized to integer cents; medians of integers
+    are either integers or exact .5 halves (quantile interpolation at
+    the midpoint) — every comparison and the 3xMAD threshold are
+    exact doubles, so outlier membership cannot flip between engines.
+
+    Scale: two grouped exact medians (per-group sort; swap in
+    approx_percentile at real scale, same shape) + two broadcast-size
+    joins of per-type statistics back onto the value stream."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        F.round(F.min("med"), 1).alias("med_cents"),
+        F.round(F.min("mad"), 1).alias("mad_cents"),
+        bigint(
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("bigint"))
+        ).alias("n_outliers"),
+    )
