@@ -479,3 +479,59 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         joined.select("purchase_id", "view_id", "user_id"), "append"
     )
+
+
+@op(
+    "stream_checkpoint_resume",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY user_id
+""",
+    category=CAT,
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed exactly-once resume — the recovery semantics a
+    production stream depends on: drain half the input with a
+    checkpointed file-source query, stop, land more input files, then
+    RESTART the same query from the checkpoint — the resumed run
+    processes ONLY the new files (source offsets live in the
+    checkpoint), and the append sink holds every row exactly once.
+    The full DuckDB hash oracle over ALL events proves it: any
+    re-processing would double-count, any lost offset would
+    under-count.
+
+    Scale: this is the nightly-backfill/crash-recovery path verbatim —
+    AvailableNow + checkpointLocation is how a 100 TB file stream
+    restarts; nothing here is fixture-specific except the tmp dirs."""
+    base = tempfile.mkdtemp(prefix="ckpt_resume_")
+    indir, ckpt, outdir = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    ev = load(spark, sf_dir, "events")
+
+    def drain() -> None:
+        s = spark.readStream.schema(ev.schema).parquet(indir)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(indir)
+    drain()  # run 1: drains the even half, records offsets in ckpt
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    drain()  # run 2: resumes from ckpt — processes ONLY the new file
+    back = spark.read.schema(ev.schema).parquet(outdir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return back.groupBy("user_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_events"),
+        bigint(F.sum(cents)).alias("value_cents"),
+    )
