@@ -402,6 +402,16 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
 
 
+def test_tfidf_join_free_no_vocab_broadcast(spark):
+    """Round-3 ADVICE-pattern fix: the vocabulary-sized df table must
+    not broadcast (or join at all) — df is a count() window over the
+    word partition of the tf stream."""
+    p = _exec_plan(spark, "text_tfidf_topk")
+    assert "Join" not in p, p
+    assert "Broadcast" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
 def test_point_in_interval_bucketed_equijoin(spark):
     """Interval x point containment must execute as a (uid, bucket)
     equi-join with a post-join containment filter — never an

@@ -332,22 +332,25 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring, top-3 terms per document — task-brief text
     addition.  Smoothed idf = ln((N+1)/(df+1)) + 1.
 
-    Shape at scale: one explode -> two keyed aggregations (tf by
-    (doc, word), df by word) -> broadcast-joined df + scalar N -> per-
-    doc top-k via WindowGroupLimit.  The document-frequency table is
-    vocabulary-sized, so it broadcasts."""
+    Shape at scale (round 3, same ADVICE fix as the contamination op):
+    the document-frequency table is VOCABULARY-sized — it grows with
+    the corpus, so it must not broadcast.  After the (doc, word) tf
+    aggregation each row is a distinct (doc, word) pair, so df is
+    simply count() over the word partition — computed in place on the
+    word-keyed stream, join-free; only the scalar N ships to the
+    driver.  Explode -> tf agg -> word window -> per-doc top-k via
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+
     d = spread(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(_words()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(bigint(F.count(F.lit(1))).alias("tf"))
-    df = tok.groupBy("word").agg(bigint(F.countDistinct("doc_id")).alias("df"))
     n_docs = d.count()  # scalar dimension of the corpus, computed once
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("word"))
     score = F.round(
-        F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        F.col("tf") * (F.log((n_docs + 1.0) / (dfw + 1.0)) + 1.0), 4
     )
-    s = tf.join(F.broadcast(df), "word").select(
-        "doc_id", "word", score.alias("score")
-    )
-    from pyspark.sql import Window
+    s = tf.select("doc_id", "word", score.alias("score"))
 
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
     return (
