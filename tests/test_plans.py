@@ -402,6 +402,16 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
 
 
+def test_vocab_coverage_takeordered_before_window(spark):
+    """Round-3 fix: the top-50 must be TakeOrderedAndProject
+    (distributed heaps) BEFORE the single-partition rank/cumsum window
+    — never a full-vocabulary one-partition sort.  The one remaining
+    SinglePartition exchange feeds the window with 50 bounded rows."""
+    p = _exec_plan(spark, "vocab_topk_coverage")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Exchange SinglePartition") == 1, p
+
+
 def test_tfidf_join_free_no_vocab_broadcast(spark):
     """Round-3 ADVICE-pattern fix: the vocabulary-sized df table must
     not broadcast (or join at all) — df is a count() window over the

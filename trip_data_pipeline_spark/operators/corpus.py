@@ -108,8 +108,13 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         near.select(F.col("y").alias("src"), F.col("x").alias("dst"))
     )
     comp = connected_components(edges).withColumnRenamed("node", "c_rep")
+    # comp is bounded by the number of near-dup representatives —
+    # usually small, but it GROWS with the corpus, so no forced
+    # broadcast: AQE picks broadcast at fixture scale and falls back
+    # to a shuffle join when the label map outgrows the threshold
+    # (same rule as the round-3 contamination/tfidf fixes).
     labelled = (
-        dmap.join(F.broadcast(comp), dmap.rep == F.col("c_rep"), "left")
+        dmap.join(comp, dmap.rep == F.col("c_rep"), "left")
         # a doc is "clustered" iff its text has >1 copy (exact dup) or
         # its representative has a near-dup link
         .filter((F.col("n_copies") > 1) | F.col("component").isNotNull())

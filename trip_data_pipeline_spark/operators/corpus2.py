@@ -498,22 +498,28 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k vocabulary covers — the decision curve for sizing a
     tokenizer vocab (keep adding entries until coverage plateaus).
 
-    Scale: one shuffle on word for the frequency table; the ranked
-    cumulative pass runs over the (vocab-sized, tiny) frequency table,
-    not the corpus; the global token count is a broadcast scalar."""
+    Scale (round 3): one shuffle on word for the frequency table, then
+    the top-50 is taken FIRST via orderBy+limit — which compiles to
+    TakeOrderedAndProject (distributed per-task heaps) — and only the
+    bounded 50-row result enters the single-partition rank/cumsum
+    window.  (The previous formulation ranked the FULL vocabulary in
+    one partition before filtering; vocabulary grows with the corpus,
+    so that sort would serialize at 100 TB.)  The global token count
+    is a broadcast scalar."""
     words = spread(load(spark, sf_dir, "documents")).select(
         F.explode(words_of()).alias("word")
     )
     freq = words.groupBy("word").agg(bigint(F.count(F.lit(1))).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n"))
+    top = freq.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(50)
     wr = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
     wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = freq.select(
+    ranked = top.select(
         bigint(F.row_number().over(wr)).alias("rk"),
         "word",
         "cnt",
         F.sum("cnt").over(wc).alias("cum"),
-    ).filter(F.col("rk") <= 50)
+    )
     return ranked.crossJoin(F.broadcast(total)).select(
         "rk", "word", "cnt", r4(F.col("cum") / F.col("n")).alias("coverage")
     )
