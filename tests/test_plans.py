@@ -402,6 +402,15 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
 
 
+def test_sliding_distinct_no_global_window(spark):
+    """Round-3 rewrite: the trailing-7-day distinct must be the
+    exploded-contribution double aggregation — no single-partition
+    ordered window, no collect_set over the whole relation."""
+    p = _exec_plan(spark, "win_sliding_distinct_users")
+    assert "collect_set" not in p, p
+    assert "Window" not in p or "WindowGroupLimit" in p, p
+
+
 def test_vocab_coverage_takeordered_before_window(spark):
     """Round-3 fix: the top-50 must be TakeOrderedAndProject
     (distributed heaps) BEFORE the single-partition rank/cumsum window

@@ -359,14 +359,19 @@ FROM win GROUP BY day, users_7d ORDER BY day
 )
 def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day — the sliding
-    DISTINCT aggregate Spark's window API lacks natively, emulated as
-    `size(collect_set(user))` over a RANGE frame on the distinct
-    (day, user) grain.  Input reduces to day×user pairs FIRST, so the
-    global range window sees the reduced relation only.  At 100 TB
-    day×user can itself be large: the scalable variant keeps per-day
-    HLL sketches and merges 7 of them per output row (see
-    `agg_hll_sketch`); this exact form is the small/medium-cardinality
-    path and the correctness oracle for that sketch."""
+    DISTINCT aggregate Spark's window API lacks natively.
+
+    Round-3 rewrite, fully distributed: instead of a single-partition
+    `collect_set` range window over the whole (day, user) relation
+    (which serializes on one task and materializes user sets), each
+    active (day, user) pair CONTRIBUTES to the seven output days
+    [day, day+6]; exploding the contribution days turns the sliding
+    distinct into two plain keyed aggregations — distinct
+    (contrib_day, user), then count per contrib_day — restricted to
+    days that actually occur.  Every stage shuffles on a key; nothing
+    is ever globally ordered.  At 100 TB the same shape holds (the 7x
+    explode is the window length, a constant); the sketch path for
+    huge cardinalities remains `agg_hll_sketch`."""
     du = (
         load(spark, sf_dir, "events")
         .select(
@@ -374,10 +379,16 @@ def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.orderBy("day").rangeBetween(-6, 0)
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        "user_id",
+    ).distinct()
+    counts = contrib.groupBy("day").agg(
+        bigint(F.count(F.lit(1))).alias("users_7d")
+    )
     return (
-        du.select("day", F.size(F.collect_set("user_id").over(w)).alias("users_7d"))
-        .distinct()
-        .select(bigint(F.col("day")).alias("day"), bigint(F.col("users_7d")).alias("users_7d"))
+        counts.join(days, "day", "left_semi")
+        .select(bigint(F.col("day")).alias("day"), "users_7d")
         .orderBy("day")
     )
