@@ -107,11 +107,17 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (order count), monetary (exact integer cents), each
     quintile-scored with ntile(5), then segment sizes.  Every ntile
     ordering carries the custkey tie-break so ranks are total and
-    engine-identical.  The global ntile sort is over the CUSTOMER
-    aggregate (cardinality ≪ orders); at 100 TB the same plan holds
-    because the windowed input is already reduced — and a range-
-    partitioned sort (Spark's default for global ORDER BY) spreads it
-    across executors."""
+    engine-identical.
+
+    Scale honesty (corrected round 3): an unpartitioned ntile window
+    executes as a SINGLE-partition sort — Spark does not range-spread
+    window frames the way it does ORDER BY.  That is acceptable here
+    only because the windowed input is the per-customer AGGREGATE
+    (cardinality ≪ orders); for a customer dimension too big for one
+    task, exact ntile requires a global rank (range-repartition +
+    per-partition offsets) — the practical form is quantile boundaries
+    from percentile_approx with a deterministic tie rule, trading
+    exact equal-sized buckets for full parallelism."""
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max(F.unix_date(as_date(F.col("o_orderdate")))).alias("last_day"),
