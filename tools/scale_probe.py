@@ -24,9 +24,10 @@ from trip_data_pipeline_spark import get_session
 from trip_data_pipeline_spark.io import load
 from trip_data_pipeline_spark.registry import OPS, queries
 
-SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale_probe_sf1"
-COPIES = 10
+SRC = os.environ.get("PROBE_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("PROBE_DST", "/tmp/scale_probe_sf1")
+COPIES = int(os.environ.get("PROBE_COPIES", "10"))
+NFILES = int(os.environ.get("PROBE_NFILES", "16"))
 
 PROBE_QUERIES = [
     "agg_pricing_summary",
@@ -86,7 +87,7 @@ def build(spark) -> None:
             "o_orderdate",
             "o_orderpriority",
         )
-        .repartition(16)
+        .repartition(NFILES)
         .write.mode("overwrite")
         .parquet(f"{DST}/orders.parquet")
     )
@@ -97,7 +98,7 @@ def build(spark) -> None:
             (F.col("l_orderkey") + F.col("cp") * n_orders).alias("l_orderkey"),
             *[c for c in li.columns if c != "l_orderkey"],
         )
-        .repartition(16)
+        .repartition(NFILES)
         .write.mode("overwrite")
         .parquet(f"{DST}/lineitem.parquet")
     )
@@ -115,7 +116,7 @@ def build(spark) -> None:
             "value",
             "props",
         )
-        .repartition(16)
+        .repartition(NFILES)
         .write.mode("overwrite")
         .parquet(f"{DST}/events.parquet")
     )
@@ -129,7 +130,7 @@ def build(spark) -> None:
             (F.col("doc_id") + F.col("cp") * n_docs).alias("doc_id"),
             *[c for c in docs.columns if c != "doc_id"],
         )
-        .repartition(16)
+        .repartition(NFILES)
         .write.mode("overwrite")
         .parquet(f"{DST}/documents.parquet")
     )
@@ -141,7 +142,7 @@ def build(spark) -> None:
             (F.col("vec_id") + F.col("cp") * n_emb).alias("vec_id"),
             *[c for c in emb.columns if c != "vec_id"],
         )
-        .repartition(16)
+        .repartition(NFILES)
         .write.mode("overwrite")
         .parquet(f"{DST}/embeddings.parquet")
     )
@@ -167,8 +168,11 @@ def main() -> None:
     queries()
     spark = get_session("scale-probe")
     build(spark)
-    out = {"copies": COPIES, "queries": {}}
-    for name in PROBE_QUERIES:
+    probe = PROBE_QUERIES
+    if os.environ.get("PROBE_QUERIES"):
+        probe = os.environ["PROBE_QUERIES"].split(",")
+    out = {"copies": COPIES, "src": SRC, "dst": DST, "queries": {}}
+    for name in probe:
         t_small = time_query(spark, name, SRC)
         t_big = time_query(spark, name, DST)
         out["queries"][name] = {
