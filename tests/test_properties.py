@@ -88,7 +88,7 @@ def test_simhash_identical_docs_distance_zero(spark):
     ).select("doc_id", F.expr(simhash_bits_expr("split(text, ' ')")).alias("sh"))
     rows = {r.doc_id: r.sh for r in df.collect()}
     assert rows[1] == rows[2]
-    assert len(rows[1]) == 64 and set(rows[1]) <= {"0", "1"}
+    assert len(rows[1]) == 56 and set(rows[1]) <= {"0", "1"}
     assert rows[1] != rows[3]
 
 

@@ -262,14 +262,21 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_jaccard_pairs(docs, pairs, tau=0.5)
 
 
-def simhash_bits_expr(ws_sql: str, nbits: int = 64) -> str:
+def simhash_bits_expr(ws_sql: str, nbits: int = 56) -> str:
     """SQL-expression SimHash (bit shifts on a lambda variable need the
-    SQL dialect; the DataFrame lambda API can't shift by a column)."""
+    SQL dialect; the DataFrame lambda API can't shift by a column).
+
+    The per-word hash is the first 14 hex chars of md5 parsed as a
+    56-bit non-negative integer — the same engine-portable family the
+    MinHash ops use — so the whole signature replays in DuckDB and the
+    op hash-checks (round-3 upgrade from the xxhash64 rows-only form;
+    56 bits keeps the 4-band split at an even 14 bits per band)."""
     return f"""
     array_join(
       transform(
         aggregate(
-          transform({ws_sql}, w -> xxhash64(w)),
+          transform({ws_sql},
+                    w -> cast(conv(substring(md5(w), 1, 14), 16, 10) as long)),
           array_repeat(0L, {nbits}),
           (acc, h) -> zip_with(
             acc,
@@ -281,27 +288,73 @@ def simhash_bits_expr(ws_sql: str, nbits: int = 64) -> str:
     """
 
 
-@op("dedup_simhash", oracle=None, category=CAT)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates — task-brief dedup addition
-    (rows-only; property-tested).
+_HAMMING_DUCK = "len([i for i in range(1, 57) if sh1[i] != sh2[i]])"
 
-    Pipeline: 64-bit SimHash per doc (aggregate fold, no explode) ->
-    4 bands of 16 bits -> equality join per band -> hamming distance
+_SIMHASH_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w FROM d WHERE len(ws) > 0),
+h AS (
+  SELECT doc_id,
+         ({_duck_hex28('md5(w)', 1)} * 268435456 + {_duck_hex28('md5(w)', 8)}) AS h
+  FROM w
+),
+bits AS (
+  SELECT doc_id, bi.i AS i,
+         sum(CASE WHEN (h >> bi.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 56)) AS i) bi
+  GROUP BY doc_id, bi.i
+),
+sh AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sh
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sh, bb.b AS band_idx, substr(sh, 1 + 14 * bb.b, 14) AS band_bits
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id1, b2.doc_id AS doc_id2,
+         b1.sh AS sh1, b2.sh AS sh2
+  FROM bands b1
+  JOIN bands b2 ON b1.band_idx = b2.band_idx
+              AND b1.band_bits = b2.band_bits
+              AND b1.doc_id < b2.doc_id
+)
+SELECT doc_id1, doc_id2,
+       CAST({_HAMMING_DUCK} AS BIGINT) AS hamming
+FROM cand
+WHERE {_HAMMING_DUCK} <= 6
+"""
+
+
+@op("dedup_simhash", oracle=_SIMHASH_ORACLE, category=CAT)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates — task-brief dedup addition.
+
+    Pipeline: 56-bit SimHash per doc (aggregate fold, no explode) ->
+    4 bands of 14 bits -> equality join per band -> hamming distance
     <= 6 verification.  Banding guarantees recall for hamming <= 3
-    (pigeonhole: one of 4 bands must match exactly)."""
+    (pigeonhole: one of 4 bands must match exactly).
+
+    Hash-checked since round 3: the per-word hash is md5-derived
+    integer arithmetic (see simhash_bits_expr), so the oracle replays
+    the ENTIRE pipeline — word hashes, bit votes, banding, candidate
+    join, hamming verify — and must land on the identical pair set."""
     d = spread(load(spark, sf_dir, "documents"))
     # normalize via the shared translate() char-map first (DataFrame
     # API — no SQL-literal escaping of the punctuation set needed),
     # then the SQL-dialect SimHash fold over the named column.
-    docs = d.select("doc_id", _words().alias("ws")).select(
+    docs = d.select("doc_id", _words().alias("ws")).filter(
+        F.size("ws") > 0
+    ).select(
         "doc_id", F.expr(simhash_bits_expr("ws")).alias("sh")
     )
     bands = docs.select(
         "doc_id",
         "sh",
         F.posexplode(
-            F.array(*[F.substring("sh", 1 + 16 * b, 16) for b in range(4)])
+            F.array(*[F.substring("sh", 1 + 14 * b, 14) for b in range(4)])
         ).alias("band_idx", "band_bits"),
     )
     b1, b2 = bands.alias("b1"), bands.alias("b2")

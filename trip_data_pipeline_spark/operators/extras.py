@@ -285,10 +285,21 @@ def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionByName(fresh).unionByName(untouched)
 
 
-@op("sink_json_roundtrip", oracle=None, category=CAT)
+@op(
+    "sink_json_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+""",
+    category=CAT,
+)
 def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON lines publish + schema-on-read ingest round trip
-    (rows-only: side-effecting)."""
+    """JSON lines publish + schema-on-read ingest round trip.
+
+    Hash-checked since round 3: the JSON cycle is lossless for these
+    types, so the post-roundtrip aggregate must equal the same
+    aggregate on the source table."""
     out = tempfile.mkdtemp(prefix="sink_json_")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -303,10 +314,21 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_orc_roundtrip", oracle=None, category=CAT)
+@op(
+    "sink_orc_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+       round(sum(p_retailprice), 2) AS total_price
+FROM part
+""",
+    category=CAT,
+)
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC publish + ingest round trip (rows-only: side-effecting) —
-    second columnar format besides parquet."""
+    """ORC publish + ingest round trip — second columnar format
+    besides parquet.  Hash-checked since round 3: ORC round-trips
+    losslessly, so the post-roundtrip aggregate must equal the
+    source-table aggregate."""
     out = tempfile.mkdtemp(prefix="sink_orc_")
     p = load(spark, sf_dir, "part")
     p.write.mode("overwrite").orc(out)
@@ -349,9 +371,22 @@ def bucketed_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
 
 
-@op("join_bucketed_colocated", oracle=None, category=CAT)
+@op(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+    category=CAT,
+)
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed co-located join (rows-only: side-effecting setup).
+    """Bucketed co-located join.  Hash-checked since round 3: the
+    bucketed-table join must produce exactly the rows of the plain
+    join on the source tables — bucketing changes the physical plan
+    (no Exchange), never the result.
 
     Writes orders and customer bucketed by the join key
     (bucketBy(8, custkey) + sortBy), then joins the two bucketed

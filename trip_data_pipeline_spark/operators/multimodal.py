@@ -174,13 +174,36 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("multimodal_frame_sample", oracle=None, category=CAT)
+@op(
+    "multimodal_frame_sample",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(CAST(ceil(least(nb, 256) / 32.0) AS BIGINT), 8))) AS fi
+  FROM v WHERE nb > 0
+)
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(ord(text[CAST(fi * 32 + 1 AS INT)]) AS INT) AS frame_val
+FROM f
+""",
+    category=CAT,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling from 'video' payloads: every 32nd byte as a
-    frame, max 8 frames per doc — task-brief multimodal addition
-    (rows-only).  Same shape as real frame extraction: one input row ->
-    bounded number of (doc, frame_idx, frame) rows, explode done
-    JVM-side after the batch decode."""
+    frame, max 8 frames per doc — task-brief multimodal addition.
+    Same shape as real frame extraction: one input row -> bounded
+    number of (doc, frame_idx, frame) rows, explode done JVM-side
+    after the batch decode.
+
+    Hash-checked since round 3: the fixture payloads are the utf-8
+    bytes of documents.text (pure ASCII — verified octet_length ==
+    length), so the sampled byte at offset 32*i is ord() of the
+    corresponding character and the whole explosion replays in SQL."""
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_val": []}

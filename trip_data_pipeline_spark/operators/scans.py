@@ -78,10 +78,24 @@ def scan_multi_sf_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s)
 
 
-@op("sink_parquet_partitioned", oracle=None, category=CAT)
+@op(
+    "sink_parquet_partitioned",
+    oracle="""
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+""",
+    category=CAT,
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write partitioned-by-year parquet, read back, count per partition
-    — SURVEY.md §2.1 row 4 (rows-only: side-effecting).
+    — SURVEY.md §2.1 row 4.
+
+    Hash-checked since round 3: parquet round-trips losslessly, so the
+    per-partition aggregate over the read-back directory must equal the
+    same aggregate computed directly on the source table — the oracle
+    verifies the write+read cycle end to end, not just that it ran.
 
     The partition column becomes the directory key: at 100 TB this
     layout gives static+dynamic partition pruning on the publish side.
@@ -98,10 +112,24 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_csv_roundtrip", oracle=None, category=CAT)
+@op(
+    "sink_csv_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+       round(sum(p_retailprice), 2) AS total_price
+FROM part
+""",
+    category=CAT,
+)
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV publish + schema-on-read ingest round trip — SURVEY.md §2.1
-    row 5 (rows-only: side-effecting)."""
+    row 5.
+
+    Hash-checked since round 3: Spark writes doubles via Java's
+    shortest-round-trip Double.toString and parses them back exactly,
+    so the post-roundtrip aggregate must equal the source-table
+    aggregate — a lossy CSV cycle would hash-mismatch."""
     out = tempfile.mkdtemp(prefix="sink_csv_")
     p = load(spark, sf_dir, "part")
     p.write.mode("overwrite").option("header", True).csv(out)
