@@ -498,3 +498,75 @@ def test_spread_no_shuffle_when_wide(spark):
 
 def _df_exec_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- §2.17 scale-pipeline tranche (round 3) -------------------------------
+
+
+def test_pagerank_no_cartesian_fixed_depth(spark):
+    """3 unrolled PageRank supersteps: every join is keyed (edge list
+    vs rank map on src, contribution map back on node) — no cartesian
+    blowup — and contributions partial-aggregate before the shuffle."""
+    p = _plan(spark, "graph_pagerank_int")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 6  # partial+final per superstep
+
+
+def test_interval_overlap_bucketed_equijoin(spark):
+    """Interval-vs-interval overlap joins on the exploded week bucket
+    (equi), never as an unbounded theta join."""
+    p = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "wk" in p  # bucket key participates in the join
+
+
+def test_snapshot_diff_single_full_outer(spark):
+    """The diff is ONE key-partitioned full outer join of the two
+    snapshots — change classification is projection, not extra joins."""
+    p = _plan(spark, "table_snapshot_diff")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_skyline_window_not_selfjoin(spark):
+    """Pareto skyline is the O(n log n) window form: no dominance
+    self-join (which would materialize O(n^2) candidate pairs)."""
+    p = _plan(spark, "skyline_pareto_per_group")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_assign_broadcasts_codebook(spark):
+    """PQ assignment broadcasts the 16-row codebook (bounded
+    broadcast-of-constant, the documented exception to the no-BNLJ
+    rule) and reduces via partial/final integer aggregates."""
+    p = _plan(spark, "embed_pq_assign")
+    assert "BroadcastNestedLoopJoin" in p  # 16-row codebook, no key
+    assert p.count("HashAggregate") >= 4  # dist sum + argmin, partial+final
+
+
+def test_heavy_hitters_broadcast_total_partial_counts(spark):
+    """Exact heavy hitters: per-word counts partial-aggregate before
+    the word shuffle; the 1-row corpus total broadcasts into the
+    threshold filter — nothing corpus-sized on one node."""
+    p = _plan(spark, "freq_heavy_hitters_exact")
+    assert "BroadcastNestedLoopJoin" in p  # 1-row total
+    assert p.count("partial_count") >= 1
+    assert "CartesianProduct" not in p
+
+
+def test_rollup_merge_two_level_aggregate(spark):
+    """Partial-merge rollup: day-level aggregate then month-level merge
+    — two partial/final HashAggregate pairs, one shuffle per level."""
+    p = _plan(spark, "rollup_incremental_merge")
+    assert p.count("HashAggregate") >= 4
+
+
+def test_binary_files_scan_is_filesource(spark):
+    """binaryFile rides the standard FileScan machinery (distributed
+    listing, per-file splits) — not a driver-side read."""
+    p = _plan(spark, "scan_binary_files")
+    assert "binaryFile" in p or "FileScan" in p

@@ -1,0 +1,590 @@
+"""§2.17 scale-pipeline operators (round-3 additions, SURVEY.md §2.17).
+
+Eight ops rounding out the large-cluster pipeline surface: an
+iterative PageRank with integer-exact arithmetic, incremental rollup
+merging (partial-agg reuse), the binaryFile source, an
+interval-overlap join, snapshot diffing, per-group Pareto skylines,
+product-quantization code assignment, and exact heavy hitters.  All
+hash-checked: every ranking/membership decision is integer arithmetic
+(the round-3 cross-engine exactness conventions), so DuckDB replays
+each pipeline bit-identically.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import as_date, bigint, r2, spread
+from trip_data_pipeline_spark.operators.graph import _copart_edges
+from trip_data_pipeline_spark.operators.text_ops import _duck_words, _words
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.17 scale-pipeline ops (round-3 additions)"
+
+
+# --------------------------------------------------------------------------
+# PageRank — iterative, integer-exact
+# --------------------------------------------------------------------------
+
+_PR_EDGES_DUCK = """
+op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+n AS (SELECT src AS node FROM deg)
+"""
+
+
+def _pr_iter_duck(prev: str, out: str) -> str:
+    """One PageRank iteration as a DuckDB CTE pair (contribution sum +
+    damped update) — integer // arithmetic mirrors Spark's div."""
+    return f"""
+c_{out} AS (
+  SELECT e.dst AS node, sum({prev}.r // deg.d) AS s
+  FROM e JOIN {prev} ON {prev}.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY 1
+),
+{out} AS (
+  SELECT n.node, 150000 + (850 * COALESCE(c_{out}.s, 0)) // 1000 AS r
+  FROM n LEFT JOIN c_{out} ON c_{out}.node = n.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH {_PR_EDGES_DUCK},
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+{_pr_iter_duck('r0', 'r1')},
+{_pr_iter_duck('r1', 'r2')},
+{_pr_iter_duck('r2', 'r3')}
+SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM r3
+"""
+
+
+@op("graph_pagerank_int", oracle=_PAGERANK_ORACLE, category=CAT)
+def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 fixed iterations, damping 0.85 — iterative link
+    analysis over the part co-occurrence graph (same edge derivation
+    as graph_connected_components).
+
+    Integer-exact: ranks are parts-per-million integers, contributions
+    use floor division (Spark ``div`` == DuckDB ``//``), and the damped
+    update is ``150000 + 850*sum div 1000`` — no float ever enters, so
+    both engines land on identical ranks and the op hash-checks (an
+    approximation-free replay a float PageRank could never give).
+
+    Scale: each iteration is one join of the edge list with the
+    (node, rank) map on src plus a partial/final sum on dst — the same
+    co-partitioned per-superstep cost as connected components; edges
+    are localCheckpoint'ed once and reused, and a fixed iteration
+    count means a fixed-depth plan (no driver convergence probe
+    needed).  At 100 TB the edge list is hash-partitioned on src once
+    and every superstep reuses that partitioning."""
+    edges = _copart_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(bigint(F.count(F.lit(1))).alias("d"))
+    nodes = deg.select(F.col("src").alias("node"))
+    rank = nodes.select("node", F.lit(1000000).cast("bigint").alias("r"))
+    e_deg = edges.join(deg, "src")
+    for _ in range(3):
+        contrib = (
+            e_deg.join(rank.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(150000) + F.expr("850 * coalesce(s, 0) div 1000")).alias("r"),
+        )
+    return rank.select("node", bigint(F.col("r")).alias("rank_ppm"))
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup merge — partial-aggregate reuse
+# --------------------------------------------------------------------------
+
+
+@op(
+    "rollup_incremental_merge",
+    oracle="""
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(round(sum(o_totalprice), 2) / count(*), 2) AS avg_price
+FROM orders
+GROUP BY 1, 2
+""",
+    category=CAT,
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: daily partial aggregates merged
+    into monthly finals — the materialized-view pattern where each new
+    day's partition aggregates once and coarser rollups merge partials
+    instead of rescanning history (sum-of-sums, count-of-counts,
+    min-of-mins, max-of-maxes; avg recomposed exactly from merged
+    sum/count, never averaged-of-averages).
+
+    The oracle aggregates the source directly — the hash check proves
+    merge-of-partials is value-identical to a full recompute.
+
+    Scale: at 100 TB the daily partials are tiny (days x priorities
+    rows) regardless of fact size, so the monthly merge touches
+    KB not TB; the expensive pass is the per-day partial, which runs
+    once per new partition."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        as_date(F.col("o_orderdate")).alias("day"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    return (
+        daily.groupBy(F.trunc("day", "month").alias("month"), "o_orderpriority")
+        .agg(
+            bigint(F.sum("n")).alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .select(
+            "month",
+            "o_orderpriority",
+            "n",
+            r2(F.col("s")).alias("total"),
+            r2(F.col("mn")).alias("lo"),
+            r2(F.col("mx")).alias("hi"),
+            # divide the ROUNDED (exact-cents) total, not the raw sum:
+            # partial-merge order perturbs the raw double's last ulp,
+            # which can flip round(s/n) at a half-cent boundary; the
+            # rounded total is bit-identical in both engines, so the
+            # division (and its rounding) is too.
+            r2(r2(F.col("s")) / F.col("n")).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# binaryFile source
+# --------------------------------------------------------------------------
+
+
+@op(
+    "scan_binary_files",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 64
+""",
+    category=CAT,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — whole-file ingestion of opaque
+    payloads (the on-ramp for image/audio corpora: one row per file
+    with path, length, and raw bytes).
+
+    Setup materializes the first 64 documents as individual files;
+    the scan reads them back whole-file and the oracle checks byte
+    length and content md5 against the source rows — a truncated or
+    corrupted read would hash-mismatch.
+
+    Scale: binaryFile is a FileFormat scan like parquet — splits are
+    whole files, listing is distributed, and pathGlobFilter/
+    recursiveFileLookup prune at listing time.  The per-file payload
+    stays in one row, so downstream decode parallelism is per-file
+    (pair with mapInPandas decoders, cf. multimodal_decode_ppm)."""
+    out = tempfile.mkdtemp(prefix="binsrc_")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for row in docs:
+        with open(os.path.join(out, f"doc_{row.doc_id}.txt"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    b = spark.read.format("binaryFile").load(out)
+    return b.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        bigint(F.col("length")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join
+# --------------------------------------------------------------------------
+
+_IVL_DUCK = """
+iv AS (
+  SELECT o_orderkey AS id,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + CAST((o_orderkey % 7) + 1 AS INTEGER) AS e,
+         o_orderkey % 2 AS side
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+"""
+
+
+@op(
+    "join_interval_overlap",
+    oracle=f"""
+WITH {_IVL_DUCK}
+SELECT a.id AS left_id,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1) AS BIGINT)
+         AS overlap_days
+FROM iv a JOIN iv b
+  ON a.side = 0 AND b.side = 1 AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1
+""",
+    category=CAT,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-vs-interval overlap join — the two-sided generalization
+    of the point-in-interval containment op: reservation-style windows
+    on both sides, pairs that overlap in time.
+
+    Spark has no native interval join, so the scale formulation
+    explodes each interval into its covered week buckets and
+    equi-joins on the bucket (candidates bounded per bucket because
+    interval length is bounded: <= 8 days -> <= 2 buckets), dedups the
+    pairs, then verifies true overlap — the standard bucketed range
+    join.  The oracle runs the direct theta join; identical results
+    prove the bucketing loses nothing.
+
+    Scale: the only shuffle is the bucket equi-join; a naive theta
+    join would be a cartesian product.  Bucket width tracks the max
+    interval length so each interval lands in O(1) buckets."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    iv = o.select(
+        F.col("o_orderkey").alias("id"),
+        as_date(F.col("o_orderdate")).alias("s"),
+        F.date_add(
+            as_date(F.col("o_orderdate")),
+            ((F.col("o_orderkey") % 7) + 1).cast("int"),
+        ).alias("e"),
+        (F.col("o_orderkey") % 2).alias("side"),
+    )
+    # week bucket indices covered by [s, e] (epoch-day // 7)
+    wk = iv.withColumn(
+        "wk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_date("s") / 7), F.floor(F.unix_date("e") / 7)
+            )
+        ),
+    )
+    a = wk.filter(F.col("side") == 0).select(
+        F.col("id").alias("left_id"), F.col("s").alias("s1"),
+        F.col("e").alias("e1"), "wk",
+    )
+    b = wk.filter(F.col("side") == 1).select(
+        F.col("id").alias("right_id"), F.col("s").alias("s2"),
+        F.col("e").alias("e2"), "wk",
+    )
+    pairs = (
+        a.join(b, "wk")
+        .filter((F.col("s1") <= F.col("e2")) & (F.col("s2") <= F.col("e1")))
+        .select(
+            "left_id", "right_id",
+            (
+                F.datediff(
+                    F.least("e1", "e2"), F.greatest("s1", "s2")
+                ) + 1
+            ).alias("od"),
+        )
+        .distinct()  # same pair can meet in 2 shared buckets
+    )
+    return pairs.groupBy("left_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_overlaps"),
+        bigint(F.sum("od")).alias("overlap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff
+# --------------------------------------------------------------------------
+
+
+@op(
+    "table_snapshot_diff",
+    oracle="""
+WITH snap_b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey % 53 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000000, o_orderstatus
+  FROM orders WHERE o_orderkey % 41 = 0
+),
+d AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_orderstatus AS old_status,
+         b.o_orderstatus AS new_status,
+         CASE WHEN b.o_orderkey IS NULL THEN 'D'
+              WHEN a.o_orderkey IS NULL THEN 'I'
+              WHEN a.o_orderstatus <> b.o_orderstatus THEN 'U'
+              ELSE NULL END AS change_type
+  FROM (SELECT o_orderkey, o_orderstatus FROM orders) a
+  FULL OUTER JOIN snap_b b USING (o_orderkey)
+)
+SELECT o_orderkey, change_type, old_status, new_status
+FROM d WHERE change_type IS NOT NULL
+""",
+    category=CAT,
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff: classify every key as
+    insert/update/delete between two versions (the reconciliation
+    primitive behind CDC validation, backfill audits, and
+    lakehouse-table drift checks).
+
+    Snapshot B is derived deterministically from A (deletes where
+    key%53=0, status updates where key%31=0, inserts as key+1e10
+    clones where key%41=0), so the oracle replays the same derivation
+    and the diff must classify every key identically.
+
+    Scale: one full outer join hash-partitioned on the key — both
+    snapshots shuffle once; with bucketed/sorted snapshots (cf.
+    join_bucketed_colocated) the diff is exchange-free.  Unchanged
+    rows are dropped pre-output so the result is change-volume-sized,
+    not table-sized."""
+    a = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    b = (
+        a.filter(F.col("o_orderkey") % 53 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 31 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .unionAll(
+            a.filter(F.col("o_orderkey") % 41 == 0).select(
+                (F.col("o_orderkey") + F.lit(10000000000)).alias("o_orderkey"),
+                "o_orderstatus",
+            )
+        )
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    d = aa.join(bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), "D")
+        .when(F.col("a.o_orderkey").isNull(), "I")
+        .when(F.col("a.o_orderstatus") != F.col("b.o_orderstatus"), "U")
+        .alias("change_type"),
+        F.col("a.o_orderstatus").alias("old_status"),
+        F.col("b.o_orderstatus").alias("new_status"),
+    )
+    return d.filter(F.col("change_type").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline per group
+# --------------------------------------------------------------------------
+
+
+@op(
+    "skyline_pareto_per_group",
+    oracle="""
+WITH pts AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT *,
+         max(n_orders) OVER (PARTITION BY c_mktsegment ORDER BY bal_cents DESC
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m_strict,
+         max(n_orders) OVER (PARTITION BY c_mktsegment, bal_cents) AS m_tie
+  FROM pts
+)
+SELECT c_mktsegment, c_custkey, bal_cents, n_orders
+FROM w
+WHERE NOT (COALESCE(m_strict >= n_orders, FALSE) OR m_tie > n_orders)
+""",
+    category=CAT,
+)
+def skyline_pareto_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline per market segment: customers not dominated on
+    (account balance, order count) — multi-criteria top-set analytics
+    (a point is dominated if another is >= on both axes and > on one).
+
+    O(n log n) window formulation instead of the quadratic dominance
+    self-join: sort each group by balance descending; a point is
+    dominated iff the max order-count over strictly-higher balances
+    reaches its own (``RANGE ... 1 PRECEDING`` on the integer-cents
+    key = bal' > bal exactly) or a same-balance point strictly beats
+    it.  Integer cents keep the range frame and every comparison
+    engine-exact.
+
+    Scale: one shuffle on the group key, then a per-group sort —
+    the skyline never materializes candidate pairs, vs the self-join
+    form whose intermediate is O(n^2) per group."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pts = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(
+            "c_mktsegment",
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("bal_cents"),
+        )
+        .agg(bigint(F.count("o_orderkey")).alias("n_orders"))
+    )
+    w_strict = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("bal_cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy("c_mktsegment", "bal_cents")
+    w = pts.select(
+        "*",
+        F.max("n_orders").over(w_strict).alias("m_strict"),
+        F.max("n_orders").over(w_tie).alias("m_tie"),
+    )
+    dominated = F.coalesce(
+        F.col("m_strict") >= F.col("n_orders"), F.lit(False)
+    ) | (F.col("m_tie") > F.col("n_orders"))
+    return w.filter(~dominated).select(
+        "c_mktsegment", "c_custkey", "bal_cents", "n_orders"
+    )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization code assignment
+# --------------------------------------------------------------------------
+
+PQ_SUBS = 8  # 64 dims -> 8 subspaces x 8 dims
+PQ_CENTS = 16
+
+
+@op(
+    "embed_pq_assign",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, gd,
+         CAST(floor(CAST(embedding[CAST(gd + 1 AS INT)] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS val
+  FROM (SELECT vec_id, embedding, unnest(range(0, 64)) AS gd FROM embeddings)
+),
+d AS (
+  SELECT vec_id, gd // 8 AS subspace, cc.c AS c,
+         sum((val - ((cc.c * 31 + gd * 17) % 21 - 10) * 1000)
+             * (val - ((cc.c * 31 + gd * 17) % 21 - 10) * 1000)) AS dist
+  FROM v CROSS JOIN (SELECT unnest(range(0, {PQ_CENTS})) AS c) cc
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, CAST(subspace AS INT) AS subspace,
+       CAST(min(dist * {PQ_CENTS} + c) % {PQ_CENTS} AS INT) AS code
+FROM d GROUP BY 1, 2
+""",
+    category=CAT,
+)
+def embed_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: 64-dim embeddings split
+    into 8 subvectors, each assigned to its nearest of 16 fixed
+    centroids — the index-build step of a PQ/IVF-PQ ANN system (codes
+    compress each vector 64 floats -> 8 nibbles for in-memory search).
+
+    The codebook is a deterministic integer lattice
+    (cent[c][gd] = (c*31 + gd*17) % 21 - 10, scaled x1000 to match
+    millis-quantized vectors), distances are exact integer sums of
+    squares, and the argmin ties break to the lowest code via the
+    ``min(dist*16 + c) % 16`` encoding — bit-identical in both
+    engines, so assignment membership can never flip.
+
+    Scale: posexplode -> one shuffle keyed (vec_id, subspace); the
+    16-row centroid table broadcasts; output is 8 rows per vector.
+    A trained codebook would arrive the same way — a small broadcast
+    relation — leaving the plan unchanged."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    v = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("gd", "x")
+    ).select(
+        "vec_id",
+        "gd",
+        F.floor(F.col("x").cast("double") * 1000 + 0.5).cast("bigint").alias("val"),
+    )
+    cents = spark.range(PQ_CENTS).select(F.col("id").cast("int").alias("c"))
+    cent_val = ((F.col("c") * 31 + F.col("gd") * 17) % 21 - 10) * 1000
+    diff = F.col("val") - cent_val
+    d = (
+        v.join(F.broadcast(cents))
+        .groupBy(
+            "vec_id",
+            F.expr("gd div 8").cast("int").alias("subspace"),
+            "c",
+        )
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    return d.groupBy("vec_id", "subspace").agg(
+        (F.min(F.col("dist") * PQ_CENTS + F.col("c")) % PQ_CENTS)
+        .cast("int")
+        .alias("code")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters
+# --------------------------------------------------------------------------
+
+
+@op(
+    "freq_heavy_hitters_exact",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({_duck_words()}) AS word FROM documents
+),
+tot AS (SELECT count(*) AS t FROM w),
+cnt AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
+SELECT word, CAST(n AS BIGINT) AS cnt,
+       CAST(n * 1000000 // t AS BIGINT) AS freq_ppm
+FROM cnt, tot
+WHERE n * 1000 > t
+""",
+    category=CAT,
+)
+def freq_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: words above 0.1% of total token
+    mass — the vocabulary-pruning / stopword-discovery primitive
+    (the exact two-pass counterpart of sketch-based heavy hitters:
+    same output contract, checkable).
+
+    Frequency is integer parts-per-million (``n*1e6 div total``) and
+    the threshold test is cross-multiplied (``n*1000 > total``) — no
+    division ever decides membership.
+
+    Scale: one explode + partial/final count per word, plus a 1-row
+    global total broadcast into the filter — no corpus-sized state on
+    any single node, no second scan of the raw text (the word counts
+    are reused for both threshold and output)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = d.select(F.explode(_words()).alias("word"))
+    cnt = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = words.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        cnt.join(F.broadcast(tot))
+        .filter(F.col("n") * 1000 > F.col("t"))
+        .select(
+            "word",
+            bigint(F.col("n")).alias("cnt"),
+            bigint(F.expr("n * 1000000 div t")).alias("freq_ppm"),
+        )
+    )
