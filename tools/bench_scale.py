@@ -1,0 +1,127 @@
+"""Replicated-scale Spark-vs-DuckDB bench (BASELINE.md evidence).
+
+Builds the COPIES-x replication of the sf0.1 fixtures (reusing
+tools/scale_probe.py's builder: keys shifted per copy, facts written
+as NFILES files so both engines get real scan parallelism and AQE
+sees multi-mapper shuffles), then runs the headline query set through
+BOTH engines with the bench.py protocol (1 warm + 2 timed, min) and
+prints ONE machine-readable JSON line in the BENCH_10x_r03.json
+format.
+
+The quadratic-output ops (join_theta_band and its bucketed twin) are
+excluded above 10x by default: their OUTPUT grows with the square of
+the per-key replication, so past 10x the run measures result
+materialization, not engine work — every other headline query has
+scale-invariant or linear output.
+
+Usage:
+  python tools/bench_scale.py                  # 100x
+  BENCH_COPIES=10 python tools/bench_scale.py  # the 10x artifact
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COPIES = int(os.environ.get("BENCH_COPIES", "100"))
+NFILES = int(os.environ.get("BENCH_NFILES", "64" if COPIES > 10 else "16"))
+DST = os.environ.get("BENCH_DST", f"/tmp/scale_probe_x{COPIES}")
+
+os.environ["PROBE_COPIES"] = str(COPIES)
+os.environ["PROBE_NFILES"] = str(NFILES)
+os.environ["PROBE_DST"] = DST
+
+from tools import scale_probe  # noqa: E402  (env must be set first)
+
+scale_probe.COPIES = COPIES
+scale_probe.NFILES = NFILES
+scale_probe.DST = DST
+
+QUERIES = [
+    "agg_pricing_summary",
+    "join_star_5way",
+    "win_topk_per_group",
+    "agg_grouping_sets",
+    "sessionize_batch",
+    "text_term_freq",
+    "sim_cosine_pairwise_topk",
+    "dedup_exact_hash",
+    "limit_topk",
+]
+if COPIES <= 10:
+    QUERIES.insert(2, "join_theta_band")
+if os.environ.get("BENCH_QUERIES"):
+    QUERIES = os.environ["BENCH_QUERIES"].split(",")
+
+
+def main() -> None:
+    from trip_data_pipeline_spark import get_session
+    from trip_data_pipeline_spark.registry import OPS, queries
+
+    queries()
+    spark = get_session("bench-scale")
+    scale_probe.build(spark)
+
+    results: dict[str, float] = {}
+    for name in QUERIES:
+        fn = OPS[name].fn
+
+        def run() -> None:
+            fn(spark, DST).write.format("noop").mode("overwrite").save()
+
+        run()
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(min(times), 3)
+        print(f"  spark {name}: {results[name]}s", file=sys.stderr)
+
+    from tests.oracle import duck_connect
+
+    con = duck_connect(DST)
+    duck: dict[str, float] = {}
+    for name in QUERIES:
+        sql = OPS[name].oracle
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+        duck[name] = round(min(times), 3)
+        print(f"  duck  {name}: {duck[name]}s", file=sys.stderr)
+
+    total = round(sum(results.values()), 3)
+    dtotal = round(sum(duck.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"headline_queries_total_runtime_{COPIES}x",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "duckdb_value": dtotal,
+                "duckdb_queries": duck,
+                "ratios": {
+                    n: round(results[n] / duck[n], 2) for n in duck if duck[n] > 0
+                },
+                "total_ratio": round(total / dtotal, 2) if dtotal else None,
+                "copies": COPIES,
+                "layout_files": NFILES,
+                "sf_equivalent_lineitem_rows": 600_000 * COPIES,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

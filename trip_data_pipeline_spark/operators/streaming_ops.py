@@ -190,12 +190,30 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
 _LATE_SCHEMA = RAW_EVENTS_SCHEMA
 
 
-@op("stream_watermark_late", oracle=None, category=CAT)
+@op(
+    "stream_watermark_late",
+    oracle="""
+WITH ot AS (SELECT ts FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM ot)
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+       CAST(count(*) AS BIGINT) AS n
+FROM ot, wm
+GROUP BY 1
+HAVING (((epoch_us(min(ts)) // 3600000000) + 1) * 3600000000) <= max(wm.w)
+""",
+    category=CAT,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics: 10-min watermark, append mode, late tail in
-    a second micro-batch — SURVEY.md §2.9 row 4 (rows-only; the golden
-    property 'late rows change nothing' is asserted in
-    tests/test_streaming.py).
+    a second micro-batch — SURVEY.md §2.9 row 4 (the golden property
+    'late rows change nothing' is asserted in tests/test_streaming.py).
+
+    Hash-checked since round 3: the emitted set is exactly the hourly
+    counts of ON-TIME rows for windows finalized by the watermark
+    (window_end <= max(on-time ts) - 10min) — the late batch-2 rows
+    are all days behind the watermark and must not contribute a single
+    count, so a watermark-semantics regression (late rows leaking in,
+    or unfinalized windows emitted) breaks the hash.
 
     After batch 0 the watermark is max(ts)-10min; the empty batch 1
     closes the on-time windows, and every batch-2 row is days older
@@ -221,11 +239,22 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_dedup_watermark", oracle=None, category=CAT)
+@op(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+    category=CAT,
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) within the
-    watermark — SURVEY.md §2.9 row 5 (rows-only per survey; the emitted
-    key set equals batch DISTINCT, asserted in tests)."""
+    watermark — SURVEY.md §2.9 row 5.
+
+    Hash-checked since round 3: the fixture drains as ONE AvailableNow
+    micro-batch (single file source), so no dedup state can expire
+    mid-stream and the emitted key set must equal batch DISTINCT —
+    which is what the oracle aggregates."""
     ev = read_events_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "1 hour")
@@ -239,13 +268,23 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_stateful_runstate", oracle=None, category=CAT)
+@op(
+    "stream_stateful_runstate",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+""",
+    category=CAT,
+)
 def stream_stateful_runstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful op via applyInPandasWithState: running
-    per-user event count + value total — SURVEY.md §2.9 row 6
-    (rows-only).  State = (count, total) per user_id, updated per
-    micro-batch; with the fixture drained in one batch the final update
-    equals the per-user batch aggregate (asserted in tests)."""
+    per-user event count + value total — SURVEY.md §2.9 row 6.
+    State = (count, total) per user_id, updated per micro-batch.
+
+    Hash-checked since round 3: the fixture drains as one AvailableNow
+    batch, so each user emits exactly one update equal to the per-user
+    batch aggregate — the oracle computes it directly."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_user(key, pdfs, state: GroupState):
@@ -273,12 +312,25 @@ def stream_stateful_runstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stateful, "update")
 
 
-@op("stream_foreachbatch_sink", oracle=None, category=CAT)
+@op(
+    "stream_foreachbatch_sink",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+""",
+    category=CAT,
+)
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch micro-batch sink writing parquet, then re-read —
-    SURVEY.md §2.9 row 7 (rows-only: side-effecting).  foreachBatch is
-    the exactly-once escape hatch for sinks without native streaming
-    support."""
+    SURVEY.md §2.9 row 7.  foreachBatch is the exactly-once escape
+    hatch for sinks without native streaming support.
+
+    Hash-checked since round 3: exactly-once across however many
+    micro-batches means the sink accumulates every event exactly once,
+    so the aggregate over the re-read sink must equal the same
+    aggregate on the source table — a doubled or dropped batch breaks
+    the hash (the streaming sibling of the sink_*_roundtrip checks)."""
     out = tempfile.mkdtemp(prefix="febatch_") + "/out"
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
