@@ -570,3 +570,12 @@ def test_binary_files_scan_is_filesource(spark):
     listing, per-file splits) — not a driver-side read."""
     p = _plan(spark, "scan_binary_files")
     assert "binaryFile" in p or "FileScan" in p
+
+
+def test_asof_tolerance_bucketed_equijoin_grouplimit(spark):
+    """Unbounded-probe as-of: (uid, bucket) equi-join (no inequality
+    join / BNLJ) and rn=1 compiled to WindowGroupLimit."""
+    p = _plan(spark, "join_asof_bucketed_tolerance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p

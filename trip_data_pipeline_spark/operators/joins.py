@@ -614,3 +614,77 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.col("ev_s") - F.col("start_s")).alias("offset_s"),
         )
     )
+
+
+@op(
+    "join_asof_bucketed_tolerance",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey % 150 AS uid,
+         1704067200 + (o_orderkey * 1700) % 2592000 AS order_s
+  FROM orders
+), e AS (
+  SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS ev_s FROM events
+), j AS (
+  SELECT o.o_orderkey, o.order_s, e.event_id, e.ev_s,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ev_s DESC, e.event_id DESC) AS rn
+  FROM o JOIN e ON e.user_id = o.uid
+              AND e.ev_s <= o.order_s
+              AND e.ev_s >= o.order_s - 3600
+)
+SELECT o_orderkey, order_s, event_id AS last_event_id, ev_s AS last_ev_s
+FROM j WHERE rn = 1
+""",
+    category=CAT,
+)
+def join_asof_bucketed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance, UNBOUNDED probe side — the 100 TB
+    formulation the bounded join_asof_latest/nearest docstrings point
+    at, implemented: latest prior event within 1 hour for EVERY order.
+
+    A tolerance bound is what makes as-of bucketable: each event can
+    only serve probes in [ev_s, ev_s + tol], so it explodes into the
+    O(tol/width + 1) = 2 hour-buckets it covers, the probe keeps its
+    single bucket, and the join is a plain (uid, bucket) equi-join —
+    one shuffle, candidates bounded per bucket, no inequality-join
+    blowup and no bounded-probe hack.  row_number()=1 compiles to
+    WindowGroupLimit (per-group top-1 pruned before the full sort).
+    The oracle runs the direct inequality formulation over the full
+    probe side — identical results prove the bucketing loses nothing.
+    """
+    tol = 3600
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("uid"),
+        (F.lit(1704067200) + (F.col("o_orderkey") * 1700) % 2592000).alias("order_s"),
+    ).withColumn("bkt", F.expr(f"order_s div {tol}"))
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", epoch_s("ts").alias("ev_s"))
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    F.expr(f"ev_s div {tol}"), F.expr(f"(ev_s + {tol}) div {tol}")
+                )
+            ),
+        )
+    )
+    j = o.join(e, (o.uid == e.user_id) & (o.bkt == e.bkt)).filter(
+        (F.col("ev_s") <= F.col("order_s"))
+        & (F.col("ev_s") >= F.col("order_s") - tol)
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ev_s").desc(), F.col("event_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "order_s",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ev_s").alias("last_ev_s"),
+        )
+    )
