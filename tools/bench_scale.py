@@ -65,7 +65,15 @@ def main() -> None:
 
     queries()
     spark = get_session("bench-scale")
+    fresh_build = not os.path.exists(f"{DST}/_DONE")
     scale_probe.build(spark)
+    if fresh_build:
+        # Building replicates GBs through this JVM (cached blocks, GC
+        # pressure) and inflates the timings that follow — measured:
+        # sessionize_batch 16.0s in the build session vs 4.0s clean.
+        # Recycle the session so measurement starts from a cold heap.
+        spark.stop()
+        spark = get_session("bench-scale-measure")
 
     results: dict[str, float] = {}
     for name in QUERIES:

@@ -196,6 +196,15 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into customer, then orders, then lineitem) so the big
     fact table joins last against already-reduced sides; the region
     filter prunes before any shuffle of facts.
+
+    The lineitem<->orders join carries a SHUFFLE_HASH hint: the
+    date-filtered orders side is far smaller than lineitem but far
+    above any broadcast threshold, and sort-merge would SORT the 100x
+    fact side for nothing — building a hash map from the filtered
+    orders partition and streaming lineitem through it halved the
+    measured 100x wall-clock (6-11s SMJ -> ~3.5s SHJ; the sort
+    dominated).  At cluster scale the per-partition build side is
+    bounded by shuffle.partitions, which scales with the data.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(
@@ -210,7 +219,7 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.c_nationkey == F.col("n_nationkey"),
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
         .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
