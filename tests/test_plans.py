@@ -579,3 +579,23 @@ def test_asof_tolerance_bucketed_equijoin_grouplimit(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_winnowing_no_corpus_broadcast_bounded_pairs(spark):
+    """Winnowing: per-doc winnow is a doc-partition window; doc
+    frequency is a count() window over the fingerprint partition
+    (join-free, like tfidf) — no corpus-sized broadcast anywhere."""
+    p = _plan(spark, "text_winnowing_fingerprint")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 2  # winnow min + df count
+
+
+def test_resample_single_sort_no_selfjoin(spark):
+    """Linear resample: prev/next come from two frames over ONE
+    user-partitioned sort of the events+grid union — no self-join,
+    no per-grid-point probe."""
+    p = _plan(spark, "timeseries_resample_linear")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p

@@ -588,3 +588,234 @@ def freq_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.expr("n * 1000000 div t")).alias("freq_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (MOSS-style)
+# --------------------------------------------------------------------------
+
+WINNOW_W = 4  # fingerprint window over consecutive shingle hashes
+WINNOW_MAX_DF = 50  # common-fingerprint elimination threshold
+WINNOW_MIN_SHARED = 3
+
+
+def _winnow_oracle() -> str:
+    from trip_data_pipeline_spark.operators.dedup import _duck_hex28
+
+    return f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+d6 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 6),
+sh AS (SELECT doc_id, i AS pos, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+       FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS i FROM d6)),
+h AS (SELECT doc_id, pos, {_duck_hex28('md5(s)', 1)} AS h FROM sh),
+enc AS (SELECT doc_id, pos, h * 2097152 + (1048576 - pos) AS e,
+               count(*) OVER (PARTITION BY doc_id) AS ns
+        FROM h),
+winm AS (SELECT doc_id, pos, ns,
+                min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                  AS me
+         FROM enc),
+fp AS (SELECT DISTINCT doc_id, me // 2097152 AS fp
+       FROM winm WHERE pos <= ns - {WINNOW_W}),
+fpk AS (SELECT doc_id, fp FROM
+          (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fp)
+        WHERE df <= {WINNOW_MAX_DF})
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@op("text_winnowing_fingerprint", oracle=_winnow_oracle(), category=CAT)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): from each window of W=4
+    consecutive shingle hashes keep the minimal hash (rightmost on
+    ties), guaranteeing every sufficiently long match contributes at
+    least one shared fingerprint while storing only ~1/W of the
+    hashes; fingerprints appearing in > 50 docs are dropped (the
+    standard common-content elimination), and doc pairs sharing >= 3
+    surviving fingerprints are reported.
+
+    Engine-exact: shingle hashes are the md5-derived 28-bit family,
+    and the rightmost-min tie-break is encoded arithmetically
+    (min over h*2^21 + (2^20 - pos)), so DuckDB replays every
+    selection decision bit-identically.
+
+    Scale: the per-doc winnow is a map-side window (partition = doc);
+    the only corpus-wide state is the per-fingerprint doc frequency,
+    computed as a count() window over the fingerprint partition —
+    join-free, nothing corpus-sized broadcasts (same shape as
+    text_tfidf_topk).  The pair join is bounded per fingerprint by
+    the df <= 50 gate."""
+    from trip_data_pipeline_spark.operators.dedup import _hex28
+
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("ws"))
+        .filter(F.size("ws") >= 6)
+    )
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+            )
+        ).alias("pos", "s"),
+    )
+    h = sh.select(
+        "doc_id", "pos", _hex28(F.md5("s"), 1).alias("h")
+    ).select(
+        "doc_id",
+        "pos",
+        (F.col("h") * 2097152 + (1048576 - F.col("pos"))).alias("e"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    fp = (
+        h.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(w_doc).alias("ns"),
+            F.min("e").over(w_win).alias("me"),
+        )
+        .filter(F.col("pos") <= F.col("ns") - WINNOW_W)
+        .select("doc_id", F.expr("me div 2097152").alias("fp"))
+        .distinct()
+    )
+    fpk = fp.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("df") <= WINNOW_MAX_DF)
+    a = fpk.select(F.col("doc_id").alias("doc_id1"), "fp")
+    b = fpk.select(F.col("doc_id").alias("doc_id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_id1") < F.col("doc_id2"))
+        .groupBy("doc_id1", "doc_id2")
+        .agg(bigint(F.count(F.lit(1))).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series resampling with linear interpolation
+# --------------------------------------------------------------------------
+
+GRID_US = 900_000_000  # 15-minute grid
+
+
+@op(
+    "timeseries_resample_linear",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+bounds AS (SELECT user_id, min(us) AS mn, max(us) AS mx FROM ev GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(range(CAST(ceil(mn / {GRID_US}.0) AS BIGINT),
+                             CAST(floor(mx / {GRID_US}.0) AS BIGINT) + 1)) AS g
+         FROM bounds),
+u AS (
+  SELECT user_id, us AS t, vc, 0 AS is_grid FROM ev
+  UNION ALL
+  SELECT user_id, g * {GRID_US} AS t, NULL AS vc, 1 AS is_grid FROM grid
+),
+w AS (
+  SELECT user_id, t, is_grid,
+         last_value(vc IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN vc IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+         first_value(vc IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN vc IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY t, is_grid DESC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(t // 1000000 AS BIGINT) AS grid_s,
+       CAST(CASE WHEN nt = pt THEN pv
+            ELSE (pv * (nt - t) + nv * (t - pt)) // (nt - pt) END AS BIGINT)
+         AS v_interp_c
+FROM w WHERE is_grid = 1
+""",
+    category=CAT,
+)
+def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event series onto a 15-minute
+    grid with LINEAR interpolation between the surrounding
+    observations — the other half of gap handling beside
+    timeseries_gap_fill_locf (LOCF holds, this one interpolates; both
+    are what feature-store time alignment needs).
+
+    Interpolation is exact integer arithmetic on cent values and µs
+    timestamps: (pv*(nt-t) + nv*(t-pt)) div (nt-pt) — weights are
+    non-negative integers (events.value >= 0, grid inside [min, max]),
+    so Spark ``div`` and DuckDB ``//`` agree and the hash cannot
+    drift.  An observation exactly on a grid point wins both
+    directions (pt == nt -> its value verbatim).
+
+    Scale: the union of events and grid points sorts once per user
+    partition; prev/next are two frames over that one sort — no
+    self-join, no per-grid-point probe.  Grid density is fixed by the
+    time span, so output size is (users x span/15min) regardless of
+    event volume."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.ceil(F.col("mn") / F.lit(float(GRID_US))).cast("bigint"),
+                    F.floor(F.col("mx") / F.lit(float(GRID_US))).cast("bigint"),
+                )
+            ).alias("g"),
+        )
+        .select("user_id", (F.col("g") * GRID_US).alias("t"),
+                F.lit(None).cast("bigint").alias("vc"),
+                F.lit(1).alias("is_grid"))
+    )
+    u = ev.select("user_id", "t", "vc", F.lit(0).alias("is_grid")).unionByName(grid)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_grid").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("vc").isNotNull(), F.col("t"))
+    w = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("vc", ignorenulls=True).over(wp).alias("pv"),
+        F.last(ev_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("vc", ignorenulls=True).over(wn).alias("nv"),
+        F.first(ev_t, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+        F.expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)")
+    )
+    return (
+        w.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.expr("t div 1000000").cast("bigint").alias("grid_s"),
+            interp.cast("bigint").alias("v_interp_c"),
+        )
+    )
