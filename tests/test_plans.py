@@ -599,3 +599,11 @@ def test_resample_single_sort_no_selfjoin(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Union" in p
+
+
+def test_grid_density_cluster_no_cartesian(spark):
+    """DBSCAN-lite: density onto the fixed cell domain, neighbor
+    equi-join on exploded in-bounds neighbor ids, CC labels joined
+    back by key — no all-pairs distance join anywhere."""
+    p = _plan(spark, "geo_grid_density_cluster")
+    assert "CartesianProduct" not in p

@@ -819,3 +819,111 @@ def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             interp.cast("bigint").alias("v_interp_c"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN-lite: core cells + neighbor merge)
+# --------------------------------------------------------------------------
+
+
+def _dbscan_oracle() -> str:
+    from trip_data_pipeline_spark.operators.geo import _LAT_CENTI, _LON_CENTI
+
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT {_LAT_CENTI} // 100 AS cl, {_LON_CENTI} // 100 AS co FROM events),
+tot AS (SELECT count(*) AS t FROM pts),
+cells AS (SELECT cl, co, count(*) AS cnt FROM pts GROUP BY 1, 2),
+core AS (SELECT cl * 360 + co AS node, cl, co, cnt
+         FROM cells, tot WHERE cnt * 61200 > 2 * t),
+e0 AS (SELECT a.node AS src, b.node AS dst
+       FROM core a JOIN core b
+         ON abs(a.cl - b.cl) <= 1 AND abs(a.co - b.co) <= 1
+        AND a.node <> b.node),
+reach(node, r) AS (
+  SELECT src, src FROM e0
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN e0 e ON re.r = e.src
+),
+lab AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+SELECT CAST(COALESCE(lab.component, core.node) AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(core.cnt) AS BIGINT) AS n_points
+FROM core LEFT JOIN lab ON lab.node = core.node
+GROUP BY 1
+"""
+
+
+@op("geo_grid_density_cluster", oracle=_dbscan_oracle(), category=CAT)
+def geo_grid_density_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite) over the derived trip
+    coordinates: cells whose point count exceeds 2x the uniform mean
+    (cross-multiplied integer predicate — adapts to any SF with no
+    float division) are 'core'; core cells adjacent in the
+    8-neighborhood merge into clusters via the same pointer-jumping
+    connected components the dedup pipeline uses; isolated core cells
+    stay singleton clusters.
+
+    Scale: the density pass is a partial+final aggregate onto the
+    fixed 170x360 cell domain (tiny, whatever the input size); the
+    neighbor join explodes each core cell into its <= 8 in-bounds
+    neighbor ids and equi-joins on the neighbor id — never an all-pairs
+    distance join (the DuckDB oracle can afford the abs-diff theta
+    join because core cells are few; the Spark side uses the
+    formulation that survives a dense grid).  Cell ids guard the
+    domain bounds BEFORE encoding (cl*360+co is only bijective inside
+    the domain — an unguarded co = -1 would alias the previous row's
+    easternmost cell)."""
+    from trip_data_pipeline_spark.operators.geo import _LAT_CENTI, _LON_CENTI
+    from trip_data_pipeline_spark.operators.graph import connected_components
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr(f"{_LAT_CENTI} div 100").alias("cl"),
+        F.expr(f"{_LON_CENTI} div 100").alias("co"),
+    )
+    cells = pts.groupBy("cl", "co").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = pts.agg(F.count(F.lit(1)).alias("t"))
+    core = (
+        cells.join(F.broadcast(tot))
+        .filter(F.col("cnt") * 61200 > 2 * F.col("t"))
+        .select((F.col("cl") * 360 + F.col("co")).alias("node"), "cl", "co", "cnt")
+        .localCheckpoint()  # two consumers: edges (x2) and final agg
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dl).alias("dl"), F.lit(dc).alias("dc"))
+            for dl in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+            if not (dl == 0 and dc == 0)
+        ]
+    )
+    nbrs = (
+        core.select("node", "cl", "co", F.explode(offsets).alias("o"))
+        .select(
+            "node",
+            (F.col("cl") + F.col("o.dl")).alias("ncl"),
+            (F.col("co") + F.col("o.dc")).alias("nco"),
+        )
+        .filter(
+            (F.col("ncl") >= 0) & (F.col("ncl") <= 169)
+            & (F.col("nco") >= 0) & (F.col("nco") <= 359)
+        )
+        .select("node", (F.col("ncl") * 360 + F.col("nco")).alias("nbr"))
+    )
+    edges = nbrs.join(
+        core.select(F.col("node").alias("nbr")), "nbr"
+    ).select(F.col("node").alias("src"), F.col("nbr").alias("dst"))
+    lab = connected_components(edges).withColumnRenamed("node", "lnode")
+    return (
+        core.join(lab, core.node == F.col("lnode"), "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+            "cnt",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_cells"),
+            bigint(F.sum("cnt")).alias("n_points"),
+        )
+    )
