@@ -607,3 +607,13 @@ def test_grid_density_cluster_no_cartesian(spark):
     back by key — no all-pairs distance join anywhere."""
     p = _plan(spark, "geo_grid_density_cluster")
     assert "CartesianProduct" not in p
+
+
+def test_chunk_dedup_join_free_single_hash_shuffle(spark):
+    """Chunk dedup: global chunk frequency is a count() window over
+    the hash partition — join-free; chunking itself is map-side array
+    slicing (no shuffle of raw text)."""
+    p = _plan(spark, "dedup_chunk_exact")
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # join-free: window over the hash partition
+    assert "Window" in p

@@ -927,3 +927,73 @@ def geo_grid_density_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.sum("cnt")).alias("n_points"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level exact dedup (C4-style paragraph dedup)
+# --------------------------------------------------------------------------
+
+CHUNK_W = 16  # words per non-overlapping chunk
+
+
+@op(
+    "dedup_chunk_exact",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_to_string(ws[i * {CHUNK_W} + 1 : (i + 1) * {CHUNK_W}], ' ')) AS h
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / {CHUNK_W}.0) AS BIGINT))) AS i
+        FROM d WHERE len(ws) > 0)
+),
+freq AS (SELECT doc_id, chunk_idx, h,
+                count(*) OVER (PARTITION BY h) AS gf
+         FROM ch)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN gf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN gf > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS dup_ppm
+FROM freq GROUP BY 1
+""",
+    category="2.11 deduplication",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup accounting (the C4/RefinedWeb
+    'paragraph dedup' pass): split each document into non-overlapping
+    16-word chunks, hash each chunk, and mark chunks whose hash occurs
+    more than once ANYWHERE in the corpus; per document, report chunk
+    counts and the duplicated-chunk share (integer ppm) — the signal a
+    curation pipeline uses to strip boilerplate chunks or drop
+    template-heavy docs.
+
+    Scale: chunking is map-side (slice the word array — no shuffle of
+    raw text); global chunk frequency is a count() window over the
+    hash partition — join-free, one hash-keyed shuffle of (doc, idx,
+    md5) triples, nothing corpus-sized on any node (same shape as
+    tfidf / winnowing df).  The final per-doc rollup shuffles doc
+    keys only."""
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    ch = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(ws) / {CHUNK_W}.0) as int) - 1),"
+                f" i -> md5(array_join(slice(ws, i * {CHUNK_W} + 1, {CHUNK_W}), ' ')))"
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    freq = ch.withColumn("gf", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    dup = F.when(F.col("gf") > 1, 1).otherwise(0)
+    return freq.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_chunks"),
+        bigint(F.sum(dup)).alias("n_dup_chunks"),
+    ).select(
+        "doc_id", "n_chunks", "n_dup_chunks",
+        F.expr("n_dup_chunks * 1000000 div n_chunks").cast("bigint").alias("dup_ppm"),
+    )
