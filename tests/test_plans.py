@@ -617,3 +617,13 @@ def test_chunk_dedup_join_free_single_hash_shuffle(spark):
     assert "CartesianProduct" not in p
     assert "Join" not in p  # join-free: window over the hash partition
     assert "Window" in p
+
+
+def test_rake_single_doc_shuffle(spark):
+    """RAKE: islands window, phrase rollup, word scores, and the
+    top-k all partition by doc_id — WindowGroupLimit bounds the
+    final ranking and no corpus-global state exists."""
+    p = _plan(spark, "text_rake_keywords")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p

@@ -997,3 +997,125 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chunks", "n_dup_chunks",
         F.expr("n_dup_chunks * 1000000 div n_chunks").cast("bigint").alias("dup_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (phrase splitting via gaps-and-islands)
+# --------------------------------------------------------------------------
+
+RAKE_STOPS = ("join", "hash", "row", "batch", "scan")
+_STOPS_SQL = ", ".join(f"'{s}'" for s in RAKE_STOPS)
+RAKE_TOPK = 3
+
+
+@op(
+    "text_rake_keywords",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS w,
+         CASE WHEN ws[i] IN ({_STOPS_SQL}) THEN 1 ELSE 0 END AS stop
+  FROM (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) AS t(i)
+),
+isl AS (
+  SELECT doc_id, pos, w, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+  FROM w
+),
+mem AS (SELECT doc_id, island, pos, w FROM isl WHERE stop = 0),
+phr AS (
+  SELECT doc_id, island,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS n
+  FROM mem GROUP BY 1, 2
+),
+sc AS (
+  SELECT m.doc_id, m.w,
+         count(*) AS freq,
+         sum(p.n) AS deg
+  FROM mem m JOIN phr p ON p.doc_id = m.doc_id AND p.island = m.island
+  GROUP BY 1, 2
+),
+ps AS (
+  SELECT m.doc_id, m.island,
+         sum(sc.deg * 1000000 // sc.freq) AS p_score
+  FROM mem m JOIN sc ON sc.doc_id = m.doc_id AND sc.w = m.w
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p.doc_id, p.phrase, ps.p_score,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY ps.p_score DESC, p.phrase ASC) AS rnk
+  FROM phr p JOIN ps ON ps.doc_id = p.doc_id AND ps.island = p.island
+)
+SELECT doc_id, phrase, CAST(p_score AS BIGINT) AS score_ppm,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {RAKE_TOPK}
+""",
+    category="2.11 text analysis",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of words between delimiter stopwords
+    (gaps-and-islands over word positions), each word scores
+    degree/frequency within its document, and a phrase scores the sum
+    of its word scores; top-3 phrases per doc.
+
+    The synthetic corpus has no natural function words, so the
+    delimiter set is a fixed 5-word list from the fixture vocabulary —
+    the algorithm's mechanics (phrase segmentation, degree/freq
+    scoring, ranked extraction) are what this op pins.  Scores are
+    integer ppm (deg*1e6 div freq) summed exactly, and the per-doc
+    ranking tie-breaks on the phrase text — deterministic in both
+    engines.
+
+    Scale: everything partitions by doc_id — the islands window, the
+    phrase rollup, word scores, and the final WindowGroupLimit top-k
+    all ride ONE doc-keyed shuffle; no corpus-global state at all."""
+    w = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", F.posexplode(_words()).alias("pos", "w"))
+        .withColumn("stop", F.col("w").isin(*RAKE_STOPS).cast("int"))
+    )
+    isl = w.withColumn(
+        "island",
+        F.sum("stop").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    mem = isl.filter(F.col("stop") == 0).select("doc_id", "island", "pos", "w")
+    phr = mem.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda s: s.w
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sc = (
+        mem.join(phr.select("doc_id", "island", "n"), ["doc_id", "island"])
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("n").alias("deg"))
+        .withColumn("w_score", F.expr("deg * 1000000 div freq"))
+    )
+    ps = (
+        mem.join(sc.select("doc_id", "w", "w_score"), ["doc_id", "w"])
+        .groupBy("doc_id", "island")
+        .agg(F.sum("w_score").alias("p_score"))
+    )
+    ranked = phr.join(ps, ["doc_id", "island"]).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("p_score").desc(), F.col("phrase").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= RAKE_TOPK).select(
+        "doc_id", "phrase", bigint(F.col("p_score")).alias("score_ppm"),
+        bigint(F.col("rnk")).alias("rnk"),
+    )
