@@ -34,6 +34,8 @@ PYTHON_OK = {
     "multimodal_ppm_channel_stats",
     "sim_cosine_topk_vectorized",
     "stream_stateful_runstate",
+    "scan_python_datasource",  # the Python DataSource API is the op
+    "udf_pandas_iter_scalar",  # SCALAR_ITER pandas UDF is the op
 }
 
 # streaming + side-effecting ops execute work at build time; plan

@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import os
 import tempfile
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1119,3 +1121,89 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "phrase", bigint(F.col("p_score")).alias("score_ppm"),
         bigint(F.col("rnk")).alias("rnk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python DataSource API + iterator-form pandas UDF
+# --------------------------------------------------------------------------
+
+
+@op(
+    "scan_python_datasource",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS i, CAST(i * i AS BIGINT) AS sq
+FROM range(0, 1000) t(i)
+""",
+    category="2.1 scans/sources/sinks",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DataSource (the Spark 4 `pyspark.sql.datasource`
+    API): a user-defined source with its own partition planning and
+    per-partition reader — the extension point for ingesting from
+    systems Spark has no built-in connector for (internal APIs, custom
+    binary stores) while keeping the scan DISTRIBUTED (each
+    InputPartition reads independently on an executor).
+
+    The demo source emits a deterministic integer sequence across 8
+    planned partitions; the oracle recomputes it relationally, so a
+    partition-planning bug (dropped/duplicated partition) breaks the
+    hash."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SquaresReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(8)]
+
+        def read(self, partition):
+            p = partition.value
+            for i in range(p * 125, (p + 1) * 125):
+                yield (i, i * i)
+
+    class _SquaresSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "deterministic_squares"
+
+        def schema(self) -> str:
+            return "i bigint, sq bigint"
+
+        def reader(self, schema):
+            return _SquaresReader()
+
+    try:
+        spark.dataSource.register(_SquaresSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("deterministic_squares").load()
+
+
+@op(
+    "udf_pandas_iter_scalar",
+    oracle="""
+SELECT event_id,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+FROM events
+""",
+    category="2.10 UDF surface",
+)
+def udf_pandas_iter_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the batch-reuse
+    variant of the vectorized UDF: the function body runs ONCE per
+    partition around the batch loop, which is where a real pipeline
+    amortizes expensive init (model load, tokenizer build) across all
+    Arrow batches instead of per batch.  The work itself (half-up
+    cent quantization) is numeric so the oracle replays it exactly."""
+    @F.pandas_udf("bigint")
+    def cents(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # per-partition init would happen here, once
+        import numpy as np
+
+        for s in batches:
+            yield pd.Series(np.floor(s.values * 100 + 0.5).astype("int64"))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", cents(F.col("value")).alias("vc"))
