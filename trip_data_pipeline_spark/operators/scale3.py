@@ -1207,3 +1207,100 @@ def udf_pandas_iter_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return ev.select("event_id", cents(F.col("value")).alias("vc"))
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4) + native XML source
+# --------------------------------------------------------------------------
+
+
+@op(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', (SELECT min(CAST(o_orderdate AS DATE)) FROM orders)) AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < (SELECT date_trunc('month', max(CAST(o_orderdate AS DATE))) FROM orders)
+)
+SELECT m AS month,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders ON CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) = m
+GROUP BY 1
+""",
+    category="2.8 scalar functions",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): a recursive month spine from
+    min to max order date, left-joined to per-month order counts —
+    the standard complete-calendar query, expressed with the engine's
+    own recursion instead of a driver-side sequence() (the
+    calendar_spine_join op is the non-recursive formulation; this op
+    pins the recursive-SQL surface itself, which DuckDB shares
+    verbatim).
+
+    Scale: the recursion generates O(months) rows on the driver-side
+    plan — depth is bounded by the data's time span, and the join +
+    aggregate are the usual keyed shuffle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    return spark.sql(
+        """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month',
+              (SELECT min(CAST(o_orderdate AS DATE)) FROM orders_rcte)) AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < (SELECT CAST(date_trunc('month', max(CAST(o_orderdate AS DATE))) AS DATE)
+             FROM orders_rcte)
+)
+SELECT m AS month,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders_rcte
+  ON CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) = m
+GROUP BY 1
+"""
+    )
+
+
+@op(
+    "scan_xml_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 7 = 0
+GROUP BY 1
+""",
+    category="2.1 scans/sources/sinks",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML publish + schema-on-read ingest round trip (XML
+    support is built into Spark 4 — no spark-xml package): write a
+    deterministic orders slice as row-tagged XML, read it back with an
+    explicit schema, aggregate, and hash-check against the same
+    aggregate on the source table (the lossless-cycle oracle class) —
+    a row dropped by tag mismatch or a double mangled by text
+    round-tripping breaks the hash."""
+    out = tempfile.mkdtemp(prefix="xmlsrc_") + "/orders"
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    (
+        o.write.format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, o_orderpriority string, o_totalprice double")
+        .load(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        r2(F.sum("o_totalprice")).alias("total"),
+    )
