@@ -37,6 +37,7 @@ PYTHON_OK = {
     "scan_python_datasource",  # the Python DataSource API is the op
     "udf_pandas_iter_scalar",  # SCALAR_ITER pandas UDF is the op
     "multimodal_decode_wav",  # mapInPandas RIFF/WAVE decoder is the op
+    "pipeline_multimodal_prep",  # dispatching mapInPandas decoder is the op
 }
 
 # streaming + side-effecting ops execute work at build time; plan

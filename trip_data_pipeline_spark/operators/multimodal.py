@@ -327,3 +327,97 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             " sum_s bigint, min_s int, max_s int"
         ),
     )
+
+
+@op(
+    "pipeline_multimodal_prep",
+    oracle="""
+WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+                     doc_id % 3 AS m FROM documents),
+img AS (SELECT doc_id, sum((doc_id * 31 + i) % 256) AS feat
+        FROM (SELECT doc_id, unnest(range(0, 16 * ((doc_id % 13) + 1) * 3)) AS i
+              FROM documents WHERE doc_id % 3 = 0) GROUP BY 1),
+aud AS (SELECT doc_id, sum((doc_id * 131 + i * 17) % 65536 - 32768) AS feat
+        FROM (SELECT doc_id, unnest(range(0, (doc_id % 50) + 10)) AS i
+              FROM documents WHERE doc_id % 3 = 1) GROUP BY 1),
+vid AS (SELECT doc_id, least(CAST(ceil(least(nb, 256) / 32.0) AS BIGINT), 8) AS feat
+        FROM meta WHERE m = 2 AND nb > 0),
+feat AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid),
+qn AS (SELECT vec_id,
+              CAST(list_aggregate(list_transform(embedding,
+                     x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                          * floor(CAST(x AS DOUBLE) * 1000 + 0.5)), 'sum')
+                   AS BIGINT) AS qn
+       FROM embeddings)
+SELECT CASE meta.m WHEN 0 THEN 'image/fake'
+                   WHEN 1 THEN 'audio/fake'
+                   ELSE 'video/fake' END AS media_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(feat.feat) AS BIGINT) AS sum_feat,
+       CAST(sum(qn.qn) AS BIGINT) AS sum_qn
+FROM meta
+JOIN feat ON feat.doc_id = meta.doc_id
+JOIN qn ON qn.vec_id = meta.doc_id
+WHERE meta.nb >= 50
+GROUP BY 1
+""",
+    category=CAT,
+)
+def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal training-data prep (the multimodal
+    sibling of pipeline_training_data_prep): typed metadata over the
+    binary column -> modality-DISPATCHED decode (the real PPM parser
+    for images, the real RIFF/WAVE parser for audio, JVM frame
+    counting for video) -> join with the embedding table -> byte-size
+    quality gate -> per-modality corpus report with integer feature
+    and quantized-norm sums.
+
+    The dispatching decoder is ONE mapInPandas pass that switches on
+    media_type per row — the shape a mixed-modality corpus needs (one
+    scan, per-row codec choice), with every decoded feature
+    arithmetic-replayed by the oracle.
+
+    Scale: decode is embarrassingly parallel per doc; the embedding
+    join is keyed 1:1; the report aggregate reduces to 3 rows."""
+    d = _payload(load(spark, sf_dir, "documents"))
+
+    def decode_dispatch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "feat": []}
+            for doc_id, mt, nb in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["n_bytes"]
+            ):
+                if mt == "image/fake":
+                    out["doc_id"].append(doc_id)
+                    out["feat"].append(_decode_ppm(_encode_ppm(doc_id))["sum_px"])
+                elif mt == "audio/fake":
+                    out["doc_id"].append(doc_id)
+                    out["feat"].append(_decode_wav(_encode_wav(doc_id))["sum_s"])
+                elif nb > 0:  # video: frame count, JVM-equivalent math
+                    out["doc_id"].append(doc_id)
+                    out["feat"].append(min((min(nb, 256) + 31) // 32, 8))
+            yield pd.DataFrame(out)
+
+    meta = d.select(
+        "doc_id", "media_type", F.octet_length("payload").alias("n_bytes")
+    )
+    feat = meta.mapInPandas(decode_dispatch, schema="doc_id bigint, feat bigint")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint)),"
+            " 0L, (a, v) -> a + v * v)"
+        ).alias("qn"),
+    )
+    return (
+        meta.filter(F.col("n_bytes") >= 50)
+        .join(feat, "doc_id")
+        .join(emb, meta.doc_id == emb.vec_id)
+        .groupBy("media_type")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_docs"),
+            bigint(F.sum("feat")).alias("sum_feat"),
+            bigint(F.sum("qn")).alias("sum_qn"),
+        )
+    )
