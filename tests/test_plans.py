@@ -38,6 +38,8 @@ PYTHON_OK = {
     "udf_pandas_iter_scalar",  # SCALAR_ITER pandas UDF is the op
     "multimodal_decode_wav",  # mapInPandas RIFF/WAVE decoder is the op
     "pipeline_multimodal_prep",  # dispatching mapInPandas decoder is the op
+    "sessionize_gap_and_cap",  # sequential gap+cap state needs applyInPandas
+    "udf_map_in_arrow",  # the Arrow-native batch map surface is the op
 }
 
 # streaming + side-effecting ops execute work at build time; plan
@@ -631,3 +633,127 @@ def test_rake_single_doc_shuffle(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_triangle_count_all_equijoins(spark):
+    """Triangle counting: degree-ordered orientation makes wedge
+    extension and closure plain equi-joins — no cartesian, no
+    nested-loop, and the top-20 compiles to a bounded TakeOrdered."""
+    p = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_lm_quality_join_free_windows(spark):
+    """LM quality gate: both corpus-model counts are count() windows
+    over the bigram-instance stream (no join, no corpus-sized
+    broadcast) — the no-corpus-sized-broadcast rule."""
+    p = _plan(spark, "lm_doc_quality_ppm")
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_nth_value_cume_single_window_shuffle(spark):
+    """nth_value + cume_dist share the one nation-keyed sort: exactly
+    one Exchange in the whole plan."""
+    p = _plan(spark, "win_nth_value_cume")
+    assert p.count("Exchange") - p.count("AQEShuffleRead") <= 2
+    assert "Join" not in p
+
+
+def test_range_generator_is_executor_side(spark):
+    """spark.range produces rows in the executors (Range leaf), not a
+    driver-side LocalTableScan."""
+    p = _plan(spark, "scan_range_generator")
+    assert "Range" in p
+    assert "LocalTableScan" not in p
+
+
+def test_crosstab_broadcast_dim_no_cartesian(spark):
+    """Exact crosstab: customer dim broadcasts into the fact join and
+    the 5x5 pivot is a plain aggregate — no cartesian anywhere."""
+    p = _plan(spark, "stat_crosstab_exact")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_seasonal_residual_broadcast_profile_no_window(spark):
+    """Seasonal residuals: the 7-row day-of-week profile reduces by
+    partial aggregation and BROADCASTS back — deliberately no count()
+    window over dow (7 giant window partitions would serialize)."""
+    p = _plan(spark, "timeseries_seasonal_residual")
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_contiguous_ids_range_partitioned_not_global_sort(spark):
+    """Contiguous id assignment: range partitioning + per-partition
+    local ranks + broadcast offsets — the id column never rides a
+    one-task global-order window."""
+    p = _plan(spark, "ids_global_contiguous")
+    assert "rangepartitioning" in p.lower()
+    assert "BroadcastHashJoin" in p
+
+
+def test_gap_cap_sessionize_arrow_grouped_map(spark):
+    """Gap+cap sessionization: the sequential recurrence runs as ONE
+    Arrow grouped-map pass keyed by user — a single user-keyed
+    shuffle, state bounded per user."""
+    p = _plan(spark, "sessionize_gap_and_cap")
+    assert "FlatMapGroupsInPandas" in p
+    # formatted explain lists each node twice (tree + details):
+    # exactly one Exchange -> two textual occurrences
+    assert p.count("Exchange") <= 2
+
+
+def test_bitmap_distinct_two_level_aggregate(spark):
+    """Bitmap-exact distinct: (key,bucket) bitmap build then popcount
+    rollup — two aggregate levels, each with map-side partials, no
+    count-distinct Expand explosion."""
+    p = _plan(spark, "agg_bitmap_distinct")
+    assert p.count("HashAggregate") >= 4
+    assert "Expand" not in p
+
+
+def test_ignore_nulls_single_window_sort(spark):
+    """lead+lag IGNORE NULLS share one user-keyed sort: a single
+    Window node, a single exchange."""
+    p = _plan(spark, "win_lead_lag_ignore_nulls")
+    assert p.count("(") - p.count(")") == 0  # sanity: balanced output
+    assert "Window" in p
+    assert p.count("Exchange") <= 2  # tree + details of the one shuffle
+
+
+def test_url_parse_map_only(spark):
+    p = _plan(spark, "scalar_url_parse")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p  # parse_url is JVM-side
+
+
+def test_ngram_novelty_join_free(spark):
+    """Novelty: first-owner is a min() window over the gram partition
+    — join-free, no corpus-sized broadcast."""
+    p = _plan(spark, "corpus_ngram_novelty")
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_map_in_arrow_node_present(spark):
+    """mapInArrow compiles to the Arrow-native map node (not pandas,
+    not row-at-a-time python)."""
+    p = _plan(spark, "udf_map_in_arrow")
+    assert "MapInArrow" in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_matryoshka_no_shuffle_no_join(spark):
+    """Prefix-mass audit is a pure map: no join, no window, no hash
+    exchange (spread's round-robin rebalance may appear on the
+    byte-small fixture)."""
+    p = _exec_plan(spark, "embed_matryoshka_truncate")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "Exchange hashpartitioning" not in p

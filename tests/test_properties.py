@@ -284,3 +284,97 @@ def test_stream_outer_join_floor_semantics(spark):
     # (b) a null-extended purchase has zero qualifying views
     null_ext = out.filter(F.col("view_id").isNull()).select("purchase_id")
     assert null_ext.join(batch_inner, "purchase_id", "left_semi").count() == 0
+
+
+def test_gap_cap_sessions_respect_both_bounds(spark):
+    """Recompute sessions driver-side for a few users and check the
+    structural invariants the oracle can't see directly: every session
+    spans <= the 2h cap, intra-session gaps are <= 30min, and session
+    counts match the operator output."""
+    from trip_data_pipeline_spark.io import load
+    from trip_data_pipeline_spark.operators.scale4 import sessionize_gap_and_cap
+
+    out = {
+        r["user_id"]: r
+        for r in sessionize_gap_and_cap(spark, SF).collect()
+    }
+    ev = (
+        load(spark, SF, "events")
+        .select("user_id", F.expr("unix_micros(ts)").alias("t"), "event_id")
+        .orderBy("user_id", "t", "event_id")
+        .collect()
+    )
+    GAP, CAP = 1800 * 10**6, 7200 * 10**6
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["t"])
+    checked = 0
+    for uid in list(by_user)[:25]:
+        ts = by_user[uid]
+        sessions = []
+        cur = [ts[0]]
+        for prev, t in zip(ts, ts[1:]):
+            if t - prev > GAP or t - cur[0] > CAP:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        for s in sessions:
+            assert s[-1] - s[0] <= CAP
+            for a, b in zip(s, s[1:]):
+                assert b - a <= GAP
+        assert out[uid]["n_sessions"] == len(sessions)
+        assert out[uid]["max_events"] == max(len(s) for s in sessions)
+        checked += 1
+    assert checked == 25
+
+
+def test_contiguous_ids_are_dense_rank(spark):
+    """The distributed two-pass id assignment must produce exactly
+    0..n-1: max = n-1, min = 0, total sum = n(n-1)/2 (summed across
+    the checksum buckets)."""
+    from trip_data_pipeline_spark.operators.scale4 import ids_global_contiguous
+
+    rows = ids_global_contiguous(spark, SF).collect()
+    n = sum(r["n"] for r in rows)
+    assert min(r["id_min"] for r in rows) == 0
+    assert max(r["id_max"] for r in rows) == n - 1
+    assert sum(r["id_sum"] for r in rows) == n * (n - 1) // 2
+
+
+def test_triangle_orientation_counts_each_once(spark):
+    """Naive all-ordered-triple counting (id-ordered closure on the
+    undirected edge set) must agree with the degree-oriented count:
+    sum over top-20 nodes is comparable and the global triangle total
+    matches exactly."""
+    from trip_data_pipeline_spark.operators.graph import _copart_edges
+
+    e = _copart_edges(spark, SF).cache()
+    idordered = e.filter(F.col("src") < F.col("dst"))
+    a = idordered.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    b = idordered.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    c = idordered.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    naive_total = a.join(b, "b").join(c, ["a", "c"]).count()
+    from trip_data_pipeline_spark.operators.scale4 import graph_triangle_count
+
+    # node participation sums to 3x the triangle count over ALL nodes;
+    # recompute the oriented total directly for the exact comparison
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("src").alias("u_"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v_"), F.col("d").alias("dv"))
+    o = (
+        e.join(du, e.src == du.u_)
+        .join(dv, e.dst == dv.v_)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    oriented_total = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    assert oriented_total == naive_total
+    assert graph_triangle_count(spark, SF).count() <= 20

@@ -1,0 +1,874 @@
+"""§2.18 analytics-completeness operators (round-3, third tranche).
+
+Rounds out graph analytics (triangle counting with the degree-ordered
+orientation trick), LM-based corpus quality filtering (the CCNet-style
+"score documents under a corpus language model" gate), the remaining
+window-function surface (nth_value / cume_dist), and the `range`
+generator source.  All hash-checked under the round-3 cross-engine
+exactness conventions: every ranking / membership decision is integer
+arithmetic, derived reals are output-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint, r4, spread
+from trip_data_pipeline_spark.operators.corpus2 import word_ngrams, words_of
+from trip_data_pipeline_spark.operators.graph import _copart_edges
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.18 analytics completeness (round-3 additions)"
+
+
+# --------------------------------------------------------------------------
+# Triangle counting — degree-ordered orientation
+# --------------------------------------------------------------------------
+
+_TRI_EDGES_DUCK = """
+op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+o AS (SELECT e.src AS u, e.dst AS v
+      FROM e JOIN deg du ON du.node = e.src JOIN deg dv ON dv.node = e.dst
+      WHERE du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM o e1
+        JOIN o e2 ON e2.u = e1.v
+        JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)
+"""
+
+
+@op(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_TRI_EDGES_DUCK},
+nodes AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_tri
+FROM nodes GROUP BY node
+ORDER BY n_tri DESC, node LIMIT 20
+""",
+    category="graph / iterative",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (top-20) on the part co-occurrence
+    graph, via the classic degree-ordered orientation: each undirected
+    edge is kept only in the direction (deg, id)-ascending, so every
+    triangle is enumerated exactly once and — the scale point — each
+    node's out-degree in the oriented graph is O(sqrt(m)) even on
+    power-law graphs, bounding the wedge join that dominates triangle
+    counting.  Both wedge-extension and closure checks are plain
+    equi-joins (shuffle by node / by edge pair); no cartesian, no
+    driver-side adjacency structure.  Ties in degree break by node id,
+    so the orientation — and therefore the hash — is deterministic.
+    """
+    e = _copart_edges(spark, sf_dir)  # both directions of each edge
+    deg = e.groupBy("src").agg(bigint(F.count(F.lit(1))).alias("d"))
+    du = deg.select(F.col("src").alias("u_"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v_"), F.col("d").alias("dv"))
+    o = (
+        e.join(du, e.src == du.u_)
+        .join(dv, e.dst == dv.v_)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(bigint(F.count(F.lit(1))).alias("n_tri"))
+        .select(bigint(F.col("node")).alias("node"), "n_tri")
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# LM-based document quality score — CCNet-style corpus filter
+# --------------------------------------------------------------------------
+
+
+@op(
+    "lm_doc_quality_ppm",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gram
+      FROM d),
+m AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM g),
+c AS (SELECT doc_id,
+             count(*) OVER (PARTITION BY gram) AS c2,
+             count(*) OVER (PARTITION BY w1) AS c1
+      FROM m),
+s AS (SELECT doc_id, (1000000 * c2) // c1 AS p_ppm FROM c)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm,
+       CAST(CASE WHEN sum(p_ppm) // count(*) < 33000 THEN 1 ELSE 0 END AS BIGINT)
+         AS low_quality
+FROM s GROUP BY doc_id
+""",
+    category=CAT,
+)
+def lm_doc_quality_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate: score every document by the mean
+    corpus-bigram conditional probability of its own bigrams —
+    low-scoring documents are "surprising" under the corpus model
+    (mojibake, boilerplate soup, wrong-language shards) and get
+    flagged.  P(w2|w1) is computed in exact integer ppm
+    ((1e6 * c(w1,w2)) // c(w1·)) so DuckDB replays the whole model
+    bit-identically; the doc score is the floor-mean of its bigram
+    instance scores.
+
+    Scale: join-free — both model counts ride count() windows over the
+    bigram-instance stream (partition by gram, partition by w1), so
+    the corpus model is never materialized or broadcast; the stream is
+    shuffled twice by bounded-vocabulary keys and once by doc_id.  The
+    same shape as eval_contamination_ngram (the no-corpus-sized-
+    broadcast rule)."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", word_ngrams(words_of(), 2).alias("grams")
+    )
+    g = d.select("doc_id", F.explode("grams").alias("gram")).withColumn(
+        "w1", F.split("gram", " ")[0]
+    )
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    s = g.select(
+        "doc_id", (1000000 * c2).alias("_num"), c1.alias("_den")
+    ).withColumn("p_ppm", F.expr("_num div _den"))
+    score = F.expr("sum(p_ppm) div count(1)")
+    return s.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_bigrams"),
+        bigint(score).alias("score_ppm"),
+        bigint(F.when(score < 33000, 1).otherwise(0)).alias("low_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# nth_value / cume_dist — remaining §2.5 window surface
+# --------------------------------------------------------------------------
+
+
+@op(
+    "win_nth_value_cume",
+    oracle="""
+SELECT c_nationkey, c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       CAST(nth_value(c_custkey, 3) OVER (
+              PARTITION BY c_nationkey
+              ORDER BY round(c_acctbal * 100) DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS third_richest,
+       round(cume_dist() OVER (
+              PARTITION BY c_nationkey
+              ORDER BY round(c_acctbal * 100) DESC, c_custkey), 4) AS cd
+FROM customer
+""",
+    category="2.5 window functions",
+)
+def win_nth_value_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full-partition frame (the 3rd-richest
+    customer's key broadcast to every row of its nation) plus
+    cume_dist — the two §2.5 window functions not yet covered.  The
+    window order is made total with the integer-cents balance plus the
+    key tie-break, so cume_dist is the exact rational rank/n in both
+    engines (same IEEE division) and nth_value is deterministic.
+    One window shuffle by nation; partitions are nation-bounded."""
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("bal_cents"), "c_custkey")
+    return (
+        cust.select("c_nationkey", "c_custkey", cents.alias("bal_cents"))
+        .withColumn(
+            "third_richest",
+            bigint(
+                F.nth_value("c_custkey", 3).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                )
+            ),
+        )
+        .withColumn("cd", r4(F.cume_dist().over(w)))
+    )
+
+
+# --------------------------------------------------------------------------
+# range generator source
+# --------------------------------------------------------------------------
+
+
+@op(
+    "scan_range_generator",
+    oracle="""
+SELECT CAST(x % 7 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS s,
+       CAST(sum(x * x) AS BIGINT) AS ss
+FROM range(1, 100001) t(x)
+GROUP BY bucket
+""",
+    category="2.1 scans/sources/sinks",
+)
+def scan_range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `range` generator source: spark.range(1, 100001) produces
+    rows *in the executors* (numPartitions splits of the id space, no
+    driver materialization, no input files) — the standard way to
+    synthesize spines, fuzz inputs, and load generators at cluster
+    scale.  DuckDB's table function range() is the oracle mirror.
+    The aggregate proves no id is dropped or doubled across the
+    partition splits (sum and sum-of-squares over each residue
+    class)."""
+    r = spark.range(1, 100001).select(F.col("id").alias("x"))
+    return r.groupBy((F.col("x") % 7).cast("bigint").alias("bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("x")).alias("s"),
+        bigint(F.sum(F.col("x") * F.col("x"))).alias("ss"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact contingency table — the df.stat surface
+# --------------------------------------------------------------------------
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@op(
+    "stat_crosstab_exact",
+    oracle="""
+SELECT c_mktsegment AS "c_mktsegment_o_orderpriority",
+"""
+    + ",\n".join(
+        f"""       CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS "{p}" """
+        for p in _PRIOS
+    )
+    + """
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    category="extras (round-1 additions)",
+)
+def stat_crosstab_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab — the exact contingency-table API (market
+    segment x order priority over the orders-customer join).  crosstab
+    compiles to a pivoted count aggregate: one shuffle on the pair key
+    with map-side partial counts, never a collect — the 5x5 result is
+    tiny no matter the fact size.  The customer dim broadcasts into
+    the fact join.  Column names are the raw priority values, matching
+    the oracle's quoted aliases; counts are BIGINT in both engines."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    ct = j.stat.crosstab("c_mktsegment", "o_orderpriority")
+    first = ct.columns[0]
+    return ct.select(
+        F.col(first),
+        *[bigint(F.col(f"`{p}`")).alias(p) for p in _PRIOS],
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal (day-of-week) baseline + robust residual anomalies
+# --------------------------------------------------------------------------
+
+
+@op(
+    "timeseries_seasonal_residual",
+    oracle="""
+WITH e AS (SELECT ((epoch_us(ts) // 1000000) // 86400 + 4) % 7 AS dow,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+s1 AS (SELECT dow, CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       FROM e GROUP BY dow),
+d AS (SELECT e.dow, abs(e.cents * s1.c - s1.s) AS dev, s1.c
+      FROM e JOIN s1 ON e.dow = s1.dow),
+s2 AS (SELECT dow, sum(dev) // max(c) AS a FROM d GROUP BY dow)
+SELECT d.dow,
+       CAST(max(d.c) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d.dev > 3 * s2.a THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+       CAST(max(d.dev) AS BIGINT) AS max_dev
+FROM d JOIN s2 ON d.dow = s2.dow
+GROUP BY d.dow
+""",
+    category="2.14 time-series rollups",
+)
+def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each event's value is
+    compared against its day-of-week mean, and an event is anomalous
+    when its deviation exceeds 3x the day-of-week mean absolute
+    deviation — the weekday/weekend traffic-pattern outlier sweep.
+
+    Exactness: day-of-week is pure integer epoch arithmetic (1970-01-01
+    was a Thursday; no engine-specific dayofweek numbering), and the
+    mean comparison is cross-multiplied (|v*c - S| vs the floor-div MAD
+    scale) so no division ever happens on the decision path.
+
+    Scale: the seasonal profile is ALGEBRAIC, so it reduces by
+    partial aggregation to 7 rows which broadcast back onto the
+    stream — deliberately NOT a count() window over dow (7 giant
+    window partitions would serialize at cluster scale).  Two
+    broadcast joins, three map-side-combining aggregations."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("((unix_micros(ts) div 1000000) div 86400 + 4) % 7").alias("dow"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    s1 = e.groupBy("dow").agg(
+        bigint(F.sum("cents")).alias("s"), bigint(F.count(F.lit(1))).alias("c")
+    )
+    d = e.join(F.broadcast(s1), "dow").select(
+        "dow", F.abs(F.col("cents") * F.col("c") - F.col("s")).alias("dev"), "c"
+    )
+    s2 = d.groupBy("dow").agg(F.expr("sum(dev) div max(c)").alias("a"))
+    return (
+        d.join(F.broadcast(s2), "dow")
+        .groupBy("dow")
+        .agg(
+            bigint(F.max("c")).alias("n"),
+            bigint(
+                F.sum(F.when(F.col("dev") > 3 * F.col("a"), 1).otherwise(0))
+            ).alias("n_anom"),
+            bigint(F.max("dev")).alias("max_dev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed contiguous id assignment — the two-pass offset pattern
+# --------------------------------------------------------------------------
+
+
+@op(
+    "ids_global_contiguous",
+    oracle="""
+WITH r AS (SELECT o_orderkey,
+                  row_number() OVER (ORDER BY o_orderkey) - 1 AS id
+           FROM orders)
+SELECT CAST(id % 8 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       CAST(min(id) AS BIGINT) AS id_min,
+       CAST(max(id) AS BIGINT) AS id_max,
+       CAST(sum(id * (o_orderkey % 97)) AS BIGINT) AS chk
+FROM r GROUP BY bucket
+""",
+    category=CAT,
+)
+def ids_global_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids 0..n-1 in key order WITHOUT a
+    single-partition sort — the standard two-pass pattern every
+    training-data pipeline needs before sharding/packing: range-
+    partition by the key, rank locally within each partition, then add
+    per-partition offsets (a #partitions-row running sum, broadcast
+    back).  The naive `row_number() OVER (ORDER BY k)` is a one-task
+    global sort at 100 TB; this shape keeps every step distributed.
+
+    The resulting id equals the global rank regardless of where the
+    range boundaries land (ranges are ordered, ranks are local), so
+    the output is deterministic even though repartitionByRange samples
+    boundaries.  The checksum aggregate proves ids are exactly the
+    dense 0..n-1 sequence in o_orderkey order."""
+    src = load(spark, sf_dir, "orders").select("o_orderkey")
+    p = src.repartitionByRange(32, "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = F.row_number().over(Window.partitionBy("pid").orderBy("o_orderkey"))
+    ranked = p.withColumn("local_rn", local)
+    counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.withColumn(
+        "off", F.sum("cnt").over(Window.orderBy("pid")) - F.col("cnt")
+    ).select("pid", "off")
+    ids = ranked.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey", (F.col("off") + F.col("local_rn") - 1).alias("id")
+    )
+    return ids.groupBy((F.col("id") % 8).cast("bigint").alias("bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("id")).alias("id_sum"),
+        bigint(F.min("id")).alias("id_min"),
+        bigint(F.max("id")).alias("id_max"),
+        bigint(F.sum(F.col("id") * (F.col("o_orderkey") % 97))).alias("chk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition overwrite — the lakehouse partition-replace primitive
+# --------------------------------------------------------------------------
+
+
+@op(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+WITH b AS (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+f AS (SELECT o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN (cents * 9) // 10 ELSE cents END AS cents
+      FROM b)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(cents) / 100.0, 2) AS total
+FROM f GROUP BY o_orderpriority
+""",
+    category="2.1 scans/sources/sinks",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse partition-replace
+    primitive: a full partitioned write, then a second overwrite-mode
+    write that carries ONLY the 1-URGENT partition (a 10% price cut,
+    exact integer cents) with partitionOverwriteMode=dynamic.  Static
+    overwrite would TRUNCATE the table to the one incoming partition;
+    dynamic replaces exactly the partitions present in the new data
+    and leaves the other four untouched — the read-back aggregate
+    hash-proves both halves (urgent rows updated, others intact).
+
+    Scale: partition-granular replacement is O(changed partition), not
+    O(table) — the daily-restatement pattern for partitioned facts."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_dpo_")
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    base.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    upd = (
+        base.filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("cents", F.expr("(cents * 9) div 10"))
+    )
+    (
+        upd.write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    rb = spark.read.parquet(out)
+    return rb.groupBy("o_orderpriority").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap + max-duration sessionization — sequential state via applyInPandas
+# --------------------------------------------------------------------------
+
+
+@op(
+    "sessionize_gap_and_cap",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, t, t AS sess_start, 1 AS sess
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.t,
+         CASE WHEN e.t - r.t > 1800000000 OR e.t - r.sess_start > 7200000000
+              THEN e.t ELSE r.sess_start END,
+         r.sess + CASE WHEN e.t - r.t > 1800000000
+                         OR e.t - r.sess_start > 7200000000
+                       THEN 1 ELSE 0 END
+  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+),
+sessions AS (
+  SELECT user_id, sess, count(*) AS n_ev,
+         (max(t) - min(t)) // 1000000 AS dur_s
+  FROM r GROUP BY user_id, sess
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_ev) AS BIGINT) AS max_events,
+       CAST(sum(dur_s) AS BIGINT) AS total_dur_s
+FROM sessions GROUP BY user_id
+""",
+    category="2.9 streaming (batch form)",
+)
+def sessionize_gap_and_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH a 30-min inactivity gap and a 2-hour
+    maximum session duration.  The cap makes this genuinely
+    sequential: whether event i opens a new session depends on the
+    running session start, which depends on every earlier break — no
+    window/gaps-and-islands form exists (the plain gap rule is
+    `sessionize_batch`; this is the variant Spark's built-ins can't
+    express).  Per the brief, that's exactly when to drop to
+    applyInPandas: per-user Arrow batches, a linear int64-µs scan per
+    user, state bounded by one user's events.  The DuckDB oracle
+    replays the same recurrence as a recursive CTE over per-user event
+    ranks — depth = max events per user, work O(total events).
+
+    Scale: one shuffle by user_id; session state never leaves the
+    executor.  Skewed users bound the worst task at |events(u)|."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("t"), "event_id"
+    )
+
+    GAP = 1800 * 1000000
+    CAP = 7200 * 1000000
+
+    def sess(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        ts = pdf["t"].to_numpy()
+        n_sessions = 0
+        max_events = 0
+        total_dur = 0
+        cur_start = None
+        prev = None
+        cur_n = 0
+        for t in ts:
+            if cur_start is None or t - prev > GAP or t - cur_start > CAP:
+                if cur_start is not None:
+                    total_dur += (prev - cur_start) // 1000000
+                    max_events = max(max_events, cur_n)
+                n_sessions += 1
+                cur_start = t
+                cur_n = 0
+            cur_n += 1
+            prev = t
+        if cur_start is not None:
+            total_dur += (prev - cur_start) // 1000000
+            max_events = max(max_events, cur_n)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "max_events": [max_events],
+                "total_dur_s": [total_dur],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        sess,
+        schema="user_id bigint, n_sessions bigint, max_events bigint, total_dur_s bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-exact distinct counting — the roaring-style JVM agg surface
+# --------------------------------------------------------------------------
+
+
+@op(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+FROM events GROUP BY event_type
+""",
+    category="2.4 aggregation",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count) — the mergeable-bitmap
+    alternative to count(DISTINCT): group by (key, bucket), OR the
+    32k-bit bucket bitmaps map-side, then sum the per-bucket
+    popcounts.  Unlike approx_count_distinct this is exact, and unlike
+    count(DISTINCT) the partial state is a fixed-size bitmap per
+    bucket, so re-aggregation (rollups, incremental merges) composes —
+    the same trick a segment-level OLAP store uses.  The oracle is the
+    plain COUNT(DISTINCT)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("b"),
+        F.expr("bitmap_bit_position(user_id)").alias("p"),
+    )
+    bm = ev.groupBy("event_type", "b").agg(
+        F.expr("bitmap_construct_agg(p)").alias("bm")
+    )
+    return bm.groupBy("event_type").agg(
+        bigint(F.expr("sum(bitmap_count(bm))")).alias("nd")
+    )
+
+
+# --------------------------------------------------------------------------
+# lead/lag IGNORE NULLS — sparse-column window navigation
+# --------------------------------------------------------------------------
+
+
+@op(
+    "win_lead_lag_ignore_nulls",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT) END AS click_cents
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(lag(click_cents IGNORE NULLS) OVER w AS BIGINT)  AS prev_click,
+       CAST(lead(click_cents IGNORE NULLS) OVER w AS BIGINT) AS next_click
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+""",
+    category="2.5 window functions",
+)
+def win_lead_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with IGNORE NULLS over a sparse column: for every
+    event, the nearest preceding and following *click* value —
+    navigation that skips nulls instead of landing on them (the
+    "nearest sparse observation" primitive; plain lead/lag(1) would
+    return NULL whenever the physical neighbor isn't a click).
+    One user-keyed window shuffle; both directions ride the same
+    sort."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        F.when(
+            F.col("event_type") == "click",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("click_cents"),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        bigint(
+            F.expr(
+                "lag(click_cents) IGNORE NULLS OVER "
+                "(PARTITION BY user_id ORDER BY t, event_id)"
+            )
+        ).alias("prev_click"),
+        bigint(
+            F.expr(
+                "lead(click_cents) IGNORE NULLS OVER "
+                "(PARTITION BY user_id ORDER BY t, event_id)"
+            )
+        ).alias("next_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# parse_url — the URL decomposition surface
+# --------------------------------------------------------------------------
+
+
+@op(
+    "scalar_url_parse",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?len=' || CAST(n_chars AS VARCHAR)
+           || '&lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https://([^/]+)/', 1)     AS host,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]len=([^&]*)', 1)       AS len_param
+FROM u
+""",
+    category="2.8 scalar functions",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url(HOST/PATH/QUERY,key) — the URL decomposition scalar
+    family every web-corpus pipeline leans on (domain extraction for
+    reputation gates, path/query canonicalization for URL dedup).
+    URLs are synthesized deterministically from document metadata;
+    the oracle mirrors each component with anchored regexes.
+    Map-only: zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?len="),
+        F.col("n_chars").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("len")).alias("len_param"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty — incremental-corpus "what's new in this doc" signal
+# --------------------------------------------------------------------------
+
+
+@op(
+    "corpus_ngram_novelty",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+                                   i -> array_to_string(w[i:i+3], ' '))) AS gram
+      FROM d),
+m AS (SELECT doc_id, gram,
+             min(doc_id) OVER (PARTITION BY gram) AS first_doc
+      FROM g)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((1000000 * sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END))
+              // count(*) AS BIGINT) AS novelty_ppm
+FROM m GROUP BY doc_id
+""",
+    category=CAT,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against the corpus in doc_id
+    (ingestion) order: a 4-gram instance is NOVEL if no earlier
+    document contains that gram — i.e. this doc is the min(doc_id)
+    owner.  The per-doc novelty ratio is the signal an incremental
+    crawl uses to decide whether a recrawled page adds anything
+    (RefinedWeb-style "new content share").
+
+    Scale: join-free — first-owner is a min() window over the gram
+    partition (the no-corpus-sized-broadcast rule again); one gram
+    shuffle + one doc shuffle, integer-ppm ratio."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", word_ngrams(words_of(), 4).alias("grams")
+    )
+    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    m = g.withColumn("novel", F.when(F.col("doc_id") == first_doc, 1).otherwise(0))
+    return m.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_grams"),
+        bigint(F.sum("novel")).alias("n_novel"),
+        bigint(F.expr("(1000000 * sum(novel)) div count(1)")).alias("novelty_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow — the zero-copy Arrow-native batch map surface
+# --------------------------------------------------------------------------
+
+
+@op(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS rev_em4
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="2.10 UDF surface",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python batch surface — the
+    function sees raw pyarrow.RecordBatch objects (no pandas
+    conversion at all) and emits RecordBatches.  Here each batch
+    computes exact integer discounted revenue (cents x basis-points)
+    vectorized via pyarrow.compute; the JVM side then runs a plain
+    partial/final aggregate.  Contrast: udf_arrow_batch goes through
+    pandas; this path skips even that copy — the shape for
+    high-throughput tokenizers/codecs that operate on Arrow buffers.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from typing import Iterator
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+    def rev(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ext = pc.cast(pc.round(pc.multiply(b.column(1), 100.0)), pa.int64())
+            dsc = pc.cast(pc.round(pc.multiply(b.column(2), 100.0)), pa.int64())
+            rev = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), dsc))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), rev], ["l_returnflag", "rev_em4"]
+            )
+
+    mapped = li.mapInArrow(rev, schema="l_returnflag string, rev_em4 bigint")
+    return mapped.groupBy("l_returnflag").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("rev_em4")).alias("rev_em4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka embedding truncation — prefix-dim mass retention
+# --------------------------------------------------------------------------
+
+
+@op(
+    "embed_matryoshka_truncate",
+    oracle="""
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS e
+           FROM embeddings)
+SELECT vec_id,
+       CAST(list_inner_product(e[1:16], e[1:16]) AS BIGINT) AS prefix_sq,
+       CAST(list_inner_product(e, e) AS BIGINT)             AS full_sq,
+       CAST((1000000 * CAST(list_inner_product(e[1:16], e[1:16]) AS BIGINT))
+              // CAST(list_inner_product(e, e) AS BIGINT) AS BIGINT)
+         AS retention_ppm,
+       CAST(CASE WHEN 4 * CAST(list_inner_product(e[1:16], e[1:16]) AS BIGINT)
+                      >= CAST(list_inner_product(e, e) AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS prefix_ok
+FROM q
+""",
+    category="2.11 similarity search",
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation audit: how much squared
+    mass does the 16-dim prefix of each (quantized) embedding retain,
+    and does it clear the 25% gate that would let the ANN index store
+    only the prefix?  All decisions are exact integers (quantized
+    millis -> integer dot products, cross-multiplied gate, floor-div
+    ppm).  Map-only: zero shuffles, the same fused higher-order-fold
+    shape as the other embedding ops."""
+    from trip_data_pipeline_spark.operators.similarity import qvec
+
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", qvec().alias("e")
+    )
+    isum = lambda c: F.aggregate(c, F.lit(0.0), lambda s, x: s + x)  # noqa: E731
+    pref = F.slice(F.col("e"), 1, 16)
+    prefix_sq = isum(F.zip_with(pref, pref, lambda a, b: a * b))
+    full_sq = isum(F.zip_with(F.col("e"), F.col("e"), lambda a, b: a * b))
+    # the quantized sums are exact integers (< 2^53) held as doubles;
+    # cast to BIGINT before the div so the ppm is true integer floor
+    # division (a float divide + floor could flip at a boundary)
+    with_sq = e.select(
+        "vec_id",
+        bigint(prefix_sq).alias("prefix_sq"),
+        bigint(full_sq).alias("full_sq"),
+    )
+    return with_sq.select(
+        "vec_id",
+        "prefix_sq",
+        "full_sq",
+        bigint(F.expr("(1000000 * prefix_sq) div full_sq")).alias("retention_ppm"),
+        bigint(
+            F.when(4 * F.col("prefix_sq") >= F.col("full_sq"), 1).otherwise(0)
+        ).alias("prefix_ok"),
+    )
