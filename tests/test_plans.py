@@ -757,3 +757,44 @@ def test_matryoshka_no_shuffle_no_join(spark):
     assert "Join" not in p
     assert "Window" not in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_pipe_syntax_same_plan_as_nested(spark):
+    """Pipe syntax is surface sugar: pushdown + partial/final
+    aggregation fire exactly as in the nested-SELECT form."""
+    p = _plan(spark, "sql_pipe_syntax_query")
+    assert "PushedFilters" in p and "l_shipdate" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_session_variable_constant_folded(spark):
+    """The SQL variable folds to a literal at analysis time — no
+    variablereference survives into the physical plan."""
+    p = _plan(spark, "sql_session_variables")
+    assert "variablereference" not in p.lower()
+    assert p.count("HashAggregate") >= 2
+
+
+def test_lateral_api_decorrelates_to_window_limit(spark):
+    """df.lateralJoin with a correlated order+limit must decorrelate
+    to the window/WindowGroupLimit rewrite, not a per-row nested
+    loop."""
+    p = _exec_plan(spark, "join_lateral_api_topk")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_not_in_plans_null_aware_anti(spark):
+    """NOT IN over a nullable subquery must plan the null-aware anti
+    join (LeftAnti BuildRight with the NAAJ flag), not a plain anti."""
+    p = _exec_plan(spark, "join_null_aware_anti")
+    assert "LeftAnti, BuildRight, true" in p
+
+
+def test_nearest_hub_join_free_map_only(spark):
+    """Constant hub list unrolls into a fused least() expression —
+    no join node at all; one aggregate shuffle."""
+    p = _exec_plan(spark, "geo_nearest_hub")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1

@@ -60,6 +60,16 @@ PROBE_QUERIES = [
     "doc_overlap_chain",
     "multimodal_ppm_channel_stats",
     "sim_cosine_topk_vectorized",
+    # round-3 §2.18 tranche
+    "graph_triangle_count",
+    "lm_doc_quality_ppm",
+    "corpus_ngram_novelty",
+    "sessionize_gap_and_cap",
+    "timeseries_seasonal_residual",
+    "ids_global_contiguous",
+    "agg_bitmap_distinct",
+    "geo_nearest_hub",
+    "udf_map_in_arrow",
 ]
 
 

@@ -872,3 +872,297 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(4 * F.col("prefix_sq") >= F.col("full_sq"), 1).otherwise(0)
         ).alias("prefix_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax — the Spark 4 composable-SQL surface
+# --------------------------------------------------------------------------
+
+
+@op(
+    "sql_pipe_syntax_query",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS rev_em4
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+""",
+    category="2.8 scalar functions",
+)
+def sql_pipe_syntax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, new in Spark 4): the linear FROM |> WHERE
+    |> EXTEND |> AGGREGATE form of a filter-derive-aggregate pipeline.
+    Pipe operators compile to exactly the same logical plan as the
+    nested-SELECT equivalent (the oracle), so pushdown/pruning/partial
+    aggregation all still apply — this locks the SURFACE, not new
+    semantics.  Exact integer cents x basis-points revenue."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
+    return spark.sql(
+        """
+FROM li_pipe
+|> WHERE l_shipdate >= DATE '1995-01-01'
+|> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev1
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev1) AS BIGINT) AS rev_em4
+   GROUP BY l_returnflag
+"""
+    ).select("l_returnflag", "n", "rev_em4")
+
+
+# --------------------------------------------------------------------------
+# SQL session variables — parameterized SQL without string templating
+# --------------------------------------------------------------------------
+
+
+@op(
+    "sql_session_variables",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer
+WHERE round(c_acctbal * 100) >= 500000
+GROUP BY c_mktsegment
+""",
+    category="2.8 scalar functions",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VARIABLE, new in Spark 4):
+    the engine-side parameterization surface — thresholds flow into
+    queries as typed variables, not f-string splices (no quoting bugs,
+    plans cache by variable reference).  Constant-folded at analysis
+    time, so pushdown still sees the literal.  The oracle inlines the
+    final variable value."""
+    spark.sql("DECLARE OR REPLACE VARIABLE min_bal_cents BIGINT DEFAULT 0")
+    spark.sql("SET VARIABLE min_bal_cents = 500000")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_vars")
+    return spark.sql(
+        """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM cust_vars
+WHERE round(c_acctbal * 100) >= min_bal_cents
+GROUP BY c_mktsegment
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# lateralJoin DataFrame API — per-row correlated top-k without SQL
+# --------------------------------------------------------------------------
+
+
+@op(
+    "join_lateral_api_topk",
+    oracle="""
+WITH r AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY round(c_acctbal * 100) DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, bal_cents
+FROM r WHERE rn <= 2
+""",
+    category="2.3 joins",
+)
+def join_lateral_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.lateralJoin (new DataFrame API in Spark 4): for every nation
+    key, the correlated top-2 customers by balance — the API twin of
+    the SQL LATERAL in lateral_correlated_topk.  The outer() marker
+    names the correlated column; Catalyst decorrelates the
+    limit-per-key subquery (same rewrite family as the window form the
+    oracle uses).  Deterministic: integer cents + key tie-break."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    nations = cust.select("c_nationkey").distinct()
+    inner = (
+        cust.alias("c")
+        .where(F.col("c.c_nationkey") == F.col("n_key").outer())
+        .orderBy(F.desc("bal_cents"), "c_custkey")
+        .limit(2)
+        .select("c_custkey", "bal_cents")
+    )
+    return (
+        nations.withColumnRenamed("c_nationkey", "n_key")
+        .lateralJoin(inner)
+        .select(
+            F.col("n_key").alias("c_nationkey"), "c_custkey", "bal_cents"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-aware anti join — NOT IN over a nullable subquery
+# --------------------------------------------------------------------------
+
+
+@op(
+    "join_null_aware_anti",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT CASE WHEN c_acctbal < -100000 THEN NULL ELSE c_custkey END
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+""",
+    category="2.3 joins",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLABLE subquery — three-valued logic makes this
+    a different operator from anti-join: one NULL in the subquery
+    empties the whole result, so Catalyst must plan a null-aware anti
+    join (broadcast NAAJ) instead of a plain LeftAnti.  The CASE
+    branch keeps the column nullable (exercising the null-aware path)
+    while never firing at runtime, so the result is non-degenerate and
+    the oracle replays the identical three-valued semantics."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("ord_naaj")
+    c.createOrReplaceTempView("cust_naaj")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM ord_naaj
+WHERE o_custkey NOT IN (
+  SELECT CASE WHEN c_acctbal < -100000 THEN NULL ELSE c_custkey END
+  FROM cust_naaj WHERE c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest-hub assignment — broadcast argmin spatial join
+# --------------------------------------------------------------------------
+
+# 8 fixed hubs in centi-degrees (the domain of geo._LAT/LON_CENTI)
+_HUBS = [
+    (2000, 4000), (4500, 9000), (7000, 14000), (9500, 19000),
+    (12000, 24000), (14500, 29000), (16000, 33000), (1000, 35000),
+]
+
+
+def _hub_min_expr(lat: str, lon: str) -> str:
+    """Encoded argmin over the 8 hubs: min(dist * 8 + hub_id) with
+    exact integer squared centi-degree distances — deterministic ties
+    (lower hub id wins).  Renders identically in Spark SQL and DuckDB.
+    """
+    terms = [
+        f"(({lat} - {hl}) * ({lat} - {hl}) + ({lon} - {hn}) * ({lon} - {hn})) * 8 + {i}"
+        for i, (hl, hn) in enumerate(_HUBS)
+    ]
+    return "least(" + ", ".join(terms) + ")"
+
+
+@op(
+    "geo_nearest_hub",
+    oracle=f"""
+WITH pts AS (
+  SELECT ((user_id * 7919 + event_id * 13) % 17000) AS la,
+         ((user_id * 104729 + event_id * 31) % 36000) AS lo
+  FROM events
+),
+a AS (SELECT {_hub_min_expr('la', 'lo')} AS enc FROM pts)
+SELECT CAST(enc % 8 AS BIGINT) AS hub,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(enc // 8) AS BIGINT) AS sum_d2,
+       CAST(max(enc // 8) AS BIGINT) AS max_d2
+FROM a GROUP BY hub
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub assignment: every event point snaps to the closest
+    of 8 fixed hubs (depots / zones) — the small-side spatial nearest
+    join.  With a constant hub list the argmin unrolls into a fused
+    least() over 8 exact integer squared distances (encoded dist*8+id
+    so ties break deterministically by hub id): map-only, zero
+    shuffle, no join at all — the shape to choose when the 'join'
+    side fits in an expression, let alone a broadcast.  Per-hub load
+    report is a tiny aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("((user_id * 7919 + event_id * 13) % 17000)").alias("la"),
+        F.expr("((user_id * 104729 + event_id * 31) % 36000)").alias("lo"),
+    )
+    a = ev.select(F.expr(_hub_min_expr("la", "lo")).alias("enc"))
+    return a.groupBy((F.col("enc") % 8).cast("bigint").alias("hub")).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.expr("sum(enc div 8)")).alias("sum_d2"),
+        bigint(F.expr("max(enc div 8)")).alias("max_d2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiline quoted CSV — RFC 4180 embedded newlines/quotes/commas
+# --------------------------------------------------------------------------
+
+
+@op(
+    "scan_csv_multiline_quotes",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(c_name || chr(10) || 'line2,"q"' )) AS BIGINT) AS chars,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM customer GROUP BY c_mktsegment
+""",
+    category="2.1 scans/sources/sinks",
+)
+def scan_csv_multiline_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 multiline CSV round trip: fields containing embedded
+    newlines, commas AND double quotes are written quoted (escape='"'
+    gives the standard doubled-quote form) and read back with
+    multiLine=true.  The lossless-cycle aggregate (row count, exact
+    character mass including the newline, integer cents) breaks if
+    the reader splits records on embedded newlines or mangles quotes.
+
+    Scale note: multiLine=true makes CSV files unsplittable (a record
+    boundary can't be found mid-file), so at cluster scale this is for
+    many-medium-files layouts — exactly how the option behaves here,
+    one file per shuffle partition."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="csv_multiline_")
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit('\nline2,"q"')).alias("text"),
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    (
+        src.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    rb = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("c_custkey bigint, text string, c_mktsegment string, cents bigint")
+        .csv(out)
+    )
+    return rb.groupBy("c_mktsegment").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum(F.length("text"))).alias("chars"),
+        bigint(F.sum("cents")).alias("cents"),
+    )
