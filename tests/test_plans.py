@@ -40,6 +40,8 @@ PYTHON_OK = {
     "pipeline_multimodal_prep",  # dispatching mapInPandas decoder is the op
     "sessionize_gap_and_cap",  # sequential gap+cap state needs applyInPandas
     "udf_map_in_arrow",  # the Arrow-native batch map surface is the op
+    "multimodal_ppm_resize_nn",  # mapInPandas decode+resize is the op
+    "multimodal_wav_decimate",  # mapInPandas decode+decimate is the op
 }
 
 # streaming + side-effecting ops execute work at build time; plan
@@ -798,3 +800,76 @@ def test_nearest_hub_join_free_map_only(spark):
     p = _exec_plan(spark, "geo_nearest_hub")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_filter_clause_single_aggregate_pass(spark):
+    """FILTER (WHERE ...) aggregates all ride ONE partial/final
+    grouping pass — no per-predicate scan, no Expand."""
+    p = _plan(spark, "agg_filter_clause")
+    assert p.count("HashAggregate") >= 2
+    assert "Expand" not in p
+    assert "Join" not in p
+
+
+def test_collation_stays_jvm_side(spark):
+    p = _plan(spark, "str_collation_lcase")
+    assert "BatchEvalPython" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_from_csv_json_zero_shuffle(spark):
+    """Schema-directed string parsing is a pure projection."""
+    p = _plan(spark, "scalar_from_csv_json")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_ppm_resize_map_in_pandas(spark):
+    p = _plan(spark, "multimodal_ppm_resize_nn")
+    assert "MapInPandas" in p
+
+
+def test_wav_decimate_map_in_pandas(spark):
+    p = _plan(spark, "multimodal_wav_decimate")
+    assert "MapInPandas" in p
+
+
+def test_metadata_row_index_from_scan(spark):
+    """_metadata.row_index rides the parquet scan itself — no window,
+    no id-generation expression."""
+    p = _plan(spark, "scan_metadata_row_index")
+    assert "Window" not in p
+    assert "monotonically_increasing_id" not in p
+    assert "row_index" in p
+
+
+def test_label_propagation_keyed_supersteps(spark):
+    """2 unrolled majority-vote supersteps: keyed joins + partial/final
+    aggregates only — no cartesian, no driver-side graph."""
+    p = _plan(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4
+
+
+def test_fence_dwell_single_user_shuffle(spark):
+    """Both windows + both rollups share the user partitioning: one
+    hash exchange total."""
+    p = _exec_plan(spark, "geo_fence_dwell_time")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_array_sort_comparator_jvm_map_only(spark):
+    """The comparator lambda compiles to a Catalyst lambda (JVM HOF),
+    not a Python UDF; the whole op is a zero-shuffle projection."""
+    p = _plan(spark, "array_sort_comparator")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_recall_eval_ivf_side_is_equijoin(spark):
+    """The IVF arm must prune via the bucket equi-join (the broadcast
+    brute-force arm is the EVAL, not the serving path)."""
+    p = _exec_plan(spark, "sim_ann_recall_eval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

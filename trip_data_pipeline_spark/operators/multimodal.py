@@ -120,6 +120,7 @@ def _decode_ppm(payload: bytes) -> dict:
         "maxval": maxval,
         "n_px": len(px),
         "sum_px": sum(px),
+        "px": px,  # raw RGB plane for downstream transforms (resize)
     }
 
 
@@ -274,6 +275,7 @@ def _decode_wav(payload: bytes) -> dict:
         "sum_s": sum(samples),
         "min_s": min(samples),
         "max_s": max(samples),
+        "samples": samples,  # raw PCM for downstream transforms (decimate)
     }
 
 
@@ -420,4 +422,171 @@ def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.sum("feat")).alias("sum_feat"),
             bigint(F.sum("qn")).alias("sum_qn"),
         )
+    )
+
+
+@op(
+    "multimodal_ppm_resize_nn",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, (((doc_id % 13) + 1) + 1) // 2 AS oh
+  FROM documents
+),
+pix AS (
+  SELECT doc_id, oh, unnest(range(0, oh * {(PPM_W + 1) // 2} * 3)) AS j
+  FROM dims
+),
+v AS (
+  SELECT doc_id, oh, (j % 3) AS c,
+         (doc_id * 31
+          + ((2 * ((j // 3) // {(PPM_W + 1) // 2}) * {PPM_W}
+              + 2 * ((j // 3) % {(PPM_W + 1) // 2})) * 3 + (j % 3))) % 256
+           AS val
+  FROM pix
+)
+SELECT doc_id,
+       CAST({(PPM_W + 1) // 2} AS BIGINT) AS out_w,
+       CAST(oh AS BIGINT) AS out_h,
+       CAST(sum(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum
+FROM v GROUP BY doc_id, oh
+""",
+    category=CAT,
+)
+def multimodal_ppm_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE in the decode->transform->feature chain: decode
+    the binary PPM, nearest-neighbor downsample 2x (keep pixels at
+    even (x, y) — output dims ceil(w/2) x ceil(h/2), so 1-row images
+    survive), then per-channel sums of the RESIZED image.  This is the
+    standard thumbnail/preprocess step a vision-training pipeline runs
+    between decode and feature extraction; PIL/ffmpeg resizers slot
+    into the same mapInPandas seam.  The oracle replays the subsampled
+    pixel grid arithmetically (the fixture pixels are a deterministic
+    function of (doc_id, index)), so a resize that sampled odd rows,
+    mixed up strides, or dropped the tail row would hash-mismatch."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                f = _decode_ppm(_encode_ppm(d))
+                arr = np.frombuffer(f["px"], dtype=np.uint8).reshape(
+                    f["height"], f["width"], 3
+                )
+                nn = arr[::2, ::2, :].astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        nn.shape[1],
+                        nn.shape[0],
+                        int(nn[:, :, 0].sum()),
+                        int(nn[:, :, 1].sum()),
+                        int(nn[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        resize_batches,
+        schema=(
+            "doc_id bigint, out_w bigint, out_h bigint, "
+            "r_sum bigint, g_sum bigint, b_sum bigint"
+        ),
+    )
+
+
+@op(
+    "multimodal_wav_decimate",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         unnest(range(0, (((doc_id % 50) + 10) + 1) // 2)) AS j
+  FROM documents
+)
+SELECT doc_id,
+       CAST(4000 AS INT) AS out_rate,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum((doc_id * 131 + (2 * j) * 17) % 65536 - 32768) AS BIGINT)
+         AS sum_out,
+       CAST(min((doc_id * 131 + (2 * j) * 17) % 65536 - 32768) AS INT)
+         AS min_out,
+       CAST(max((doc_id * 131 + (2 * j) * 17) % 65536 - 32768) AS INT)
+         AS max_out
+FROM s GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE (decimate 2x) in the decode->transform->feature
+    chain: decode the RIFF/WAVE payload, keep every other PCM sample
+    (naive decimation halves the rate — the anti-aliased resampler of
+    a real pipeline slots into the same seam), report the stats of the
+    DECIMATED signal.  The audio sibling of multimodal_ppm_resize_nn;
+    the oracle replays the even-index sample lattice arithmetically,
+    so an off-by-one stride or a dropped tail sample hash-mismatches."""
+
+    def decimate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                f = _decode_wav(_encode_wav(d))
+                out = f["samples"][::2]
+                rows.append(
+                    (d, f["sample_rate"] // 2, len(out), sum(out), min(out), max(out))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_rate", "n_out", "sum_out", "min_out", "max_out"
+                ],
+            )
+            rows = []
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        decimate_batches,
+        schema=(
+            "doc_id bigint, out_rate int, n_out bigint, "
+            "sum_out bigint, min_out int, max_out int"
+        ),
+    )
+
+
+@op(
+    "scan_metadata_row_index",
+    oracle="""
+SELECT CAST(event_id % 7 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_ri,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM events GROUP BY bucket
+""",
+    category="2.1 scans/sources/sinks",
+)
+def scan_metadata_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden `_metadata` file-source column family:
+    `_metadata.row_index` exposes each row's physical position in its
+    parquet file — the zero-cost stable row identity a pipeline uses
+    for resumable scans and row-level lineage (no window, no
+    monotonically_increasing_id non-determinism).  The fixture's
+    events file is written in event_id order with event_id dense from
+    0, so row_index must equal event_id exactly — n_match counts the
+    equality per bucket and the oracle replays it as count(*): ANY
+    divergence between physical position and the metadata column
+    breaks the hash."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("_metadata.row_index").alias("ri"), "event_id"
+    )
+    return ev.groupBy((F.col("ri") % 7).cast("bigint").alias("bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("ri")).alias("sum_ri"),
+        bigint(F.sum(F.when(F.col("ri") == F.col("event_id"), 1).otherwise(0))).alias(
+            "n_match"
+        ),
     )

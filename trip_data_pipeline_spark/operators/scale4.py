@@ -1166,3 +1166,488 @@ def scan_csv_multiline_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.sum(F.length("text"))).alias("chars"),
         bigint(F.sum("cents")).alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# FILTER (WHERE ...) aggregate clause
+# --------------------------------------------------------------------------
+
+
+@op(
+    "agg_filter_clause",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents,
+       CAST(max(o_orderdate) FILTER (WHERE o_orderstatus = 'F') AS DATE)
+         AS last_f_date
+FROM orders
+GROUP BY o_orderpriority
+""",
+    category="2.4 aggregation",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard-SQL FILTER (WHERE ...) aggregate clause — several
+    differently-predicated aggregates in ONE grouping pass (the
+    CASE-WHEN-less spelling of agg_conditional; both engines share the
+    syntax verbatim).  Still a single partial/final hash aggregate:
+    the filters evaluate per-row inside the agg expressions, no extra
+    scan or join per predicate."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_fc")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents,
+       CAST(max(o_orderdate) FILTER (WHERE o_orderstatus = 'F') AS DATE)
+         AS last_f_date
+FROM ord_fc
+GROUP BY o_orderpriority
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Collated comparison — the Spark 4 collation surface
+# --------------------------------------------------------------------------
+
+
+@op(
+    "str_collation_lcase",
+    oracle="""
+WITH m AS (
+  SELECT c_custkey, c_mktsegment,
+         upper(substr(c_name, 1, 5)) || lower(substr(c_name, 6)) AS mixed
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN lower(mixed) = lower('Customer#000000001')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match_ci,
+       CAST(sum(CASE WHEN lower(mixed) < lower('Customer#000000500')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_ci
+FROM m GROUP BY c_mktsegment
+""",
+    category="2.8 scalar functions",
+)
+def str_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (new in Spark 4): comparisons under
+    UTF8_LCASE match and order case-insensitively WITHOUT rewriting
+    every expression through lower() — the collation travels with the
+    type, so the optimizer still sees sargable predicates.  Mixed-case
+    strings are synthesized deterministically; equality and ordering
+    comparisons under the collation are hash-checked against the
+    explicit lower() spelling (equivalent for this ASCII domain —
+    the oracle's portable form)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_coll")
+    return spark.sql(
+        """
+WITH m AS (
+  SELECT c_custkey, c_mktsegment,
+         collate(upper(substr(c_name, 1, 5)) || lower(substr(c_name, 6)),
+                 'UTF8_LCASE') AS mixed
+  FROM cust_coll
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN mixed = 'Customer#000000001' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match_ci,
+       CAST(sum(CASE WHEN mixed < 'Customer#000000500' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lt_ci
+FROM m GROUP BY c_mktsegment
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# from_json / from_csv — schema-directed string record parsing
+# --------------------------------------------------------------------------
+
+
+@op(
+    "scalar_from_csv_json",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k_json,
+         CAST(event_id AS VARCHAR) || ',' || event_type || ','
+           || CAST(round(value * 100) AS BIGINT) AS csv_line
+  FROM events
+),
+p AS (
+  SELECT event_id, k_json,
+         string_split(csv_line, ',') AS f
+  FROM s
+)
+SELECT event_id, k_json,
+       f[2] AS etype,
+       CAST(f[3] AS BIGINT) AS cents
+FROM p
+""",
+    category="2.8 scalar functions",
+)
+def scalar_from_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-directed record parsing from STRINGS: from_json turns
+    the props document into a typed struct (not path-plucking like
+    get_json_object — the schema declares types once), and from_csv
+    parses an embedded CSV line into a struct the same way — the
+    pattern for Kafka-style payload columns.  Both parse JVM-side in
+    one projection; zero shuffles before the output."""
+    ev = load(spark, sf_dir, "events")
+    csv_line = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        F.col("event_type"),
+        F.lit(","),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k INT").alias("j"),
+        F.from_csv(csv_line, "id BIGINT, etype STRING, cents BIGINT").alias("c"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k_json"),
+        F.col("c.etype").alias("etype"),
+        bigint(F.col("c.cents")).alias("cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Label propagation — majority-vote community labels, 2 supersteps
+# --------------------------------------------------------------------------
+
+_LP_EDGES_DUCK = """
+op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p),
+n AS (SELECT DISTINCT src AS node FROM e),
+l0 AS (SELECT node, node % 5 AS lab FROM n)
+"""
+
+
+def _lp_step_duck(prev: str, out: str) -> str:
+    """One majority-vote superstep as DuckDB CTEs: count neighbor
+    labels, argmax by (count desc, label asc) via the exact integer
+    encoding max(cnt*8 + 7 - lab) (labels < 8, so the tail decodes
+    the label); isolated nodes keep their label (none exist here —
+    every node has an edge by construction)."""
+    return f"""
+c_{out} AS (
+  SELECT e.dst AS node, {prev}.lab AS lab, count(*) AS cnt
+  FROM e JOIN {prev} ON {prev}.node = e.src
+  GROUP BY 1, 2
+),
+{out} AS (
+  SELECT node, 7 - (max(cnt * 8 + 7 - lab) % 8) AS lab
+  FROM c_{out} GROUP BY node
+)"""
+
+
+@op(
+    "graph_label_propagation",
+    oracle=f"""
+WITH {_LP_EDGES_DUCK},
+{_lp_step_duck('l0', 'l1')},
+{_lp_step_duck('l1', 'l2')}
+SELECT CAST(lab AS BIGINT) AS lab,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM l2 GROUP BY lab
+""",
+    category="graph / iterative",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous majority-vote label
+    propagation (2 unrolled supersteps over the part co-occurrence
+    graph, seeded node%5): each node adopts the most frequent label
+    among its neighbors, ties to the smallest label — the exact
+    integer argmax encoding max(cnt*8 + 7 - lab) makes the vote
+    bit-reproducible in any aggregation order, so DuckDB replays both
+    supersteps identically.  Per superstep: one keyed edge join + two
+    partial/final aggregations — the same bounded-superstep shape as
+    PageRank/CC; no convergence probe, no driver-side graph."""
+    e = _copart_edges(spark, sf_dir)
+    labels = e.select("src").distinct().select(
+        F.col("src").alias("node"), (F.col("src") % 5).alias("lab")
+    )
+    for _ in range(2):
+        votes = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg((7 - (F.max(F.col("cnt") * 8 + 7 - F.col("lab")) % 8)).alias("lab"))
+            .select(F.col("dst").alias("node"), "lab")
+        )
+    return labels.groupBy(bigint(F.col("lab")).alias("lab")).agg(
+        bigint(F.count(F.lit(1))).alias("n_nodes"),
+        bigint(F.min("node")).alias("min_node"),
+        bigint(F.sum("node")).alias("node_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Geo-fence dwell time — gaps-and-islands over fence membership
+# --------------------------------------------------------------------------
+
+
+@op(
+    "geo_fence_dwell_time",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ((user_id * 7919 + event_id * 13) % 17000) AS la,
+         ((user_id * 104729 + event_id * 31) % 36000) AS lo
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN la >= 4000 AND la < 9000
+               AND lo >= 10000 AND lo < 20000 THEN 1 ELSE 0 END AS inf
+  FROM p
+),
+m AS (
+  SELECT user_id, event_id, us, inf,
+         CASE WHEN inf = 1 AND coalesce(lag(inf) OVER w, 0) = 0
+              THEN 1 ELSE 0 END AS entered
+  FROM f
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+i AS (
+  SELECT user_id, us, inf,
+         sum(entered) OVER (PARTITION BY user_id ORDER BY us, event_id) AS visit
+  FROM m
+),
+v AS (
+  SELECT user_id, visit, count(*) AS n_ev,
+         (max(us) - min(us)) // 1000000 AS dwell_s
+  FROM i WHERE inf = 1 GROUP BY user_id, visit
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(sum(n_ev) AS BIGINT) AS n_fence_events,
+       CAST(sum(dwell_s) AS BIGINT) AS total_dwell_s,
+       CAST(max(dwell_s) AS BIGINT) AS max_dwell_s
+FROM v GROUP BY user_id
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_fence_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-fence dwell analysis: islands of consecutive in-fence
+    pings per user (enter events via lag, visit ids via a running sum
+    — the gaps-and-islands idiom), then per-visit dwell spans and the
+    per-user rollup a fleet/zone dashboard needs.  The fence test is
+    pure integer centi-degree arithmetic; dwell is exact integer µs
+    floor-divided to seconds.  Both windows and the final two
+    aggregations ride ONE user-keyed shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("((user_id * 7919 + event_id * 13) % 17000)").alias("la"),
+        F.expr("((user_id * 104729 + event_id * 31) % 36000)").alias("lo"),
+    )
+    inf = (
+        (F.col("la") >= 4000)
+        & (F.col("la") < 9000)
+        & (F.col("lo") >= 10000)
+        & (F.col("lo") < 20000)
+    ).cast("int")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    f = ev.withColumn("inf", inf)
+    entered = F.when(
+        (F.col("inf") == 1) & (F.coalesce(F.lag("inf").over(w), F.lit(0)) == 0), 1
+    ).otherwise(0)
+    i = f.withColumn("visit", F.sum(entered).over(w)).filter(F.col("inf") == 1)
+    v = i.groupBy("user_id", "visit").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("dwell_s"),
+    )
+    return v.groupBy("user_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_visits"),
+        bigint(F.sum("n_ev")).alias("n_fence_events"),
+        bigint(F.sum("dwell_s")).alias("total_dwell_s"),
+        bigint(F.max("dwell_s")).alias("max_dwell_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# array_sort with a custom comparator
+# --------------------------------------------------------------------------
+
+
+@op(
+    "array_sort_comparator",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+k AS (SELECT doc_id,
+             list_sort(list_transform(w,
+                x -> lpad(CAST(length(x) AS VARCHAR), 3, '0') || ':' || x)) AS sk
+      FROM d),
+s AS (SELECT doc_id,
+             list_transform(sk, x -> substr(x, 5)) AS sorted_w
+      FROM k)
+SELECT doc_id,
+       sorted_w[1] AS w1,
+       sorted_w[2] AS w2,
+       sorted_w[3] AS w3,
+       sorted_w[-1] AS w_last
+FROM s
+""",
+    category="2.8 scalar functions",
+)
+def array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_sort with a CUSTOM COMPARATOR lambda — per-document words
+    ordered by (length, then lexicographic), entirely JVM-side (no
+    UDF, no explode/re-collect round trip).  The oracle spells the
+    same order via the classic sort-key encoding (zero-padded length
+    prefix), proving the comparator semantics.  Map-only."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    cmp = lambda l, r: (  # noqa: E731
+        F.when(F.length(l) < F.length(r), F.lit(-1))
+        .when(F.length(l) > F.length(r), F.lit(1))
+        .when(l < r, F.lit(-1))
+        .when(l > r, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    s = d.select("doc_id", F.array_sort("w", cmp).alias("sorted_w"))
+    return s.select(
+        "doc_id",
+        F.col("sorted_w")[0].alias("w1"),
+        F.col("sorted_w")[1].alias("w2"),
+        F.col("sorted_w")[2].alias("w3"),
+        F.element_at("sorted_w", -1).alias("w_last"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall@5 eval — the index-quality gate, computed in-engine
+# --------------------------------------------------------------------------
+
+_RECALL_DUCK_BASE = """
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS emb,
+             CAST(embedding[1] > 0 AS INT) * 4
+           + CAST(embedding[2] > 0 AS INT) * 2
+           + CAST(embedding[3] > 0 AS INT) AS bucket
+      FROM embeddings),
+en AS (SELECT vec_id, emb, bucket,
+              sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket AS qb
+      FROM en WHERE vec_id < 10),
+bf AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, en.vec_id AS c_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY floor(list_inner_product(q.qe, en.emb)
+                            / (q.qn * en.nrm) * 10000 + 0.5) DESC,
+                      en.vec_id ASC) AS rn
+    FROM q JOIN en ON en.vec_id <> q.q_id
+  ) WHERE rn <= 5
+),
+ivf AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, en.vec_id AS c_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY floor(list_inner_product(q.qe, en.emb)
+                            / (q.qn * en.nrm) * 10000 + 0.5) DESC,
+                      en.vec_id ASC) AS rn
+    FROM q JOIN en ON en.bucket = q.qb AND en.vec_id <> q.q_id
+  ) WHERE rn <= 5
+)
+"""
+
+
+@op(
+    "sim_ann_recall_eval",
+    oracle=f"""
+WITH {_RECALL_DUCK_BASE}
+SELECT bf.q_id,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(ivf.c_id) AS BIGINT) AS n_hit,
+       CAST((1000000 * count(ivf.c_id)) // count(*) AS BIGINT) AS recall_ppm
+FROM bf LEFT JOIN ivf ON ivf.q_id = bf.q_id AND ivf.c_id = bf.c_id
+GROUP BY bf.q_id
+""",
+    category="2.11 similarity search",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF octant index against exact brute force,
+    computed IN-ENGINE per query — the index-quality gate an ANN
+    deployment runs before trusting the pruned path (and the eval a
+    training-data pipeline runs when it swaps brute-force dedup for
+    bucketed).  Both pipelines rank on the integer-quantized cosine
+    with id tie-breaks, so the top-5 sets — and therefore the recall
+    — are deterministic in both engines.
+
+    Scale: brute force here is the EVAL (10 probes broadcast), not the
+    serving path; the IVF side stays a bucket equi-join.  Overlap is a
+    (q_id, c_id) equi-join of two 50-row sets."""
+    from trip_data_pipeline_spark.operators.similarity import dot, fr4, l2norm, qvec
+
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        qvec().alias("emb"),
+        l2norm(qvec()).alias("nrm"),
+        (
+            (F.col("embedding")[0] > 0).cast("int") * 4
+            + (F.col("embedding")[1] > 0).cast("int") * 2
+            + (F.col("embedding")[2] > 0).cast("int")
+        ).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+
+    def top5(pairs):
+        w = Window.partitionBy("q_id").orderBy(F.desc("qcos"), F.asc("c_id"))
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("q_id", "c_id")
+        )
+
+    qcos = F.floor(
+        dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm")) * 10000
+        + F.lit(0.5)
+    )
+    bf = top5(
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), qcos.alias("qcos"))
+    )
+    ivf = top5(
+        F.broadcast(q)
+        .join(e, F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), qcos.alias("qcos"))
+    )
+    hit = ivf.withColumnRenamed("c_id", "h_id")
+    j = bf.join(
+        hit,
+        (bf.q_id == hit.q_id) & (bf.c_id == hit.h_id),
+        "left",
+    ).select(bf.q_id.alias("qq"), "c_id", "h_id")
+    return j.groupBy(F.col("qq").alias("q_id")).agg(
+        bigint(F.count(F.lit(1))).alias("n_true"),
+        bigint(F.count("h_id")).alias("n_hit"),
+        bigint(F.expr("(1000000 * count(h_id)) div count(1)")).alias("recall_ppm"),
+    )
