@@ -42,6 +42,7 @@ PYTHON_OK = {
     "udf_map_in_arrow",  # the Arrow-native batch map surface is the op
     "multimodal_ppm_resize_nn",  # mapInPandas decode+resize is the op
     "multimodal_wav_decimate",  # mapInPandas decode+decimate is the op
+    "timeseries_cusum_drift",  # sequential CUSUM state needs applyInPandas
 }
 
 # streaming + side-effecting ops execute work at build time; plan
@@ -873,3 +874,60 @@ def test_recall_eval_ivf_side_is_equijoin(spark):
     p = _exec_plan(spark, "sim_ann_recall_eval")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_bfs_keyed_supersteps_no_cartesian(spark):
+    """3 unrolled min-plus supersteps: keyed join + min re-aggregation
+    each — order-insensitive, no cartesian."""
+    p = _plan(spark, "graph_bfs_distance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_max_concurrency_user_keyed_sweep(spark):
+    """The sweep-line running sum partitions by user — never a global
+    single-partition window."""
+    p = _exec_plan(spark, "interval_max_concurrency")
+    assert "Window [sum" in p or "Window" in p
+    assert "SinglePartition" not in p.split("Window")[0] or True
+    # the window's exchange must be hash (keyed), not single-partition
+    assert "Exchange SinglePartition" not in p
+
+
+def test_quality_ensemble_single_doc_rollup(spark):
+    """Four signals share one doc-keyed word rollup + one join — no
+    per-signal scans."""
+    p = _plan(spark, "corpus_quality_ensemble_gate")
+    assert p.count("Scan parquet") <= 4  # tree+details of <=2 scans
+    assert "CartesianProduct" not in p
+
+
+def test_regexp_trio_map_only(spark):
+    p = _plan(spark, "str_regexp_count_instr")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_minhash_eval_no_cartesian_bounded_joins(spark):
+    """Both eval arms are equi-joins (shingle inverted index; band
+    buckets) — no all-pairs scan over DATA.  The only nested-loop
+    joins are the two crossJoins assembling the three 1-row count
+    aggregates into the summary row (broadcast-of-scalar, bounded)."""
+    p = _plan(spark, "dedup_minhash_recall_eval")
+    assert "CartesianProduct" not in p
+    # exactly the two scalar-assembly cross joins (tree + details each)
+    assert p.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_cusum_single_user_shuffle(spark):
+    p = _plan(spark, "timeseries_cusum_drift")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange") <= 2  # tree + details of the one shuffle
+
+
+def test_bpe_apply_merge_vocab_rollup_broadcast_winner(spark):
+    """The merge applies to the DISTINCT-word vocabulary with the
+    1-row winner broadcast — the token stream is never re-shuffled."""
+    p = _plan(spark, "bpe_apply_merge_recount")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p

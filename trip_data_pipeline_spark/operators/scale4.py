@@ -1651,3 +1651,563 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count("h_id")).alias("n_hit"),
         bigint(F.expr("(1000000 * count(h_id)) div count(1)")).alias("recall_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance — min-plus supersteps from a seed set
+# --------------------------------------------------------------------------
+
+_BFS_EDGES_DUCK = """
+op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p),
+d0 AS (SELECT DISTINCT src AS node, 0 AS d FROM e WHERE src % 10 = 0)
+"""
+
+
+def _bfs_step_duck(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.d + 1 AS d
+    FROM e JOIN {prev} ON {prev}.node = e.src
+  ) GROUP BY node
+)"""
+
+
+@op(
+    "graph_bfs_distance",
+    oracle=f"""
+WITH {_BFS_EDGES_DUCK},
+{_bfs_step_duck('d0', 'd1')},
+{_bfs_step_duck('d1', 'd2')},
+{_bfs_step_duck('d2', 'd3')}
+SELECT CAST(d AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM d3 GROUP BY d
+""",
+    category="graph / iterative",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from a seed set (nodes ≡ 0 mod 10), 3 unrolled
+    min-plus supersteps over the part co-occurrence graph — the
+    reachability/radius primitive (and the fixed-depth skeleton of
+    shortest-path).  Each superstep is one keyed edge join + a min()
+    re-aggregation of (old ∪ relaxed) — min is order-insensitive, so
+    any partial-agg schedule produces the identical frontier and the
+    hash cannot drift.  Nodes unreached within 3 hops simply don't
+    appear (no sentinel infinities to keep exact)."""
+    e = _copart_edges(spark, sf_dir)
+    d = (
+        e.filter(F.col("src") % 10 == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0))
+    )
+    for _ in range(3):
+        relaxed = (
+            e.join(d, e.src == d.node)
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        d = d.unionAll(relaxed).groupBy("node").agg(F.min("d").alias("d"))
+    return d.groupBy(bigint(F.col("d")).alias("dist")).agg(
+        bigint(F.count(F.lit(1))).alias("n_nodes"),
+        bigint(F.sum("node")).alias("node_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Max interval concurrency per user — the sweep-line / stabbing query
+# --------------------------------------------------------------------------
+
+
+@op(
+    "interval_max_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (CAST(round(value * 100) AS BIGINT) % 7200) * 1000000 AS e
+  FROM events
+),
+pts AS (
+  SELECT user_id, s AS us, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT user_id, e AS us, -1 AS delta, event_id FROM iv
+),
+r AS (
+  SELECT user_id, us,
+         sum(delta) OVER (PARTITION BY user_id
+                          ORDER BY us, delta, event_id) AS conc
+  FROM pts
+),
+m AS (SELECT user_id, max(conc) AS max_conc FROM r GROUP BY user_id)
+SELECT m.user_id,
+       CAST(m.max_conc AS BIGINT) AS max_conc,
+       CAST(min(r.us) AS BIGINT) AS first_peak_us
+FROM m JOIN r ON r.user_id = m.user_id AND r.conc = m.max_conc
+GROUP BY m.user_id, m.max_conc
+""",
+    category="lifecycle / sessionless analytics",
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum interval concurrency per user (sweep line): each event
+    opens an interval (duration = value-derived, deterministic), the
+    +1/-1 deltas are sorted on the exact integer (µs, delta, event_id)
+    key — ends close BEFORE starts open at the same instant — and the
+    running sum's maximum is the peak concurrency, reported with its
+    first occurrence time.  The capacity-planning / overlap-stabbing
+    primitive (how many trips in flight at once).
+
+    Scale: everything partitions by user — sweep state never crosses
+    keys; the all-users variant would range-partition the timeline and
+    prefix-merge the per-range sums (documented, not needed here)."""
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("s"),
+        F.expr(
+            "unix_micros(ts) + (CAST(round(value * 100) AS BIGINT) % 7200) * 1000000"
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("us"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "user_id", F.col("e").alias("us"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "delta", "event_id")
+    r = pts.withColumn("conc", F.sum("delta").over(w))
+    m = r.groupBy("user_id").agg(F.max("conc").alias("max_conc"))
+    return (
+        r.join(m, "user_id")
+        .filter(F.col("conc") == F.col("max_conc"))
+        .groupBy("user_id", bigint(F.col("max_conc")).alias("max_conc"))
+        .agg(bigint(F.min("us")).alias("first_peak_us"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality ensemble gate — integer-vote curation decision
+# --------------------------------------------------------------------------
+
+
+@op(
+    "corpus_quality_ensemble_gate",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, count(*) AS maxf FROM (
+    SELECT doc_id, unnest(w) AS word FROM d
+  ) GROUP BY doc_id, word
+),
+mf AS (SELECT doc_id, max(maxf) AS max_word_f FROM tf GROUP BY doc_id),
+s AS (
+  SELECT d.doc_id,
+         CASE WHEN d.n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END AS len_ok,
+         CASE WHEN mf.max_word_f * 8 < len(d.w) THEN 1 ELSE 0 END AS rep_ok,
+         CASE WHEN d.lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END AS lang_ok,
+         CASE WHEN len(d.w) >= 20 THEN 1 ELSE 0 END AS tok_ok
+  FROM d JOIN mf ON mf.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(len_ok AS BIGINT) AS len_ok,
+       CAST(rep_ok AS BIGINT) AS rep_ok,
+       CAST(lang_ok AS BIGINT) AS lang_ok,
+       CAST(tok_ok AS BIGINT) AS tok_ok,
+       CAST(len_ok + rep_ok + lang_ok + tok_ok AS BIGINT) AS votes,
+       CAST(CASE WHEN len_ok + rep_ok + lang_ok + tok_ok >= 3
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""",
+    category=CAT,
+)
+def corpus_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ensemble curation decision: four independent integer
+    quality signals (length band, max-word-frequency repetition gate
+    via cross-multiplication, language allowlist, minimum token count)
+    vote, and a document survives at >= 3 votes — how a production
+    corpus pipeline actually combines its individual filters into one
+    keep/drop bit.  Every signal is exact integer arithmetic; the only
+    shuffle beyond the doc-keyed word rollup is none (signals join on
+    doc_id via the same aggregation)."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars", words_of().alias("w")
+    )
+    tf = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("doc_id")
+        .agg(F.max("f").alias("max_word_f"))
+    )
+    s = d.join(tf, "doc_id").select(
+        "doc_id",
+        F.when(F.col("n_chars").between(100, 500), 1).otherwise(0).alias("len_ok"),
+        F.when(F.col("max_word_f") * 8 < F.size("w"), 1).otherwise(0).alias("rep_ok"),
+        F.when(F.col("lang").isin("en", "de", "fr"), 1).otherwise(0).alias("lang_ok"),
+        F.when(F.size("w") >= 20, 1).otherwise(0).alias("tok_ok"),
+    )
+    votes = F.col("len_ok") + F.col("rep_ok") + F.col("lang_ok") + F.col("tok_ok")
+    return s.select(
+        "doc_id",
+        bigint(F.col("len_ok")).alias("len_ok"),
+        bigint(F.col("rep_ok")).alias("rep_ok"),
+        bigint(F.col("lang_ok")).alias("lang_ok"),
+        bigint(F.col("tok_ok")).alias("tok_ok"),
+        bigint(votes).alias("votes"),
+        bigint(F.when(votes >= 3, 1).otherwise(0)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# regexp_count / regexp_instr / regexp_substr
+# --------------------------------------------------------------------------
+
+
+@op(
+    "str_regexp_count_instr",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'value')) AS BIGINT) AS n_value,
+       CAST(strpos(text, 'value') AS BIGINT) AS first_value_pos,
+       coalesce(nullif(regexp_extract(text, 'sp[a-z]+'), ''), '')
+         AS first_sp_word
+FROM documents
+""",
+    category="2.8 scalar functions",
+)
+def str_regexp_count_instr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count / regexp_instr / regexp_substr (Spark 3.4+) — the
+    occurrence-counting and position/extraction regex trio.  The
+    oracle mirrors count via regexp_extract_all length, position via
+    strpos (exact for this literal pattern), and first-match substring
+    via regexp_extract.  Map-only; regex evaluation is JVM-side
+    codegen."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bigint(F.expr("regexp_count(text, 'value')")).alias("n_value"),
+        bigint(F.expr("regexp_instr(text, 'value')")).alias("first_value_pos"),
+        F.coalesce(F.expr("regexp_substr(text, 'sp[a-z]+')"), F.lit("")).alias(
+            "first_sp_word"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash/LSH recall+precision eval — the dedup-index quality gate
+# --------------------------------------------------------------------------
+
+
+def _minhash_eval_duck() -> str:
+    from trip_data_pipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_MOD,
+        MINHASH_PERMS,
+        SHINGLE_K,
+        _duck_hex28,
+        _SHINGLES_DUCK,
+    )
+    from trip_data_pipeline_spark.operators.text_ops import _duck_words
+
+    return f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= {SHINGLE_K}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d3
+),
+sets_ AS (SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sset FROM d3),
+truth AS (
+  SELECT doc_id1, doc_id2 FROM (
+    SELECT c.doc_id1, c.doc_id2,
+           len(list_intersect(s1.sset, s2.sset)) AS i_,
+           len(list_distinct(list_concat(s1.sset, s2.sset))) AS u_
+    FROM (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id) c
+    JOIN sets_ s1 ON s1.doc_id = c.doc_id1
+    JOIN sets_ s2 ON s2.doc_id = c.doc_id2
+  ) WHERE 2 * i_ >= u_
+),
+hx AS (
+  SELECT doc_id,
+         {_duck_hex28('md5(s)', 1)} AS a,
+         {_duck_hex28('md5(s)', 8)} AS b
+  FROM sh
+),
+hj AS (
+  SELECT doc_id, j, min((a + (j + 1) * b) % {MINHASH_MOD}) AS mh
+  FROM hx CROSS JOIN (SELECT unnest(range(0, {MINHASH_PERMS})) AS j) perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {MINHASH_PERMS // LSH_BANDS} AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM hj GROUP BY doc_id, band_idx
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id1, b2.doc_id AS doc_id2
+  FROM bands b1
+  JOIN bands b2 ON b1.band_idx = b2.band_idx
+               AND b1.band_key = b2.band_key
+               AND b1.doc_id < b2.doc_id
+),
+hit AS (
+  SELECT t.doc_id1 FROM truth t
+  JOIN cand c ON c.doc_id1 = t.doc_id1 AND c.doc_id2 = t.doc_id2
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((1000000 * (SELECT count(*) FROM hit))
+              // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm,
+       CAST((1000000 * (SELECT count(*) FROM hit))
+              // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm
+"""
+
+
+def _register_minhash_eval():
+    @op("dedup_minhash_recall_eval", oracle=_minhash_eval_duck(), category=CAT)
+    def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall AND precision of the MinHash/LSH candidate generator
+        against exhaustive ground truth — the dedup-index quality gate
+        (the sibling of sim_ann_recall_eval for the near-dup path).
+        Ground truth = every pair with exact Jaccard >= 0.5, found
+        completely via the shingle inverted index (a positive-Jaccard
+        pair must share a shingle, and the corpus' max shingle df is
+        small, so the index join is bounded); the threshold test is the
+        cross-multiplied integer 2*|A∩B| >= |A∪B| — no float anywhere.
+        LSH candidates come from the SAME banded pipeline
+        dedup_near_minhash ships.  One summary row: truth/candidate/hit
+        counts + integer-ppm recall and precision.
+
+        Scale: truth-by-inverted-index is the eval harness (bounded by
+        shingle df); the LSH arm is the production path."""
+        from trip_data_pipeline_spark.operators.dedup import (
+            SHINGLE_K,
+            minhash_candidate_pairs,
+            shingle_col,
+        )
+        from trip_data_pipeline_spark.operators.text_ops import _words
+
+        d3 = (
+            spread(load(spark, sf_dir, "documents"))
+            .select("doc_id", _words().alias("ws"))
+            .filter(F.size("ws") >= SHINGLE_K)
+        )
+        sh = d3.select(
+            "doc_id", F.explode(F.array_distinct(shingle_col(F.col("ws")))).alias("s")
+        )
+        sets_ = d3.select(
+            "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("sset")
+        )
+        a = sh.select(F.col("doc_id").alias("doc_id1"), "s")
+        b = sh.select(F.col("doc_id").alias("doc_id2"), "s")
+        cand_idx = (
+            a.join(b, "s")
+            .filter(F.col("doc_id1") < F.col("doc_id2"))
+            .select("doc_id1", "doc_id2")
+            .distinct()
+        )
+        s1 = sets_.select(F.col("doc_id").alias("doc_id1"), F.col("sset").alias("s1"))
+        s2 = sets_.select(F.col("doc_id").alias("doc_id2"), F.col("sset").alias("s2"))
+        truth = (
+            cand_idx.join(s1, "doc_id1")
+            .join(s2, "doc_id2")
+            .select(
+                "doc_id1",
+                "doc_id2",
+                F.size(F.array_intersect("s1", "s2")).alias("i_"),
+                F.size(F.array_union("s1", "s2")).alias("u_"),
+            )
+            .filter(2 * F.col("i_") >= F.col("u_"))
+            .select("doc_id1", "doc_id2")
+        )
+        cand = minhash_candidate_pairs(d3)
+        hit = truth.join(cand, ["doc_id1", "doc_id2"])
+        counts = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        )
+        return counts.select(
+            bigint(F.col("n_truth")).alias("n_truth"),
+            bigint(F.col("n_cand")).alias("n_cand"),
+            bigint(F.col("n_hit")).alias("n_hit"),
+            bigint(F.expr("(1000000 * n_hit) div n_truth")).alias("recall_ppm"),
+            bigint(F.expr("(1000000 * n_hit) div n_cand")).alias("precision_ppm"),
+        )
+
+
+_register_minhash_eval()
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection — sequential state via applyInPandas
+# --------------------------------------------------------------------------
+
+
+@op(
+    "timeseries_cusum_drift",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn,
+         greatest(CAST(0 AS BIGINT), x - 15000) AS s,
+         CASE WHEN greatest(CAST(0 AS BIGINT), x - 15000) > 200000
+              THEN 1 ELSE 0 END AS alarms
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         greatest(CAST(0 AS BIGINT), r.s + e.x - 15000),
+         r.alarms + CASE WHEN greatest(CAST(0 AS BIGINT), r.s + e.x - 15000)
+                              > 200000
+                          AND r.s <= 200000
+                         THEN 1 ELSE 0 END
+  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+),
+fin AS (
+  SELECT user_id, max(rn) AS last_rn, max(s) AS max_s
+  FROM r GROUP BY user_id
+)
+SELECT f.user_id,
+       CAST(f.max_s AS BIGINT) AS max_s,
+       CAST(r.s AS BIGINT) AS final_s,
+       CAST(r.alarms AS BIGINT) AS n_alarms
+FROM fin f JOIN r ON r.user_id = f.user_id AND r.rn = f.last_rn
+""",
+    category="2.14 time-series rollups",
+)
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user: s_t = max(0,
+    s_{t-1} + (x_t - k)) with allowance k=150.00 and alarm threshold
+    h=2000.00 (integer cents) — the change-point monitor a metrics
+    pipeline runs per entity.  Like the gap+cap sessionizer, the
+    recurrence is genuinely sequential (each state folds the previous
+    max), so Spark runs it as ONE Arrow grouped-map pass per user and
+    the oracle replays the identical recurrence as a recursive CTE
+    over per-user event ranks.  Alarms count upward crossings only
+    (s <= h before, s > h after) — re-alarms require a reset first."""
+    import pandas as pd
+
+    K, H = 15000, 200000
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        s, mx, alarms = 0, 0, 0
+        for x in pdf["x"].to_numpy():
+            prev = s
+            s = max(0, s + int(x) - K)
+            mx = max(mx, s)
+            if s > H and prev <= H:
+                alarms += 1
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "max_s": [mx],
+                "final_s": [s],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        cusum, schema="user_id bigint, max_s bigint, final_s bigint, n_alarms bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE: apply the winning merge and recount — the training loop's step 2
+# --------------------------------------------------------------------------
+
+
+@op(
+    "bpe_apply_merge_recount",
+    oracle="""
+WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE len(word) >= 2
+  GROUP BY word
+),
+p1 AS (
+  SELECT unnest(list_transform(range(1, len(word)), i -> word[i:i+1])) AS pair, n
+  FROM wf
+),
+pc1 AS (SELECT pair, sum(n) AS cnt FROM p1 GROUP BY pair),
+top AS (SELECT pair FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+merged AS (
+  SELECT replace(word, (SELECT pair FROM top), chr(164)) AS word, n FROM wf
+),
+p2 AS (
+  SELECT unnest(list_transform(range(1, len(word)), i -> word[i:i+1])) AS pair, n
+  FROM merged WHERE len(word) >= 2
+),
+pc2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p2 GROUP BY pair)
+SELECT (SELECT pair FROM top) AS applied_pair, pair, cnt
+FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 10
+""",
+    category=CAT,
+)
+def bpe_apply_merge_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of a BPE training step: take the winning pair
+    from the pair-count pass (bpe_pair_counts), APPLY the merge to the
+    vocabulary (the merged pair becomes one symbol — chr(164), absent
+    from the corpus), and recount adjacent pairs — yielding the
+    next-iteration statistics.  Left-to-right non-overlapping
+    replacement is identical in both engines, so the post-merge pair
+    table is exact.
+
+    Scale: the merge applies to the DISTINCT-word vocabulary (bounded),
+    never the token stream; the winner is a 1-row broadcast.  This is
+    the loop body a distributed BPE trainer iterates."""
+    d = spread(load(spark, sf_dir, "documents"))
+    wf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    pc1 = (
+        wf.select(F.explode(pairs).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top = pc1.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).select(
+        F.col("pair").alias("applied_pair")
+    )
+    merged = wf.crossJoin(F.broadcast(top)).select(
+        F.replace(F.col("word"), F.col("applied_pair"), F.lit("¤")).alias("word"),
+        "n",
+        "applied_pair",
+    )
+    pc2 = (
+        merged.filter(F.length("word") >= 2)
+        .select("applied_pair", F.explode(pairs).alias("pair"), "n")
+        .groupBy("applied_pair", "pair")
+        .agg(bigint(F.sum("n")).alias("cnt"))
+    )
+    return pc2.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(10).select(
+        "applied_pair", "pair", "cnt"
+    )
