@@ -931,3 +931,18 @@ def test_bpe_apply_merge_vocab_rollup_broadcast_winner(spark):
     p = _plan(spark, "bpe_apply_merge_recount")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_mom_window_over_aggregated_months(spark):
+    """The lag window runs AFTER the monthly partial/final aggregate —
+    the single-partition ordering touches only ~80 month rows."""
+    p = _plan(spark, "rollup_month_over_month")
+    assert p.count("HashAggregate") >= 2
+    assert "Window" in p
+
+
+def test_rank_topk_with_ties_group_limit(spark):
+    """rank()-based per-group limits prune via WindowGroupLimit just
+    like row_number ones."""
+    p = _plan(spark, "limit_topk_with_ties")
+    assert "WindowGroupLimit" in p

@@ -70,6 +70,14 @@ PROBE_QUERIES = [
     "agg_bitmap_distinct",
     "geo_nearest_hub",
     "udf_map_in_arrow",
+    "graph_bfs_distance",
+    "graph_label_propagation",
+    "interval_max_concurrency",
+    "geo_fence_dwell_time",
+    "timeseries_cusum_drift",
+    "corpus_quality_ensemble_gate",
+    "bpe_apply_merge_recount",
+    "sim_ann_recall_eval",
 ]
 
 

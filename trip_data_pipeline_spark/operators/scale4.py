@@ -2211,3 +2211,179 @@ def bpe_apply_merge_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc2.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(10).select(
         "applied_pair", "pair", "cnt"
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month rollup — the BI delta report
+# --------------------------------------------------------------------------
+
+
+@op(
+    "rollup_month_over_month",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT month, cents, n,
+       CAST(cents - lag(cents) OVER (ORDER BY month) AS BIGINT) AS delta_cents,
+       CAST(CASE WHEN lag(cents) OVER (ORDER BY month) IS NOT NULL
+                 THEN (1000000 * (cents - lag(cents) OVER (ORDER BY month)))
+                        // lag(cents) OVER (ORDER BY month) END AS BIGINT)
+         AS mom_ppm
+FROM m
+""",
+    category="2.14 time-series rollups",
+)
+def rollup_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas — the BI staple: monthly
+    integer-cents totals, absolute delta, and the MoM growth rate in
+    integer ppm (floor-div on positive cents, exact in both engines).
+    The lag window runs over the AGGREGATED months (at most a few
+    hundred rows regardless of fact size), so the single-partition
+    month ordering is a non-issue at any scale — the heavy lifting is
+    the partial/final monthly aggregate."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    m = o.groupBy("month").agg(
+        bigint(F.sum("c")).alias("cents"), bigint(F.count(F.lit(1))).alias("n")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "month",
+        "cents",
+        "n",
+        bigint(F.col("cents") - prev).alias("delta_cents"),
+        bigint(
+            F.when(
+                prev.isNotNull(),
+                F.expr(
+                    "(1000000 * (cents - lag(cents) OVER (ORDER BY month))) "
+                    "div lag(cents) OVER (ORDER BY month)"
+                ),
+            )
+        ).alias("mom_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k WITH TIES — rank()-based limit
+# --------------------------------------------------------------------------
+
+
+@op(
+    "limit_topk_with_ties",
+    oracle="""
+SELECT c_nationkey, c_custkey, bal_cents FROM (
+  SELECT c_nationkey, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         rank() OVER (PARTITION BY c_nationkey
+                      ORDER BY round(c_acctbal * 100) DESC) AS r
+  FROM customer
+) WHERE r <= 3
+""",
+    category="2.6 sort/limit/distinct",
+)
+def limit_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group WITH TIES: rank() instead of row_number(), so
+    every row tying the 3rd-place value survives — the FETCH FIRST
+    ... WITH TIES semantics (row_number top-k silently drops tied
+    peers; which rows survive would then be nondeterministic without a
+    full tie-break).  Still compiles to WindowGroupLimit: rank-based
+    group limits prune per-partition before the window sort exactly
+    like row_number ones."""
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("bal_cents"))
+    return (
+        cust.select("c_nationkey", "c_custkey", cents.alias("bal_cents"))
+        .withColumn("r", F.rank().over(w))
+        .filter(F.col("r") <= 3)
+        .select("c_nationkey", "c_custkey", "bal_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text-lines source + compressed parquet sink (lossless-cycle class)
+# --------------------------------------------------------------------------
+
+
+@op(
+    "scan_text_lines",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY lang
+""",
+    category="2.1 scans/sources/sinks",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `text` source: one record per LINE — the rawest corpus
+    interchange format (and the one every crawl dump starts as).
+    Documents are published as doc_id<TAB>lang<TAB>text lines and
+    re-ingested with spark.read.text + split_part projection; the
+    lossless-cycle aggregate (count, exact char mass, id checksum per
+    lang) fails if any line splits, drops, or mangles.  Text files
+    split by line at any byte offset, so unlike multiline CSV this
+    source stays fully splittable at 100 TB."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="text_lines_")
+    src = load(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
+            "value"
+        )
+    )
+    src.write.mode("overwrite").text(out)
+    rb = spark.read.text(out).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).cast("bigint").alias(
+            "doc_id"
+        ),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("lang"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(3)).alias("text"),
+    )
+    return rb.groupBy("lang").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum(F.length("text"))).alias("chars"),
+        bigint(F.sum("doc_id")).alias("id_sum"),
+    )
+
+
+@op(
+    "sink_compressed_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="2.1 scans/sources/sinks",
+)
+def sink_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-explicit parquet cycle: write with zstd (the 100 TB
+    default — ~2x better ratio than snappy at similar scan speed,
+    splittable because parquet compresses per-page), read back, and
+    hash-prove losslessness.  Codec choice is a table-level knob a
+    petabyte lake gets right once; the cycle check catches a codec
+    that silently truncates or corrupts."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zstd_cycle_")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    src.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    rb = spark.read.parquet(out)
+    return rb.groupBy("l_returnflag").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("cents")).alias("cents"),
+    )

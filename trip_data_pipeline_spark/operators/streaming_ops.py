@@ -587,3 +587,50 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count(F.lit(1))).alias("n_events"),
         bigint(F.sum(cents)).alias("value_cents"),
     )
+
+
+@op(
+    "stream_two_level_window",
+    oracle="""
+WITH wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM events),
+e AS (SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+d AS (SELECT day_s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM e GROUP BY day_s)
+SELECT day_s, n, cents FROM d, wm
+WHERE (day_s + 86400) * 1000000 <= wm.w
+""",
+    category=CAT,
+)
+def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations (Spark >= 3.4/4): an
+    hourly windowed aggregate re-aggregated into daily windows inside
+    the SAME streaming query — window_time() carries the hour's event
+    time into the second stateful operator, so the incremental rollup
+    tree (hour -> day) runs without an intermediate sink.  Append mode
+    is required for chaining; with the full file drained, the final
+    watermark is max(ts) - 10min and exactly the days whose end <=
+    watermark are finalized — the oracle pins that exact set (the
+    same finalized-window contract as stream_watermark_late).  Each
+    level's state is bounded by its own window horizon."""
+    ev = read_events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("window"), "1 day"))
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    res = run_to_memory(daily, "append")
+    return res.select(
+        F.expr("(unix_micros(window.start) div 1000000)").alias("day_s"),
+        bigint(F.col("n")).alias("n"),
+        bigint(F.col("cents")).alias("cents"),
+    )
