@@ -378,3 +378,78 @@ def test_triangle_orientation_counts_each_once(spark):
     oriented_total = e1.join(e2, "b").join(e3, ["a", "c"]).count()
     assert oriented_total == naive_total
     assert graph_triangle_count(spark, SF).count() <= 20
+
+
+def test_cusum_replay_matches_operator(spark):
+    """Replay the CUSUM recurrence driver-side for 25 users and check
+    max/final/alarm-count equality with the operator output."""
+    from trip_data_pipeline_spark.io import load
+    from trip_data_pipeline_spark.operators.scale4 import timeseries_cusum_drift
+
+    out = {r["user_id"]: r for r in timeseries_cusum_drift(spark, SF).collect()}
+    ev = (
+        load(spark, SF, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+        .orderBy("user_id", "us", "event_id")
+        .collect()
+    )
+    K, H = 15000, 200000
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(r["x"])
+    for uid in list(series)[:25]:
+        s = mx = alarms = 0
+        for x in series[uid]:
+            prev = s
+            s = max(0, s + x - K)
+            mx = max(mx, s)
+            if s > H and prev <= H:
+                alarms += 1
+        assert out[uid]["max_s"] == mx
+        assert out[uid]["final_s"] == s
+        assert out[uid]["n_alarms"] == alarms
+
+
+def test_bfs_seeds_zero_and_bounded(spark):
+    """Seeds get distance 0; no distance exceeds the 3 unrolled
+    supersteps."""
+    from trip_data_pipeline_spark.operators.scale4 import graph_bfs_distance
+
+    rows = graph_bfs_distance(spark, SF).collect()
+    dists = {r["dist"] for r in rows}
+    assert 0 in dists
+    assert max(dists) <= 3
+
+
+def test_max_concurrency_naive_replay(spark):
+    """Naive per-user interval-overlap counting at the reported peak
+    time must reproduce max_conc for a sample of users."""
+    from trip_data_pipeline_spark.io import load
+    from trip_data_pipeline_spark.operators.scale4 import interval_max_concurrency
+
+    out = {r["user_id"]: r for r in interval_max_concurrency(spark, SF).collect()}
+    iv = (
+        load(spark, SF, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("s"),
+            F.expr(
+                "unix_micros(ts) + (CAST(round(value * 100) AS BIGINT) % 7200) * 1000000"
+            ).alias("e"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in iv:
+        by_user.setdefault(r["user_id"], []).append((r["s"], r["e"]))
+    for uid in list(by_user)[:25]:
+        t = out[uid]["first_peak_us"]
+        # count intervals containing t (start <= t < end, matching the
+        # ends-close-before-starts sweep convention)
+        n = sum(1 for s, e in by_user[uid] if s <= t < e)
+        assert n == out[uid]["max_conc"], (uid, n, out[uid]["max_conc"])
