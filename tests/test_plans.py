@@ -946,3 +946,11 @@ def test_rank_topk_with_ties_group_limit(spark):
     like row_number ones."""
     p = _plan(spark, "limit_topk_with_ties")
     assert "WindowGroupLimit" in p
+
+
+def test_parameterized_sql_binds_as_literals(spark):
+    """Named markers become real literals before optimization: the
+    price bound reaches the parquet scan's pushed filters."""
+    p = _plan(spark, "sql_parameterized_query")
+    assert "PushedFilters" in p and "o_totalprice" in p
+    assert p.count("HashAggregate") >= 2

@@ -1,12 +1,22 @@
-"""§2.18 analytics-completeness operators (round-3, third tranche).
+"""§2.18 analytics-completeness operators (round-3, tranches 3-10).
 
-Rounds out graph analytics (triangle counting with the degree-ordered
-orientation trick), LM-based corpus quality filtering (the CCNet-style
-"score documents under a corpus language model" gate), the remaining
-window-function surface (nth_value / cume_dist), and the `range`
-generator source.  All hash-checked under the round-3 cross-engine
-exactness conventions: every ranking / membership decision is integer
-arithmetic, derived reals are output-only.
+Rounds out: graph analytics (degree-oriented triangle counting,
+majority-vote label propagation, BFS distance), corpus curation
+(CCNet-style LM quality gate, n-gram novelty, the 4-signal ensemble
+gate, BPE apply-merge), eval-as-query index-quality gates (ANN
+recall@5, MinHash/LSH recall+precision), sequential-state ops via
+Arrow grouped maps (gap+cap sessionization, CUSUM drift — both with
+recursive-CTE oracle replays), the sweep-line concurrency and
+geo-fence dwell primitives, distributed contiguous-id assignment, the
+remaining window/aggregate surface (nth_value/cume_dist, FILTER
+clause, bitmap-exact distinct, IGNORE NULLS navigation, rank-with-
+ties), scan/sink completions (range generator, dynamic partition
+overwrite, multiline CSV, text lines, zstd cycle, _metadata
+row_index), and the Spark-4 SQL surfaces (pipe syntax, session
+variables, parameter markers, IDENTIFIER(), collations, lateralJoin,
+null-aware anti join).  All hash-checked under the round-3
+cross-engine exactness conventions: every ranking / membership
+decision is integer arithmetic, derived reals are output-only.
 """
 
 from __future__ import annotations
@@ -2386,4 +2396,76 @@ def sink_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rb.groupBy("l_returnflag").agg(
         bigint(F.count(F.lit(1))).alias("n"),
         bigint(F.sum("cents")).alias("cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Parameterized SQL — named parameter markers
+# --------------------------------------------------------------------------
+
+
+@op(
+    "sql_parameterized_query",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    category="2.8 scalar functions",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with NAMED MARKERS (spark.sql(..., args=...),
+    Spark 3.4+): values bind as typed literals at parse time — no
+    f-string splicing, no injection surface, and the optimizer sees
+    real literals so pushdown/folding work exactly as with inline
+    constants (the API twin of SQL session variables).  The oracle
+    inlines the bound values."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_param")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM ord_param
+WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+GROUP BY o_orderpriority
+""",
+        args={"min_price": 150000.0, "status": "O"},
+    )
+
+
+@op(
+    "sql_identifier_clause",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(c_custkey) AS BIGINT) AS min_key
+FROM customer GROUP BY c_mktsegment
+""",
+    category="2.8 scalar functions",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 3.4+): table and column names
+    supplied as VALUES — templated SQL over dynamic object names
+    without string concatenation (the injection-safe companion of
+    parameter markers, which cannot bind identifiers).  Here both the
+    table name and the grouping column arrive via IDENTIFIER(:param);
+    the resolved plan is byte-identical to the static query."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_ident")
+    return spark.sql(
+        """
+SELECT IDENTIFIER(:grp_col) AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(IDENTIFIER(:key_col)) AS BIGINT) AS min_key
+FROM IDENTIFIER(:tbl)
+GROUP BY IDENTIFIER(:grp_col)
+""",
+        args={
+            "tbl": "cust_ident",
+            "grp_col": "c_mktsegment",
+            "key_col": "c_custkey",
+        },
     )
