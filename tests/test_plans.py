@@ -954,3 +954,26 @@ def test_parameterized_sql_binds_as_literals(spark):
     p = _plan(spark, "sql_parameterized_query")
     assert "PushedFilters" in p and "o_totalprice" in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_bitext_df_bounded_inverted_index(spark):
+    """Rare-gram df rides a count() window (join-free model pass) and
+    the pair join only touches df<=4 grams — no cartesian."""
+    p = _plan(spark, "corpus_bitext_candidates")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_cross_snapshot_hash_keyed_join(spark):
+    """Only content hashes cross the wire — the join key is the md5,
+    never raw text."""
+    p = _plan(spark, "dedup_cross_snapshot")
+    assert "CartesianProduct" not in p
+
+
+def test_blocklist_no_token_shuffle(spark):
+    """The hit count is a map-side array filter — no explode, the only
+    shuffle is the per-lang aggregate."""
+    p = _plan(spark, "corpus_blocklist_filter")
+    assert "Generate" not in p  # no explode of tokens
+    assert p.count("HashAggregate") >= 2

@@ -2469,3 +2469,166 @@ GROUP BY IDENTIFIER(:grp_col)
             "key_col": "c_custkey",
         },
     )
+
+
+# --------------------------------------------------------------------------
+# Bitext mining candidates — cross-lingual pairing via rare shared n-grams
+# --------------------------------------------------------------------------
+
+
+@op(
+    "corpus_bitext_candidates",
+    oracle="""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT DISTINCT doc_id, lang,
+             unnest(list_transform(range(1, len(w) - 3),
+                                   i -> array_to_string(w[i:i+4], ' '))) AS gram
+      FROM d),
+df AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+rare AS (SELECT gram FROM df WHERE c BETWEEN 2 AND 4),
+pairs AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         a.lang AS lang1, b.lang AS lang2,
+         count(DISTINCT a.gram) AS n_shared
+  FROM g a JOIN rare r ON a.gram = r.gram
+  JOIN g b ON b.gram = a.gram AND a.doc_id < b.doc_id AND a.lang <> b.lang
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id1, doc_id2, lang1, lang2, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= 2
+""",
+    category=CAT,
+)
+def corpus_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext-mining candidate pairs: documents in DIFFERENT languages
+    sharing >= 2 RARE 5-grams (corpus df 2-4) — the cheap surface-
+    signal prefilter a translation-pair miner runs before expensive
+    embedding alignment (rare shared content is evidence of parallel
+    or mirrored text; common grams carry no signal and are excluded,
+    which also bounds the join).
+
+    Scale: rare-gram df is computed as a count() window over the gram
+    partition (join-free model pass), and the pair join touches only
+    grams with df <= 4, so each gram yields at most 6 pairs — the
+    inverted-index join is df-bounded exactly like the MinHash truth
+    arm."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", word_ngrams(words_of(), 5).alias("grams")
+    )
+    g = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    rare = g.withColumn("c", dfw).filter(F.col("c").between(2, 4))
+    a = rare.select(
+        F.col("doc_id").alias("doc_id1"), F.col("lang").alias("lang1"), "gram"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("doc_id2"), F.col("lang").alias("lang2"), "gram"
+    )
+    return (
+        a.join(b, "gram")
+        .filter(
+            (F.col("doc_id1") < F.col("doc_id2"))
+            & (F.col("lang1") != F.col("lang2"))
+        )
+        .groupBy("doc_id1", "doc_id2", "lang1", "lang2")
+        .agg(bigint(F.countDistinct("gram")).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-snapshot dedup — incremental-crawl "already seen" accounting
+# --------------------------------------------------------------------------
+
+
+@op(
+    "dedup_cross_snapshot",
+    oracle="""
+WITH d AS (SELECT doc_id, lang, text, md5(text) AS h FROM documents),
+a AS (SELECT DISTINCT h FROM d WHERE substr(h, 1, 1) IN
+        ('0','1','2','3','4','5','6','7')),
+b AS (SELECT lang, h FROM d WHERE substr(h, 1, 1) NOT IN
+        ('0','1','2','3','4','5','6','7'))
+SELECT b.lang,
+       CAST(count(*) AS BIGINT) AS n_new_docs,
+       CAST(count(a.h) AS BIGINT) AS n_already_seen,
+       CAST((1000000 * count(a.h)) // count(*) AS BIGINT) AS dup_ppm
+FROM b LEFT JOIN a ON a.h = b.h
+GROUP BY b.lang
+""",
+    category=CAT,
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot exact dedup: the incremental-crawl question "how
+    much of the NEW snapshot did we already have?" — snapshot A is the
+    content-addressed first half (md5 leading hex 0-7), snapshot B the
+    second, and every B document checks its exact content hash against
+    A's distinct hash set via a left join (at scale: a hash-keyed
+    shuffle join — content hashes, never raw text, cross the wire).
+    Per-language new/seen counts + integer-ppm dup rate drive the
+    recrawl budget."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "lang", F.md5("text").alias("h")
+    )
+    first = F.substring("h", 1, 1)
+    a_half = (
+        d.filter(first.isin(*"01234567"))
+        .select(F.col("h").alias("ah"))
+        .distinct()
+    )
+    b_half = d.filter(~first.isin(*"01234567"))
+    j = b_half.join(a_half, b_half.h == a_half.ah, "left")
+    return j.groupBy("lang").agg(
+        bigint(F.count(F.lit(1))).alias("n_new_docs"),
+        bigint(F.count("ah")).alias("n_already_seen"),
+        bigint(F.expr("(1000000 * count(ah)) div count(1)")).alias("dup_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocklist gate — term-density safety filter
+# --------------------------------------------------------------------------
+
+
+@op(
+    "corpus_blocklist_filter",
+    oracle="""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, lang, len(w) AS n_words,
+         len(list_filter(w, x -> x IN ('slow', 'error', 'drop'))) AS n_hits
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       CAST(sum(CASE WHEN n_hits * 20 > n_words THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked
+FROM s GROUP BY lang
+""",
+    category=CAT,
+)
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist term-DENSITY gate: a document is blocked when more
+    than 5% of its tokens hit the blocklist (cross-multiplied integer
+    predicate n_hits*20 > n_words — never a float ratio), not on any
+    single occurrence — the density form keeps false positives down on
+    long documents, the standard shape of a keyword safety filter.
+    The per-doc hit count is a map-side array filter (no explode, no
+    shuffle of tokens); only (lang, counts) aggregate."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", words_of().alias("w")
+    )
+    hits = F.size(F.filter(F.col("w"), lambda x: x.isin("slow", "error", "drop")))
+    s = d.select(
+        "lang", F.size("w").alias("n_words"), hits.alias("n_hits")
+    )
+    return s.groupBy("lang").agg(
+        bigint(F.count(F.lit(1))).alias("n_docs"),
+        bigint(F.sum("n_hits")).alias("total_hits"),
+        bigint(
+            F.sum(F.when(F.col("n_hits") * 20 > F.col("n_words"), 1).otherwise(0))
+        ).alias("n_blocked"),
+    )
