@@ -1607,7 +1607,7 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: brute force here is the EVAL (10 probes broadcast), not the
     serving path; the IVF side stays a bucket equi-join.  Overlap is a
     (q_id, c_id) equi-join of two 50-row sets."""
-    from trip_data_pipeline_spark.operators.similarity import dot, fr4, l2norm, qvec
+    from trip_data_pipeline_spark.operators.similarity import dot, l2norm, qvec
 
     e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
