@@ -977,3 +977,12 @@ def test_blocklist_no_token_shuffle(spark):
     p = _plan(spark, "corpus_blocklist_filter")
     assert "Generate" not in p  # no explode of tokens
     assert p.count("HashAggregate") >= 2
+
+
+def test_kcore_keyed_peels_no_cartesian(spark):
+    """3 unrolled peels: degree agg + two keyed edge restrictions per
+    round — the edge set only shrinks; no cartesian, no BNLJ over
+    data (the final 1-row summary is a plain aggregate)."""
+    p = _plan(spark, "graph_kcore_peel")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4

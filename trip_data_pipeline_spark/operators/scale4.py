@@ -2632,3 +2632,73 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_hits") * 20 > F.col("n_words"), 1).otherwise(0))
         ).alias("n_blocked"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling — iterative degree-threshold pruning
+# --------------------------------------------------------------------------
+
+_KCORE_EDGES_DUCK = """
+op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+       FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p)
+"""
+
+
+def _kcore_peel_duck(prev: str, out: str, k: int) -> str:
+    """One peel: keep nodes with degree >= k in the surviving
+    subgraph, then restrict the edge set to kept endpoints."""
+    return f"""
+d_{out} AS (SELECT src AS node, count(*) AS d FROM {prev} GROUP BY src),
+keep_{out} AS (SELECT node FROM d_{out} WHERE d >= {k}),
+{out} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN keep_{out} s ON s.node = e.src
+  JOIN keep_{out} t ON t.node = e.dst
+)"""
+
+
+@op(
+    "graph_kcore_peel",
+    oracle=f"""
+WITH {_KCORE_EDGES_DUCK},
+{_kcore_peel_duck('e0', 'e1', 3)},
+{_kcore_peel_duck('e1', 'e2', 3)},
+{_kcore_peel_duck('e2', 'e3', 3)},
+fin AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM e3 GROUP BY src)
+SELECT CAST(count(*) AS BIGINT) AS n_core_nodes,
+       CAST(coalesce(sum(deg), 0) AS BIGINT) AS deg_sum,
+       CAST(coalesce(min(node), -1) AS BIGINT) AS min_node,
+       CAST(coalesce(sum(node), 0) AS BIGINT) AS node_sum
+FROM fin
+""",
+    category="graph / iterative",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling, 3 unrolled rounds: repeatedly drop nodes whose
+    degree in the SURVIVING subgraph is < 3 and restrict the edge set
+    to kept endpoints — the dense-subgraph extraction primitive
+    (community cores, spam-farm detection; full k-core runs peels to a
+    fixed point, this pins the fixed-round prefix).  Each peel is one
+    degree aggregation + two semi-join-shaped edge restrictions — all
+    keyed, and the edge set only ever SHRINKS, so cost is bounded by
+    round 1.  Summary row: surviving node count, degree mass (2x the
+    surviving edge count), min node and node checksum."""
+    e = _copart_edges(spark, sf_dir)  # both directions
+    for _ in range(3):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 3).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+    fin = e.groupBy("src").agg(bigint(F.count(F.lit(1))).alias("deg"))
+    return fin.agg(
+        bigint(F.count(F.lit(1))).alias("n_core_nodes"),
+        bigint(F.coalesce(F.sum("deg"), F.lit(0))).alias("deg_sum"),
+        bigint(F.coalesce(F.min("src"), F.lit(-1))).alias("min_node"),
+        bigint(F.coalesce(F.sum("src"), F.lit(0))).alias("node_sum"),
+    )
