@@ -986,3 +986,10 @@ def test_kcore_keyed_peels_no_cartesian(spark):
     p = _plan(spark, "graph_kcore_peel")
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 4
+
+
+def test_luhn_and_printf_map_only(spark):
+    for name in ("str_luhn_check", "str_format_printf"):
+        p = _plan(spark, name)
+        assert "BatchEvalPython" not in p, name
+        assert "Join" not in p, name

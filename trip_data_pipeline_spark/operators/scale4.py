@@ -2702,3 +2702,106 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.coalesce(F.min("src"), F.lit(-1))).alias("min_node"),
         bigint(F.coalesce(F.sum("src"), F.lit(0))).alias("node_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Luhn checksum + printf formatting — last scalar-surface gaps
+# --------------------------------------------------------------------------
+
+
+@op(
+    "str_luhn_check",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 9, '0')
+           || CAST(o_orderkey % 10 AS VARCHAR) AS acct
+  FROM orders
+),
+v AS (
+  SELECT o_orderkey, acct,
+         list_sum(list_transform(range(1, length(acct) + 1),
+           i -> CASE WHEN (length(acct) - i) % 2 = 1
+                     THEN CASE WHEN 2 * CAST(acct[i] AS INT) > 9
+                               THEN 2 * CAST(acct[i] AS INT) - 9
+                               ELSE 2 * CAST(acct[i] AS INT) END
+                     ELSE CAST(acct[i] AS INT) END)) % 10 AS m
+  FROM t
+)
+SELECT CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN m = 0 THEN o_orderkey ELSE 0 END) AS BIGINT)
+         AS valid_key_sum
+FROM v
+""",
+    category="2.8 scalar functions",
+)
+def str_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """luhn_check (Spark 3.5+) — the mod-10 checksum validator for
+    card/account-shaped identifiers, the classic PII-detection helper
+    (a 16-digit string that PASSES Luhn is far more likely to be a
+    real card number; text_pii_redact's regexes pair with this).
+    Synthetic account strings derive from order keys; the oracle
+    replays the doubling rule arithmetically digit-by-digit, so the
+    validity partition itself is hash-checked.  Map-only + 1-row
+    aggregate."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    acct = F.concat(
+        F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 9, "0"),
+        (F.col("o_orderkey") % 10).cast("string"),
+    )
+    v = o.select(
+        F.col("o_orderkey").alias("k"), acct.alias("acct")
+    ).select("k", F.expr("luhn_check(acct)").alias("ok"))
+    return v.agg(
+        bigint(F.sum(F.when(F.col("ok"), 1).otherwise(0))).alias("n_valid"),
+        bigint(F.count(F.lit(1))).alias("n_total"),
+        bigint(F.sum(F.when(F.col("ok"), F.col("k")).otherwise(0))).alias(
+            "valid_key_sum"
+        ),
+    )
+
+
+@op(
+    "str_format_printf",
+    oracle="""
+WITH f AS (
+  SELECT printf('ORD-%08d/%s', o_orderkey,
+                CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'done' END)
+           AS label,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT substr(label, 1, 6) AS prefix,
+       substr(label, length(label) - 3) AS suffix,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(label)) AS BIGINT) AS label_chars,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM f GROUP BY prefix, suffix
+""",
+    category="2.8 scalar functions",
+)
+def str_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_string (printf-style templating — zero-padded ids,
+    conditional segments): the display/export formatter.  Both engines
+    implement C printf semantics for %d/%s, so the formatted strings
+    are byte-identical; the aggregate hashes exact character mass per
+    (prefix, suffix) class.  Map-only + aggregate."""
+    o = load(spark, sf_dir, "orders")
+    label = F.format_string(
+        "ORD-%08d/%s",
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderstatus") == "O", "open").otherwise("done"),
+    )
+    f = o.select(
+        label.alias("label"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return f.groupBy(
+        F.substring("label", 1, 6).alias("prefix"),
+        F.expr("substr(label, length(label) - 3)").alias("suffix"),
+    ).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum(F.length("label"))).alias("label_chars"),
+        bigint(F.sum("cents")).alias("cents"),
+    )
