@@ -993,3 +993,17 @@ def test_luhn_and_printf_map_only(spark):
         p = _plan(spark, name)
         assert "BatchEvalPython" not in p, name
         assert "Join" not in p, name
+
+
+def test_containment_df_bounded_candidates(spark):
+    """Containment candidates come from the shingle inverted index —
+    df-bounded equi-joins, no all-pairs scan."""
+    p = _plan(spark, "dedup_shingle_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embed_gate_map_only(spark):
+    p = _exec_plan(spark, "embed_quality_gate")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1

@@ -2805,3 +2805,164 @@ def str_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.sum(F.length("label"))).alias("label_chars"),
         bigint(F.sum("cents")).alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle containment — the ASYMMETRIC near-dup relation
+# --------------------------------------------------------------------------
+
+
+@op(
+    "dedup_shingle_containment",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+sets_ AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS sset
+  FROM d3
+),
+sh AS (SELECT doc_id, unnest(sset) AS s FROM sets_),
+cand AS (
+  SELECT DISTINCT a.doc_id AS small_id, b.doc_id AS big_id
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+),
+v AS (
+  SELECT c.small_id, c.big_id,
+         len(list_intersect(s1.sset, s2.sset)) AS i_,
+         len(s1.sset) AS na
+  FROM cand c
+  JOIN sets_ s1 ON s1.doc_id = c.small_id
+  JOIN sets_ s2 ON s2.doc_id = c.big_id
+)
+SELECT small_id, big_id,
+       CAST(i_ AS BIGINT) AS n_shared,
+       CAST(na AS BIGINT) AS n_small
+FROM v WHERE 10 * i_ >= 9 * na
+""",
+    category="2.11 deduplication",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection — the asymmetric relation
+    Jaccard misses: |A∩B| / |A| >= 0.9 flags "B contains (almost all
+    of) A" even when B is much larger, catching quote inclusion,
+    boilerplate-wrapped reposts and page-chrome expansions that dilute
+    symmetric Jaccard below any threshold.  Direction matters, so
+    pairs are ordered (small_id = the contained side) and both
+    directions are tested.  Threshold is the cross-multiplied integer
+    10*i >= 9*|A| — no float ratio.
+
+    Scale: candidate pairs come from the shingle inverted index
+    (df-bounded, same shape as the MinHash truth arm); the verify join
+    touches only candidates."""
+    from trip_data_pipeline_spark.operators.dedup import SHINGLE_K, shingle_col
+    from trip_data_pipeline_spark.operators.text_ops import _words
+
+    d3 = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("ws"))
+        .filter(F.size("ws") >= SHINGLE_K)
+    )
+    sets_ = d3.select(
+        "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("sset")
+    )
+    sh = sets_.select("doc_id", F.explode("sset").alias("s"))
+    a = sh.select(F.col("doc_id").alias("small_id"), "s")
+    b = sh.select(F.col("doc_id").alias("big_id"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("small_id") != F.col("big_id"))
+        .select("small_id", "big_id")
+        .distinct()
+    )
+    s1 = sets_.select(F.col("doc_id").alias("small_id"), F.col("sset").alias("s1"))
+    s2 = sets_.select(F.col("doc_id").alias("big_id"), F.col("sset").alias("s2"))
+    v = (
+        cand.join(s1, "small_id")
+        .join(s2, "big_id")
+        .select(
+            "small_id",
+            "big_id",
+            F.size(F.array_intersect("s1", "s2")).alias("i_"),
+            F.size("s1").alias("na"),
+        )
+    )
+    return v.filter(10 * F.col("i_") >= 9 * F.col("na")).select(
+        "small_id",
+        "big_id",
+        bigint(F.col("i_")).alias("n_shared"),
+        bigint(F.col("na")).alias("n_small"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-norm quality gate
+# --------------------------------------------------------------------------
+
+
+@op(
+    "embed_quality_gate",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         CAST(list_inner_product(
+           list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)),
+           list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)))
+           AS BIGINT) AS sq,
+         CAST(len(list_filter(embedding, x -> x = 0)) AS BIGINT) AS n_zero,
+         CAST(len(embedding) AS BIGINT) AS dim
+  FROM embeddings
+),
+g AS (
+  SELECT vec_id, label, sq, n_zero, dim,
+         CASE WHEN sq BETWEEN 1000000 AND 64000000
+               AND 10 * n_zero <= dim THEN 1 ELSE 0 END AS ok
+  FROM q
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ok) AS BIGINT) AS n_ok,
+       CAST(sum(sq) AS BIGINT) AS sq_sum,
+       CAST(sum(n_zero) AS BIGINT) AS zeros
+FROM g GROUP BY label
+""",
+    category="2.11 similarity search",
+)
+def embed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate: reject vectors whose quantized squared
+    norm falls outside [1e6, 6.4e7] (collapsed or exploded vectors —
+    both symptoms of upstream encoder failures) or with > 10%
+    exactly-zero components (dead dimensions / truncated writes).
+    Both tests are exact integers (quantized-milli dot product,
+    cross-multiplied zero-share), per-label pass rates feed the
+    ingestion dashboard.  Map-only + one small aggregate — the
+    embedding sibling of corpus_quality_ensemble_gate."""
+    from trip_data_pipeline_spark.operators.similarity import qvec
+
+    e = spread(load(spark, sf_dir, "embeddings"))
+    sq = F.aggregate(
+        F.zip_with(qvec(), qvec(), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    ).cast("bigint")
+    n_zero = F.size(F.filter(F.col("embedding"), lambda x: x == 0)).cast("bigint")
+    g = e.select(
+        "label",
+        sq.alias("sq"),
+        n_zero.alias("n_zero"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    ).withColumn(
+        "ok",
+        F.when(
+            F.col("sq").between(1000000, 64000000)
+            & (10 * F.col("n_zero") <= F.col("dim")),
+            1,
+        ).otherwise(0),
+    )
+    return g.groupBy("label").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum("ok")).alias("n_ok"),
+        bigint(F.sum("sq")).alias("sq_sum"),
+        bigint(F.sum("n_zero")).alias("zeros"),
+    )
