@@ -1007,3 +1007,17 @@ def test_embed_gate_map_only(spark):
     p = _exec_plan(spark, "embed_quality_gate")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_execute_immediate_compiles_static_plan(spark):
+    """EXECUTE IMMEDIATE text compiles to the same aggregate plan as
+    the static query — pushdown intact."""
+    p = _plan(spark, "sql_execute_immediate")
+    assert "PushedFilters" in p and "o_totalprice" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_to_json_map_only(spark):
+    p = _plan(spark, "scalar_to_json_struct")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p

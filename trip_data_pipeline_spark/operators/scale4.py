@@ -2966,3 +2966,85 @@ def embed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.sum("sq")).alias("sq_sum"),
         bigint(F.sum("n_zero")).alias("zeros"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXECUTE IMMEDIATE + to_json — closing the dynamic-SQL / serde surface
+# --------------------------------------------------------------------------
+
+
+@op(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_totalprice > 200000.0
+GROUP BY o_orderstatus
+""",
+    category="2.8 scalar functions",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4): run SQL text held in a session
+    variable with positional USING parameters — the stored-query /
+    metadata-driven-pipeline surface (query shapes live in a control
+    table, parameters bind safely at execution).  Completes the
+    dynamic-SQL quartet: variables, parameter markers, IDENTIFIER(),
+    EXECUTE IMMEDIATE.  The executed text compiles to the same plan
+    as the static oracle query."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_exec")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE ord_query STRING DEFAULT "
+        "'SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key "
+        "FROM ord_exec WHERE o_totalprice > ? GROUP BY o_orderstatus'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE ord_query USING 200000.0")
+
+
+@op(
+    "scalar_to_json_struct",
+    oracle="""
+WITH j AS (
+  SELECT event_id,
+         '{"uid":' || CAST(user_id AS VARCHAR)
+           || ',"type":"' || event_type
+           || '","cents":' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+           || '}' AS doc
+  FROM events
+)
+SELECT CAST(length(doc) % 7 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(doc)) AS BIGINT) AS chars,
+       CAST(sum(CAST(json_extract(doc, '$.cents') AS BIGINT)) AS BIGINT)
+         AS cents
+FROM j GROUP BY len_bucket
+""",
+    category="2.8 scalar functions",
+)
+def scalar_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json over a named struct — the outbound serde surface
+    (event payload publication).  Spark's compact JSON rendering
+    ({"k":v, no spaces, struct field order) is byte-identical to the
+    oracle's hand-concatenated document, so the exact character mass
+    per length class hashes — a formatting drift (spacing, key order,
+    float rendering) would fail loudly.  The cents field round-trips
+    back out via json_extract inside the same aggregate.  Map-only +
+    small aggregate."""
+    ev = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("type"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    j = ev.select(doc.alias("doc"))
+    return j.groupBy((F.length("doc") % 7).cast("bigint").alias("len_bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        bigint(F.sum(F.length("doc"))).alias("chars"),
+        bigint(
+            F.sum(F.get_json_object("doc", "$.cents").cast("bigint"))
+        ).alias("cents"),
+    )
