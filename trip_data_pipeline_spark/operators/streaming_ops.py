@@ -634,3 +634,73 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.col("n")).alias("n"),
         bigint(F.col("cents")).alias("cents"),
     )
+
+
+@op(
+    "stream_session_dynamic_gap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts)
+           + (600 + CAST(round(value * 100) AS BIGINT) % 1800) * 1000000 AS en
+  FROM events
+),
+g AS (
+  SELECT user_id, us, en,
+         max(en) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM e
+),
+s0 AS (
+  SELECT user_id, us, en,
+         CASE WHEN pmax IS NULL OR us >= pmax THEN 1 ELSE 0 END AS new_s
+  FROM g
+),
+s AS (
+  SELECT user_id, us, en,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, en
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s0
+)
+SELECT user_id,
+       CAST(min(us) AS BIGINT) AS sess_start_us,
+       CAST(max(en) - min(us) AS BIGINT) AS dur_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    category=CAT,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap (session_window's
+    gap as an expression — here value-derived, 600-2399 s): each event
+    extends its session to [t, t + its own gap), overlapping spans
+    merge — activity-dependent timeouts (a purchase keeps the session
+    alive longer than a view), which the fixed-gap form cannot
+    express.  The batch oracle is the interval-merge formulation: a
+    session break is exactly `t >= running max of previous ends` (end
+    exclusive, so touching spans do NOT merge — matching Spark's
+    merge-on-overlap rule); no recursion needed because the break
+    condition only consults the running max.  Complete-mode drain
+    emits every merged session."""
+    ev = read_events_stream(spark, sf_dir)
+    gap = F.concat(
+        (
+            600 + F.round(F.col("value") * 100).cast("bigint") % 1800
+        ).cast("string"),
+        F.lit(" seconds"),
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(bigint(F.count(F.lit(1))).alias("n_events"))
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        "user_id",
+        F.expr("unix_micros(session_window.start)").alias("sess_start_us"),
+        F.expr(
+            "unix_micros(session_window.end) - unix_micros(session_window.start)"
+        ).alias("dur_us"),
+        "n_events",
+    )
