@@ -17,7 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
-from tests.oracle import canon_rows, duck_connect, duck_result, spark_result
+from tests.oracle import (
+    canon_rows,
+    driver_sort_check,
+    duck_connect,
+    duck_result,
+    spark_result,
+)
 
 
 def main() -> int:
@@ -48,6 +54,8 @@ def main() -> int:
             if name in oracles:
                 s_cols, s_rows = spark_result(rdf)
                 d_cols, d_rows = duck_result(con, oracles[name])
+                driver_sort_check(s_cols, s_rows)  # crash on list cells
+                driver_sort_check(d_cols, d_rows)  # exactly like the driver
                 ok = (
                     sorted(s_cols) == sorted(d_cols)
                     and len(s_rows) == len(d_rows)

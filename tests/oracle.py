@@ -55,6 +55,32 @@ def _canon_val(v: Any) -> Any:
     return str(v)
 
 
+def driver_sort_check(cols: list[str], rows: list[tuple]) -> None:
+    """Replicate the DRIVER's canonicalization step exactly: it loads the
+    result into pandas and calls ``sort_values`` over all columns, which
+    raises ``TypeError: unhashable type: 'list'`` for ArrayType/MapType
+    cells (CORRECTNESS_r03: array_higher_order / embed_quantize_int8
+    ERR'd in the driver while our tuple-izing canon stayed green — a
+    harness-parity blind spot).  Run the same pandas path here so list
+    columns crash LOCALLY first; also raise explicitly in case a pandas
+    version change ever makes sort_values tolerant."""
+    import pandas as pd
+
+    for r in rows:
+        for v in r:
+            if isinstance(v, (list, dict, set)) or (
+                hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+            ):
+                raise TypeError(
+                    "unhashable type: 'list' (driver canonicalizer cannot "
+                    "sort ArrayType/MapType cells — project a scalar "
+                    "encoding, e.g. array_join/to_json, on BOTH sides)"
+                )
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf = pdf.reindex(sorted(cols), axis=1)
+    pdf.sort_values(by=sorted(cols))  # same call the driver makes
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_canon_val(r[i]) for i in order) for r in rows]
@@ -85,6 +111,8 @@ def compare(df, con, sql: str) -> None:
     assert len(s_rows) == len(d_rows), (
         f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
     )
+    driver_sort_check(s_cols, s_rows)
+    driver_sort_check(d_cols, d_rows)
     sc = canon_rows(s_cols, s_rows)
     dc = canon_rows(d_cols, d_rows)
     if sc != dc:

@@ -107,3 +107,23 @@ def test_md5_of_unicode(edge_pair):
         [F.md5(F.col("s")).alias("h")],
         "SELECT id, md5(s) FROM edge",
     )
+
+
+def test_parse_extra_conf():
+    """SPARK_GRAFT_EXTRA_CONF parsing (ADVICE r2/r3): well-formed
+    entries round-trip, malformed entries raise loudly."""
+    import pytest
+
+    from trip_data_pipeline_spark.session import parse_extra_conf
+
+    assert parse_extra_conf("") == []
+    assert parse_extra_conf("  ;  ; ") == []
+    assert parse_extra_conf("a.b=1") == [("a.b", "1")]
+    assert parse_extra_conf(" a.b = 1 ; c.d = x=y ") == [
+        ("a.b", "1"),
+        ("c.d", "x=y"),  # partition: only the FIRST '=' splits
+    ]
+    with pytest.raises(ValueError, match="no '='"):
+        parse_extra_conf("a.b=1;oops")
+    with pytest.raises(ValueError, match="empty key"):
+        parse_extra_conf("=1")

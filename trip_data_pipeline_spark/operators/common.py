@@ -9,8 +9,32 @@ so integer µs/second math below is exact parity.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup (ADVICE r3: sink/scan ops were
+    leaking a materialized table copy into /tmp per verify sweep).  The
+    dir must outlive the op's RETURNED DataFrame — Spark re-reads it
+    lazily on every action — so cleanup is atexit, not per-call."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 def r2(c: Column) -> Column:

@@ -9,14 +9,13 @@ DuckDB oracle where expressible, rows-only otherwise.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, r2, r4
+from trip_data_pipeline_spark.operators.common import bigint, r2, r4, scratch_dir
 from trip_data_pipeline_spark.registry import op
 from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory
 
@@ -138,7 +137,8 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "agg_collect_sorted",
     oracle="""
-SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                AS types
 FROM events GROUP BY user_id
 """,
     category=CAT,
@@ -146,10 +146,11 @@ FROM events GROUP BY user_id
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregate with deterministic order:
     sort_array(collect_set(...)) — §5.3 rule 7 forbids hashing raw
-    collect_list order."""
+    collect_list order.  Projected comma-joined: the driver's pandas
+    canonicalizer cannot sort raw ArrayType cells (CORRECTNESS_r03)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types")
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
     )
 
 
@@ -300,7 +301,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked since round 3: the JSON cycle is lossless for these
     types, so the post-roundtrip aggregate must equal the same
     aggregate on the source table."""
-    out = tempfile.mkdtemp(prefix="sink_json_")
+    out = scratch_dir(prefix="sink_json_")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -329,7 +330,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     besides parquet.  Hash-checked since round 3: ORC round-trips
     losslessly, so the post-roundtrip aggregate must equal the
     source-table aggregate."""
-    out = tempfile.mkdtemp(prefix="sink_orc_")
+    out = scratch_dir(prefix="sink_orc_")
     p = load(spark, sf_dir, "part")
     p.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
@@ -345,7 +346,7 @@ def bucketed_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join of the two bucketed tables (used by the operator and by
     the no-Exchange plan assertion in tests)."""
     suffix = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    base = scratch_dir(prefix="bucketed_")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     ot, ct = f"orders_b_{suffix}", f"customer_b_{suffix}"

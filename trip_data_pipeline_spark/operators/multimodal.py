@@ -16,6 +16,8 @@ ops, and valid P6 byte streams (_encode_ppm) for the decoder.
 
 from __future__ import annotations
 
+import os
+
 from typing import Iterator
 
 import pandas as pd
@@ -579,8 +581,25 @@ def scan_metadata_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     0, so row_index must equal event_id exactly — n_match counts the
     equality per bucket and the oracle replays it as count(*): ANY
     divergence between physical position and the metadata column
-    breaks the hash."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    breaks the hash.
+
+    ADVICE r3: that premise silently requires ONE data file —
+    row_index resets per file, so a multi-file fixture would fail as
+    an opaque hash mismatch.  Assert the layout loudly instead."""
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        parts = [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if len(parts) != 1:
+            raise AssertionError(
+                f"scan_metadata_row_index premise broken: {path} holds "
+                f"{len(parts)} data files; row_index==event_id only holds "
+                "for a single dense, event_id-ordered file"
+            )
+    ev = spark.read.parquet(path).select(
         F.col("_metadata.row_index").alias("ri"), "event_id"
     )
     return ev.groupBy((F.col("ri") % 7).cast("bigint").alias("bucket")).agg(

@@ -285,8 +285,10 @@ def hash_id_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT)        AS n_words,
        list_contains(string_split(text, ' '), 'join')      AS has_join,
-       list_slice(string_split(text, ' '), 1, 3)           AS first3,
-       list_sort(list_distinct(string_split(text, ' ')))   AS uniq_words
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), ',')
+                                                           AS first3,
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+                                                           AS uniq_words
 FROM documents
 """,
     category=CAT,
@@ -294,15 +296,18 @@ FROM documents
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/contains/slice/distinct/sort over word arrays — SURVEY.md
     §2.8 row 10.  array_distinct keeps first-occurrence order (engine-
-    specific) so it is always wrapped in sort_array before hashing."""
+    specific) so it is always wrapped in sort_array before hashing.
+    Array results are projected comma-joined (array_join both engines):
+    the driver's pandas canonicalizer cannot sort raw ArrayType cells,
+    and both sides join identically so equality is unchanged."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         bigint(F.size(words)).alias("n_words"),
         F.array_contains(words, "join").alias("has_join"),
-        F.slice(words, 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct(words)).alias("uniq_words"),
+        F.array_join(F.slice(words, 1, 3), ",").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct(words)), ",").alias("uniq_words"),
     )
 
 
@@ -365,7 +370,9 @@ SELECT vec_id,
             THEN CAST(0.0 AS DOUBLE)
             ELSE round(list_aggregate(emb, 'sum'), 4) END     AS vec_sum,
        CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT)     AS n_pos,
-       list_transform(list_slice(emb, 1, 4), x -> x * 2)     AS first4_doubled
+       array_to_string(list_transform(list_slice(emb, 1, 4),
+           x -> CAST(CAST(floor(x * 2 * 10000 + 0.5) AS BIGINT) AS VARCHAR)),
+           ',')                                              AS first4_doubled
 FROM e
 """,
     category=CAT,
@@ -374,9 +381,12 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions (transform/aggregate/filter) for vector
     math without UDFs — SURVEY.md §2.8 row 13.  Elements are cast
     float->double BEFORE arithmetic on both engines (FIXTURES.md gotcha
-    5).  x*2 is projected unrounded (exact same double both engines);
-    only the fold sum is rounded — see array_posexplode's note on why
-    rounding float-origin elements is the unsafe direction."""
+    5).  The x*2 slice is still computed with transform/slice HOFs but
+    is PROJECTED as a comma-joined string of floor-scaled bigints: the
+    driver's pandas canonicalizer cannot sort raw ArrayType cells
+    (CORRECTNESS_r03 `unhashable type: 'list'`), and float64->string
+    formatting differs across engines, so each element is
+    floor(x*2*1e4+0.5) — deterministic in float64 on both sides."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
@@ -385,7 +395,13 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 4)
         ).alias("vec_sum"),
         bigint(F.size(F.filter(emb, lambda x: x > 0))).alias("n_pos"),
-        F.transform(F.slice(emb, 1, 4), lambda x: x * 2).alias("first4_doubled"),
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 4),
+                lambda x: F.floor(x * 2 * 10000 + 0.5).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("first4_doubled"),
     )
 
 
@@ -620,7 +636,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       list_sort(list_intersect(toks, vocab)) AS inter,
+       coalesce(array_to_string(list_sort(list_intersect(toks, vocab)), ','), '')
+         AS inter,
        CAST(len(list_distinct(list_concat(toks, vocab))) AS BIGINT) AS n_union,
        CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
             AS BIGINT) AS n_except
@@ -632,14 +649,18 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra against a literal vocabulary:
     intersect / union / except with explicit distinct+sort
     normalization on both engines (Spark's array_* set fns dedup;
-    DuckDB's list fns are normalized to match).  Map-only — no
-    shuffle; at 100 TB this is a pure codegen projection pass."""
+    DuckDB's list fns are normalized to match).  The intersection is
+    projected comma-joined — the driver's pandas canonicalizer cannot
+    sort raw ArrayType cells.  Map-only — no shuffle; at 100 TB this
+    is a pure codegen projection pass."""
     docs = load(spark, sf_dir, "documents")
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
     toks = F.array_distinct(F.split(F.col("text"), " "))
     return docs.select(
         "doc_id",
-        F.sort_array(F.array_intersect(toks, vocab)).alias("inter"),
+        F.array_join(F.sort_array(F.array_intersect(toks, vocab)), ",").alias(
+            "inter"
+        ),
         bigint(F.size(F.array_union(toks, vocab))).alias("n_union"),
         bigint(F.size(F.array_except(toks, vocab))).alias("n_except"),
     )

@@ -13,7 +13,6 @@ each pipeline bit-identically.
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Iterator
 
 import pandas as pd
@@ -21,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import as_date, bigint, r2, spread
+from trip_data_pipeline_spark.operators.common import as_date, bigint, r2, scratch_dir, spread
 from trip_data_pipeline_spark.operators.graph import _copart_edges
 from trip_data_pipeline_spark.operators.text_ops import _duck_words, _words
 from trip_data_pipeline_spark.registry import op
@@ -205,7 +204,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursiveFileLookup prune at listing time.  The per-file payload
     stays in one row, so downstream decode parallelism is per-file
     (pair with mapInPandas decoders, cf. multimodal_decode_ppm)."""
-    out = tempfile.mkdtemp(prefix="binsrc_")
+    out = scratch_dir(prefix="binsrc_")
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 64)
@@ -1283,7 +1282,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on the source table (the lossless-cycle oracle class) —
     a row dropped by tag mismatch or a double mangled by text
     round-tripping breaks the hash."""
-    out = tempfile.mkdtemp(prefix="xmlsrc_") + "/orders"
+    out = scratch_dir(prefix="xmlsrc_") + "/orders"
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, r4, spread
+from trip_data_pipeline_spark.operators.common import bigint, r4, scratch_dir, spread
 from trip_data_pipeline_spark.operators.corpus2 import word_ngrams, words_of
 from trip_data_pipeline_spark.operators.graph import _copart_edges
 from trip_data_pipeline_spark.registry import op
@@ -450,9 +450,8 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale: partition-granular replacement is O(changed partition), not
     O(table) — the daily-restatement pattern for partitioned facts."""
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="sink_dpo_")
+    out = scratch_dir(prefix="sink_dpo_")
     base = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
@@ -1148,9 +1147,8 @@ def scan_csv_multiline_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary can't be found mid-file), so at cluster scale this is for
     many-medium-files layouts — exactly how the option behaves here,
     one file per shuffle partition."""
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="csv_multiline_")
+    out = scratch_dir(prefix="csv_multiline_")
     src = load(spark, sf_dir, "customer").select(
         "c_custkey",
         F.concat(F.col("c_name"), F.lit('\nline2,"q"')).alias("text"),
@@ -2343,9 +2341,8 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang) fails if any line splits, drops, or mangles.  Text files
     split by line at any byte offset, so unlike multiline CSV this
     source stays fully splittable at 100 TB."""
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="text_lines_")
+    out = scratch_dir(prefix="text_lines_")
     src = load(spark, sf_dir, "documents").select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
             "value"
@@ -2384,9 +2381,8 @@ def sink_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-prove losslessness.  Codec choice is a table-level knob a
     petabyte lake gets right once; the cycle check catches a codec
     that silently truncates or corrupts."""
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="zstd_cycle_")
+    out = scratch_dir(prefix="zstd_cycle_")
     src = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),

@@ -1,0 +1,534 @@
+"""§2.19 round-4 additions — training-data pipeline completions.
+
+Six operators closing gaps a 100-TB corpus pipeline still had after
+§2.11-2.18: exact-substring dedup over shingled windows (the
+"Deduplicating Training Data Makes Language Models Better" span-level
+formulation, distinct from doc-level MinHash/SimHash), INCREMENTAL
+SimHash near-dedup of a new crawl batch against an existing index
+snapshot (the production shape: the index never rescans itself),
+token-budget corpus selection per language (mixture construction
+under a hard token budget), the per-domain token-mix report every
+crawl-curation loop publishes, a perceptual image hash (aHash) over
+the real PPM decode chain, and energy-based voice-activity detection
+over the real RIFF/WAVE decode chain.
+
+All six are hash-checked: every keep/flag decision is integer
+arithmetic (cross-multiplied thresholds, integer-ppm ratios), the
+multimodal fixtures are deterministic byte streams whose pixel/PCM
+lattices the DuckDB oracle replays arithmetically while the Spark
+side actually round-trips the bytes through the decoders.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.operators.common import bigint, spread
+from trip_data_pipeline_spark.operators.dedup import _duck_hex28, simhash_bits_expr
+from trip_data_pipeline_spark.operators.multimodal import (
+    _decode_ppm,
+    _decode_wav,
+    _encode_ppm,
+    _encode_wav,
+)
+from trip_data_pipeline_spark.operators.text_ops import _duck_words, _words
+from trip_data_pipeline_spark.registry import op
+
+CAT = "2.19 round-4 additions"
+
+WIN_K = 8  # words per substring-dedup window
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (span-level, Lee et al. 2022 formulation)
+# --------------------------------------------------------------------------
+
+
+@op(
+    "dedup_substring_window",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - {WIN_K - 2}),
+                    i -> md5(array_to_string(w[i:i+{WIN_K - 1}], ' ')))) AS h
+      FROM d WHERE len(w) >= {WIN_K}),
+c AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS cnt FROM g)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)                         AS n_windows,
+       CAST(count(CASE WHEN cnt >= 2 THEN 1 END) AS BIGINT) AS n_dup,
+       CAST((1000000 * count(CASE WHEN cnt >= 2 THEN 1 END)) // count(*)
+            AS BIGINT) AS dup_ppm
+FROM c GROUP BY doc_id
+""",
+    category=CAT,
+)
+def dedup_substring_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup at span granularity (the Lee et al. 2022
+    "Deduplicating Training Data" formulation): every 8-word sliding
+    window is hashed; a window whose hash occurs >= 2 times anywhere in
+    the corpus (same doc included — verbatim self-repeats count) is a
+    duplicated span, and each doc reports its duplicated-window share
+    in integer ppm.  This catches shared boilerplate/quotations inside
+    otherwise-unique docs, which doc-level MinHash/SimHash miss.
+
+    Scale shape: windows are md5'd to 16 bytes BEFORE the shuffle
+    (raw text never crosses the wire), duplication is a count() window
+    over the hash partition (one hash-keyed shuffle — join-free), then
+    one doc-keyed re-aggregation.  At 100 TB this is the standard
+    two-shuffle suffix of the span-dedup pipeline; the explode is
+    narrow (pipelined with the scan)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", w.alias("w")).filter(F.size("w") >= WIN_K)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - WIN_K),
+                lambda i: F.md5(F.array_join(F.slice("w", i + 1, WIN_K), " ")),
+            )
+        ).alias("h"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    marked = wins.select("doc_id", (cnt >= 2).cast("int").alias("dup"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_windows"),
+            bigint(F.sum("dup")).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup",
+            bigint(F.expr("(1000000 * n_dup) div n_windows")).alias("dup_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental SimHash near-dedup: new batch vs index snapshot
+# --------------------------------------------------------------------------
+
+_HAM_AB = "len([i for i in range(1, 57) if shb[i] != sha[i]])"
+
+_SIMHASH_INC_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w FROM d WHERE len(ws) > 0),
+h AS (
+  SELECT doc_id,
+         ({_duck_hex28('md5(w)', 1)} * 268435456 + {_duck_hex28('md5(w)', 8)}) AS h
+  FROM w
+),
+bits AS (
+  SELECT doc_id, bi.i AS i,
+         sum(CASE WHEN (h >> bi.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 56)) AS i) bi
+  GROUP BY doc_id, bi.i
+),
+sh AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sh
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sh, bb.b AS band_idx, substr(sh, 1 + 14 * bb.b, 14) AS band_bits
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, a.doc_id AS index_doc,
+         b.sh AS shb, a.sh AS sha
+  FROM bands b
+  JOIN bands a ON b.band_idx = a.band_idx
+              AND b.band_bits = a.band_bits
+              AND b.doc_id % 2 = 1 AND a.doc_id % 2 = 0
+),
+hits AS (
+  SELECT batch_doc, index_doc FROM cand WHERE {_HAM_AB} <= 6
+)
+SELECT batch_doc AS doc_id,
+       CAST(count(*) AS BIGINT)       AS n_index_dups,
+       CAST(min(index_doc) AS BIGINT) AS first_index_dup
+FROM hits GROUP BY batch_doc
+"""
+
+
+@op("dedup_simhash_incremental", oracle=_SIMHASH_INC_ORACLE, category=CAT)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the production recrawl shape: a new
+    batch (odd doc_ids) is SimHash-probed against an existing index
+    snapshot (even doc_ids); the index never joins against itself.
+    56-bit SimHash -> 4x14-bit bands -> batch->index band-equality
+    probe -> hamming <= 6 verify -> per-batch-doc dup count + first
+    index match.  Complements dedup_cross_snapshot (exact-hash
+    incremental) with the near-dup variant; same md5-derived portable
+    hash family as dedup_simhash, so DuckDB replays the whole pipeline.
+
+    Scale shape: only (band_bits, 56-bit signature, doc_id) cross the
+    wire — never text; the probe is an equi-join on band keys, and the
+    index side's bands are a materialized artifact in a real
+    deployment (built once per snapshot, not recomputed per batch)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    docs = (
+        d.select("doc_id", _words().alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select("doc_id", F.expr(simhash_bits_expr("ws")).alias("sh"))
+    )
+    bands = docs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.substring("sh", 1 + 14 * b, 14) for b in range(4)])
+        ).alias("band_idx", "band_bits"),
+    )
+    batch = bands.filter(F.col("doc_id") % 2 == 1).alias("b")
+    index = bands.filter(F.col("doc_id") % 2 == 0).alias("a")
+    cand = (
+        batch.join(
+            index,
+            (F.col("b.band_idx") == F.col("a.band_idx"))
+            & (F.col("b.band_bits") == F.col("a.band_bits")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("a.doc_id").alias("index_doc"),
+            F.col("b.sh").alias("shb"),
+            F.col("a.sh").alias("sha"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("shb"), ""),
+                F.split(F.col("sha"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda x: x,
+        )
+    )
+    hits = cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 6)
+    return hits.groupBy(F.col("batch_doc").alias("doc_id")).agg(
+        bigint(F.count(F.lit(1))).alias("n_index_dups"),
+        bigint(F.min("index_doc")).alias("first_index_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget corpus selection (mixture construction per language)
+# --------------------------------------------------------------------------
+
+
+@op(
+    "corpus_token_budget_select",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST((1000000 * len(list_distinct(string_split(text, ' '))))
+              // len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, n_tokens, score_ppm,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY score_ppm DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang) AS lang_total
+  FROM t
+)
+SELECT doc_id, lang, score_ppm,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM w
+WHERE cum_tokens * 10 <= lang_total * 4
+""",
+    category=CAT,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — mixture construction under a
+    hard budget: within each language, keep the highest-quality docs
+    (quality = integer-ppm unique-token ratio, doc_id tie-break) until
+    the language's running token total exceeds 40% of its corpus
+    tokens.  The budget gate is cross-multiplied (cum*10 <= total*4)
+    so no division ever happens on the decision path.
+
+    Scale shape: ONE language-keyed shuffle feeds both windows (the
+    ordered running sum and the unordered total); per-key ordered
+    windows scale with the key's data, not the corpus.  A skewed lang
+    (English at 50%+ of a real crawl) would range-partition within
+    lang + offset-merge exactly like ids_global_contiguous."""
+    d = spread(load(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        bigint(F.size(w)).alias("n_tokens"),
+        bigint(
+            F.expr(
+                "(1000000 * size(array_distinct(split(text, ' '))))"
+                " div size(split(text, ' '))"
+            )
+        ).alias("score_ppm"),
+    )
+    order = Window.partitionBy("lang").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id")
+    )
+    cum = F.sum("n_tokens").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy("lang"))
+    return (
+        t.select(
+            "doc_id",
+            "lang",
+            "score_ppm",
+            bigint(cum).alias("cum_tokens"),
+            total.alias("lang_total"),
+        )
+        .filter(F.col("cum_tokens") * 10 <= F.col("lang_total") * 4)
+        .drop("lang_total")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-domain token-mix report (crawl-curation observability)
+# --------------------------------------------------------------------------
+
+
+@op(
+    "corpus_domain_mix_report",
+    oracle="""
+WITH u AS (
+  SELECT source || '.example.com' AS host,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+a AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM u GROUP BY host
+),
+r AS (
+  SELECT host, n_docs, tokens,
+         CAST((1000000 * tokens) // sum(tokens) OVER () AS BIGINT) AS share_ppm,
+         CAST(row_number() OVER (ORDER BY tokens DESC, host) AS BIGINT) AS rnk
+  FROM a
+)
+SELECT host, n_docs, tokens, share_ppm, rnk,
+       CAST(sum(share_ppm) OVER (ORDER BY rnk
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_share_ppm
+FROM r
+""",
+    category=CAT,
+)
+def corpus_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-domain token-mix report every crawl-curation loop
+    publishes: docs + tokens + integer-ppm token share per host
+    (host via a REAL parse_url over the synthesized document URLs),
+    ranked by token mass with cumulative share — 'the top 5 domains
+    are 60% of the corpus' in one query.
+
+    Scale shape: the per-host aggregate is partial/final (host
+    cardinality ~10^5 in a real crawl — tiny vs the corpus); the
+    ranking windows run over the AGGREGATED host rows only, so their
+    single-partition order is scale-free, same argument as
+    rollup_month_over_month."""
+    d = spread(load(spark, sf_dir, "documents"))
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/x"))
+    u = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        bigint(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    a = u.groupBy("host").agg(
+        bigint(F.count(F.lit(1))).alias("n_docs"),
+        bigint(F.sum("n_tokens")).alias("tokens"),
+    )
+    share = bigint(
+        F.expr("(1000000 * tokens) div (sum(tokens) over ())")
+    ).alias("share_ppm")
+    rnk = bigint(
+        F.row_number().over(Window.orderBy(F.col("tokens").desc(), F.col("host")))
+    ).alias("rnk")
+    r = a.select("host", "n_docs", "tokens", share, rnk)
+    cum = F.sum("share_ppm").over(
+        Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return r.select(
+        "host", "n_docs", "tokens", "share_ppm", "rnk", bigint(cum).alias("cum_share_ppm")
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hash (aHash) over the real PPM decode chain
+# --------------------------------------------------------------------------
+
+
+@op(
+    "multimodal_image_phash",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, (doc_id % 13) + 1 AS h, t.i AS i,
+         ((t.i // 8) * ((doc_id % 13) + 1)) // 8 AS gy,
+         (t.i % 8) * 2 AS gx
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+),
+cells AS (
+  SELECT doc_id, i,
+         (doc_id * 31 + (gy * 16 + gx) * 3) % 256
+         + (doc_id * 31 + (gy * 16 + gx) * 3 + 1) % 256
+         + (doc_id * 31 + (gy * 16 + gx) * 3 + 2) % 256 AS cell
+  FROM g
+),
+b AS (
+  SELECT doc_id, i, cell,
+         sum(cell) OVER (PARTITION BY doc_id) AS total
+  FROM cells
+)
+SELECT doc_id,
+       string_agg(CASE WHEN 64 * cell > total THEN '1' ELSE '0' END,
+                  '' ORDER BY i) AS phash_bits,
+       CAST(count(CASE WHEN 64 * cell > total THEN 1 END) AS BIGINT) AS n_ones
+FROM b GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (average-hash / aHash) over the REAL PPM
+    decode chain: decode the P6 byte stream, sample an 8x8
+    nearest-neighbor grid (gy = (r*h)//8, gx = 2*c for the 16-wide
+    fixture), gray = integer sum of the 3 channels (no /3 — division
+    would round), bit = [64*cell > total] (cross-multiplied mean
+    comparison, strict both engines) -> 64-bit hash as a bit string +
+    popcount.  The oracle replays the sampled pixel lattice
+    arithmetically while the Spark side round-trips actual bytes
+    through the parser.
+
+    Scale shape: map-only mapInPandas (Arrow batches of binary
+    payloads in, 72-char rows out) — the standard pre-shuffle
+    compression step before image near-dup banding (the SimHash
+    banding ops show the join half on exactly this kind of
+    signature)."""
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash_bits": [], "n_ones": []}
+            for doc_id in pdf["doc_id"]:
+                f = _decode_ppm(_encode_ppm(int(doc_id)))
+                w, h, px = f["width"], f["height"], f["px"]
+                cells = []
+                for r in range(8):
+                    gy = (r * h) // 8
+                    for c in range(8):
+                        gx = 2 * c
+                        base = (gy * w + gx) * 3
+                        cells.append(px[base] + px[base + 1] + px[base + 2])
+                total = sum(cells)
+                bits = "".join(
+                    "1" if 64 * cell > total else "0" for cell in cells
+                )
+                out["doc_id"].append(doc_id)
+                out["phash_bits"].append(bits)
+                out["n_ones"].append(bits.count("1"))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        phash_batches, schema="doc_id bigint, phash_bits string, n_ones bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# Energy-based voice-activity detection over the real WAV decode chain
+# --------------------------------------------------------------------------
+
+VAD_FRAME = 8  # samples per frame
+VAD_THRESH = 100_000  # integer energy threshold (sum of |s16| per frame)
+
+
+@op(
+    "multimodal_audio_vad",
+    oracle=f"""
+WITH d AS (SELECT doc_id, (doc_id % 50) + 10 AS n FROM documents),
+s0 AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+s AS (
+  SELECT doc_id, i // {VAD_FRAME} AS fi,
+         abs(((doc_id * 131 + i * 17) % 65536) - 32768) AS a
+  FROM s0
+),
+f AS (
+  SELECT doc_id, fi,
+         CASE WHEN sum(a) > {VAD_THRESH} THEN 1 ELSE 0 END AS act
+  FROM s GROUP BY doc_id, fi
+),
+g AS (
+  SELECT doc_id, fi, act,
+         lag(act, 1, 0) OVER (PARTITION BY doc_id ORDER BY fi) AS pact
+  FROM f
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)  AS n_frames,
+       CAST(sum(act) AS BIGINT)  AS n_active,
+       CAST(count(CASE WHEN act = 1 AND pact = 0 THEN 1 END) AS BIGINT)
+         AS n_segments,
+       CAST((1000000 * sum(act)) // count(*) AS BIGINT) AS active_ppm
+FROM g GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over the REAL RIFF/WAVE
+    decode chain: decode the PCM s16le payload, frame at 8 samples
+    (last frame partial), a frame is ACTIVE iff its integer
+    sum-of-|sample| energy exceeds a fixed threshold, segments are
+    maximal runs of active frames (gaps-and-islands on the frame
+    sequence).  Per doc: frames, active frames, segment count,
+    active share in integer ppm — the speech-share gate an audio
+    corpus applies before paying for transcription.
+
+    The oracle replays the deterministic PCM lattice arithmetically;
+    the Spark side round-trips actual RIFF bytes through the parser.
+    Scale shape: map-only mapInPandas; segmentation is per-payload
+    local state inside the batch (no cross-row windows needed)."""
+
+    def vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_active": [],
+                "n_segments": [],
+                "active_ppm": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                f = _decode_wav(_encode_wav(int(doc_id)))
+                samples = f["samples"]
+                acts = []
+                for start in range(0, len(samples), VAD_FRAME):
+                    e = sum(abs(int(s)) for s in samples[start : start + VAD_FRAME])
+                    acts.append(1 if e > VAD_THRESH else 0)
+                segs = sum(
+                    1
+                    for k, a in enumerate(acts)
+                    if a == 1 and (k == 0 or acts[k - 1] == 0)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(acts))
+                out["n_active"].append(sum(acts))
+                out["n_segments"].append(segs)
+                out["active_ppm"].append(1_000_000 * sum(acts) // len(acts))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        vad_batches,
+        schema=(
+            "doc_id bigint, n_frames bigint, n_active bigint, "
+            "n_segments bigint, active_ppm bigint"
+        ),
+    )

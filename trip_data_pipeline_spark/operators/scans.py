@@ -8,13 +8,12 @@ at 100 TB — the publish step of the reference pipeline generalized.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import SCHEMAS, load, table_path
-from trip_data_pipeline_spark.operators.common import as_date, bigint, r2
+from trip_data_pipeline_spark.operators.common import as_date, bigint, r2, scratch_dir
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.1 scans/sources/sinks"
@@ -100,7 +99,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The partition column becomes the directory key: at 100 TB this
     layout gives static+dynamic partition pruning on the publish side.
     """
-    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    out = scratch_dir(prefix="sink_parquet_")
     o = load(spark, sf_dir, "orders").withColumn(
         "o_year", F.year(as_date(F.col("o_orderdate")))
     )
@@ -130,7 +129,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-round-trip Double.toString and parses them back exactly,
     so the post-roundtrip aggregate must equal the source-table
     aggregate — a lossy CSV cycle would hash-mismatch."""
-    out = tempfile.mkdtemp(prefix="sink_csv_")
+    out = scratch_dir(prefix="sink_csv_")
     p = load(spark, sf_dir, "part")
     p.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema(SCHEMAS["part"]).option("header", True).csv(out)
@@ -179,7 +178,7 @@ def scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-roundtrip decimal strings; the oracle is simply the
     original table, so the whole write+read dialect path must be
     lossless."""
-    out = tempfile.mkdtemp(prefix="scan_csv_opts_")
+    out = scratch_dir(prefix="scan_csv_opts_")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -220,7 +219,7 @@ def layout_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     read side cheap: directory-level partition pruning on o_year
     (asserted in tests/test_plans.py) plus clustered o_custkey so
     parquet row-group min/max statistics prune within files."""
-    out = tempfile.mkdtemp(prefix="layout_psort_")
+    out = scratch_dir(prefix="layout_psort_")
     o = load(spark, sf_dir, "orders").withColumn(
         "o_year", F.year(as_date(F.col("o_orderdate")))
     )
@@ -307,8 +306,8 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: side-effecting."""
     import os as _os
 
-    frag = tempfile.mkdtemp(prefix="layout_frag_")
-    compact = tempfile.mkdtemp(prefix="layout_compact_")
+    frag = scratch_dir(prefix="layout_frag_")
+    compact = scratch_dir(prefix="layout_compact_")
     ev = load(spark, sf_dir, "events")
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     n_files_before = len([f for f in _os.listdir(frag) if f.endswith(".parquet")])
@@ -349,7 +348,7 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer pass over files (not data) — the standard upgrade path when
     a pipeline adds columns without rewriting history."""
     li = load(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="schema_evo_")
+    out = scratch_dir(prefix="schema_evo_")
     old_gen = li.filter(F.col("l_orderkey") % 2 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
@@ -399,7 +398,7 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     quarantine, never inference, never abort-on-first-error."""
     import os
 
-    out = tempfile.mkdtemp(prefix="csv_malformed_")
+    out = scratch_dir(prefix="csv_malformed_")
     n = load(spark, sf_dir, "nation")
     n.coalesce(1).write.mode("overwrite").csv(f"{out}/data")
     # NB: must not start with "_" or "." — Spark's file index skips
@@ -466,7 +465,7 @@ def scan_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned publish uses the same layout as
     sink_parquet_partitioned; integer-cent sums keep the aggregate
     order-exact."""
-    out = tempfile.mkdtemp(prefix="dpp_events_")
+    out = scratch_dir(prefix="dpp_events_")
     ev = load(spark, sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     fact = spark.read.parquet(out)

@@ -413,11 +413,11 @@ SELECT vec_id,
             AS BIGINT) AS v_min_1e4,
        CAST(floor(CAST(list_aggregate(embedding, 'max') AS DOUBLE) * 10000 + 0.5)
             AS BIGINT) AS v_max_1e4,
-       list_transform(embedding, x -> CAST(coalesce(
+       array_to_string(list_transform(embedding, x -> CAST(CAST(coalesce(
            floor((CAST(x AS DOUBLE) - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
                  / nullif(CAST(list_aggregate(embedding, 'max') AS DOUBLE)
                           - CAST(list_aggregate(embedding, 'min') AS DOUBLE), 0)
-                 * 255 + 0.5) - 128, 0) AS INTEGER)) AS q
+                 * 255 + 0.5) - 128, 0) AS INTEGER) AS VARCHAR)), ',') AS q
 FROM embeddings
 """,
     category=CAT,
@@ -426,7 +426,9 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization (embedding storage compression):
     min/max scale to [-128, 127] via floor(x+0.5) — floor-based so the
     rounding rule is engine-independent, all arithmetic in float64 on
-    both sides.  Pure array HOFs: one codegen projection, no shuffle,
+    both sides.  The int8 code vector is projected comma-joined (the
+    driver's pandas canonicalizer cannot sort raw ArrayType cells —
+    CORRECTNESS_r03 ERR).  Pure array HOFs: one codegen projection, no shuffle,
     no Python — at 100 TB this is a map-only pass that cuts vector
     bytes 4x before the ANN index build."""
     emb = load(spark, sf_dir, "embeddings")
@@ -440,11 +442,16 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.floor(mn * 10000 + 0.5).cast("bigint").alias("v_min_1e4"),
         F.floor(mx * 10000 + 0.5).cast("bigint").alias("v_max_1e4"),
-        F.transform(
-            "embedding",
-            lambda x: F.coalesce(
-                F.floor((x.cast("double") - mn) / rng * 255 + 0.5) - 128,
-                F.lit(0),
-            ).cast("int"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.coalesce(
+                    F.floor((x.cast("double") - mn) / rng * 255 + 0.5) - 128,
+                    F.lit(0),
+                )
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q"),
     )

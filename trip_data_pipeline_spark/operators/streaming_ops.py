@@ -13,14 +13,13 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import RAW_EVENTS_SCHEMA, load, ns_to_ts
-from trip_data_pipeline_spark.operators.common import bigint, r2
+from trip_data_pipeline_spark.operators.common import bigint, r2, scratch_dir
 from trip_data_pipeline_spark.registry import op
 from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory
 
@@ -156,7 +155,7 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
       behind the watermark -> dropped by the state operator; verified
       via numRowsDroppedByWatermark in tests).
     """
-    out = tempfile.mkdtemp(prefix="stream_late_")
+    out = scratch_dir(prefix="stream_late_")
     ev = load(spark, sf_dir, "events")
     as_raw = lambda df: df.select(  # noqa: E731 — ts back to long ns
         "event_id",
@@ -331,7 +330,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the aggregate over the re-read sink must equal the same
     aggregate on the source table — a doubled or dropped batch breaks
     the hash (the streaming sibling of the sink_*_roundtrip checks)."""
-    out = tempfile.mkdtemp(prefix="febatch_") + "/out"
+    out = scratch_dir(prefix="febatch_") + "/out"
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         (
@@ -343,7 +342,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
     q = (
         ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="febatch_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="febatch_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -558,7 +557,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is the nightly-backfill/crash-recovery path verbatim —
     AvailableNow + checkpointLocation is how a 100 TB file stream
     restarts; nothing here is fixture-specific except the tmp dirs."""
-    base = tempfile.mkdtemp(prefix="ckpt_resume_")
+    base = scratch_dir(prefix="ckpt_resume_")
     indir, ckpt, outdir = f"{base}/in", f"{base}/ckpt", f"{base}/out"
     ev = load(spark, sf_dir, "events")
 
@@ -646,20 +645,20 @@ WITH e AS (
   FROM events
 ),
 g AS (
-  SELECT user_id, us, en,
+  SELECT user_id, event_id, us, en,
          max(en) OVER (PARTITION BY user_id ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS pmax
   FROM e
 ),
 s0 AS (
-  SELECT user_id, us, en,
+  SELECT user_id, event_id, us, en,
          CASE WHEN pmax IS NULL OR us >= pmax THEN 1 ELSE 0 END AS new_s
   FROM g
 ),
 s AS (
   SELECT user_id, us, en,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, en
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM s0
 )
@@ -681,8 +680,11 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     session break is exactly `t >= running max of previous ends` (end
     exclusive, so touching spans do NOT merge — matching Spark's
     merge-on-overlap rule); no recursion needed because the break
-    condition only consults the running max.  Complete-mode drain
-    emits every merged session."""
+    condition only consults the running max.  Both oracle windows
+    order by (us, event_id) — a TOTAL order even when one user has two
+    events at the same timestamp (ADVICE r3: (us, en) could diverge
+    from the pmax window's order and misassign sessions).
+    Complete-mode drain emits every merged session."""
     ev = read_events_stream(spark, sf_dir)
     gap = F.concat(
         (

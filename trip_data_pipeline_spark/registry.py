@@ -50,79 +50,99 @@ def _ensure_loaded() -> None:
 # Verification priority: the driver checks queries() keys in order with
 # a bounded window (50 per round), so the window ROTATES each round to
 # ops without a driver-stamped green row while still sampling every
-# SURVEY §2 family.  Rounds 1-2 certified 98 distinct ops (see
-# CORRECTNESS_r01/r02.json); the round-3 window below holds 50
-# never-driver-verified names — 49 from the unchecked pool plus
-# dedup_near_minhash, whose brand-new hash oracle (round 3) has never
-# been driver-exercised.  All 50 carry full DuckDB value-hash oracles.
-# Remaining operators follow in registration order.
+# SURVEY §2 family.  Ledger after round 3 (CORRECTNESS_r01-r03):
+# 135 ops cumulative driver-green, 176 never green.  The ROUND-4
+# window below holds 50 of those 176, leading with the 15 highest-
+# priority repairs — the 2 CORRECTNESS_r03 ERRs + 3 latent array-
+# output ops (all five now project arrays as comma-joined scalars so
+# the driver's pandas canonicalizer can sort them), then the 10 stale
+# round-1 ERR names (io.py NTZ crash, fixed in round 2, never
+# re-windowed) — followed by 35 never-checked names sampling every §2
+# family.  49 carry full DuckDB value-hash oracles;
+# agg_approx_distinct is rows-only (sketch output, SURVEY §5.3).
+#
+# ROTATION PLAN (judge r3 item 4) — after this window lands, ~126
+# never-verified remain (119 hash + 7 rows-only).  Round 5: the next
+# 50 by family, leading with the 2.9 streaming batch-forms
+# (stream_session_window, stream_watermark_late, stream_dedup_watermark,
+# stream_stateful_runstate, stream_foreachbatch_sink,
+# stream_checkpoint_resume, stream_two_level_window,
+# stream_session_dynamic_gap), the remaining 2.8 SQL-surface ops
+# (sql_recursive_cte, sql_pipe_syntax_query, sql_parameterized_query,
+# sql_session_variables, sql_identifier_clause, sql_execute_immediate,
+# scalar_* and str_* remainder), and the 2.1 sink/scan remainder
+# (sink_csv/json/orc/compressed roundtrips, scan_text_lines,
+# scan_binary_files, scan_csv_multiline_quotes, scan_xml_roundtrip).
+# Round 6: the rest — graph/iterative, 2.17/2.18 remainder, win_*,
+# set_union_missing_cols, multimodal remainder, rows-only sampling ops.
 PRIORITY: tuple[str, ...] = (
-    # 2.1 scans/sources/sinks
-    "scan_explicit_schema",
-    "scan_csv_options",
-    "layout_partition_sort",
-    "scan_schema_evolution_merge",
-    # 2.2 projection/filter
-    "project_rename_cast",
-    "filter_like",
-    "filter_null_semantics",
-    # 2.3 joins
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_star_5way",
-    "join_range_bucketed",
-    # 2.5 window functions
-    "win_running_sum",
-    "win_moving_avg",
-    "win_ntile_pctrank",
-    # 2.6 sort/limit/distinct
-    "drop_duplicates_subset",
-    # 2.7 set operations / sampling
-    "set_union_distinct",
-    "set_except",
-    "sample_topk_hash_per_group",
-    # 2.8 scalar functions
-    "str_regexp",
-    "date_arith",
-    "hash_id_stable",
+    # repairs: r3 driver-ERR + latent array-output ops (fixed this round)
     "array_higher_order",
-    "struct_nested",
-    # 2.9 streaming
-    "stream_sliding_sum",
-    # 2.10 UDF surface
-    "udf_python_scalar",
-    "udf_arrow_batch",
-    # 2.11 LLM data pipeline: dedup / similarity / text / multimodal
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "embed_quantize_int8",
-    "sim_knn_label_vote",
-    "text_quality_score",
-    "text_token_count_bpe",
-    "text_fingerprint_rolling",
-    "text_chunk_sliding",
-    "multimodal_decode_ppm",
+    "array_ops",
+    "array_set_ops",
+    "agg_collect_sorted",
+    # stale round-1 ERRs (NTZ bug fixed r2, never re-windowed)
+    "agg_multi_distinct",
+    "agg_having",
+    "agg_cube",
+    "agg_conditional",
+    "agg_approx_distinct",
+    "conversion_time_bounded",
+    "dq_expectations_report",
+    "events_markov_transition",
+    "funnel_conversion",
+    "retention_cohort",
+    # 2.1 scans/sources/sinks
+    "scan_multi_sf_union",
+    "sink_parquet_partitioned",
+    "scan_partitioned_dpp",
+    # 2.3 joins
+    "join_right_outer",
+    "join_asof_nearest",
+    "join_skew_salted",
+    # 2.4 aggregation
+    "agg_filter_clause",
+    "agg_bitmap_distinct",
+    # 2.5 window functions
+    "win_range_frame",
+    "win_first_last",
+    # 2.6 sort/limit/distinct
+    "limit_topk_with_ties",
+    # 2.7 set operations
+    "set_intersect_all",
+    # 2.8 scalar functions
+    "str_split_part",
+    "conditional_funcs",
+    "map_higher_order",
+    # 2.10 UDF surface
+    "udf_map_in_arrow",
+    # 2.11 dedup / similarity / multimodal / text
+    "dedup_simhash",
+    "sim_cosine_topk_vectorized",
+    "multimodal_decode_wav",
+    "split_train_holdout",
+    "text_stats_by_lang",
+    # 2.13 geo trip analytics
+    "geo_trip_od_matrix",
     # 2.14 time-series rollups
-    "agg_cumulative_distinct",
-    # 2.15 corpus curation
-    "pack_sequences_greedy",
-    "vocab_topk_coverage",
-    "knn_eval_confusion",
-    # composite queries
-    "basket_pair_affinity",
-    # extras (round-1 additions)
-    "pivot_wide",
-    "scd2_merge_emulation",
-    "agg_corr_regr",
-    "lateral_correlated_topk",
-    # graph / iterative
-    "kmeans_lloyd_int",
+    "dq_anomaly_mad",
+    # 2.15 / 2.16 corpus curation
+    "corpus_lang_balance_resample",
+    "bpe_pair_counts",
+    "lm_bigram_condprob",
+    # 2.17 / 2.18 scale-pipeline + analytics completeness
+    "graph_pagerank_int",
+    "freq_heavy_hitters_exact",
+    "ids_global_contiguous",
     # lifecycle / sessionless analytics
-    "streak_longest_daily",
-    "win_sliding_distinct_users",
+    "cdc_apply_changelog",
+    "attribution_first_touch",
+    "interval_max_concurrency",
+    # extras (round-1 additions)
+    "agg_max_by_min_by",
+    "agg_percentile_exact",
+    "unpivot_stack",
 )
 
 

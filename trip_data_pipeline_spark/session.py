@@ -20,6 +20,27 @@ import sys
 from pyspark.sql import SparkSession
 
 
+def parse_extra_conf(extra: str) -> list[tuple[str, str]]:
+    """Parse SPARK_GRAFT_EXTRA_CONF ('k=v;k=v').  Values may not
+    contain ';' (the separator — no escaping).  Malformed entries (no
+    '=', or an empty key) raise rather than silently becoming `k=''`
+    (ADVICE r2/r3 hygiene item; unit-tested in test_edges.py)."""
+    out: list[tuple[str, str]] = []
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        if "=" not in kv:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} has no '='; "
+                "expected 'k=v;k=v' (values may not contain ';')"
+            )
+        k, _, v = kv.partition("=")
+        if not k.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} has an empty key"
+            )
+        out.append((k.strip(), v.strip()))
+    return out
+
+
 def get_session(app_name: str = "trip-data-pipeline-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     # 16 measured fastest for the sf0.1 bench on this box (vs 8/32);
@@ -41,22 +62,13 @@ def get_session(app_name: str = "trip-data-pipeline-spark") -> SparkSession:
     )
     # Tuning escape hatch: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies
     # additional session confs (used by bench experiments; a cluster
-    # deployment would set these in spark-defaults instead).  Values
-    # may not contain ';' (the separator — no escaping).  Malformed
-    # entries raise rather than silently becoming `k=''`, and applied
+    # deployment would set these in spark-defaults instead).  Applied
     # keys are logged to stderr because they can override the pinned
     # defaults above (e.g. the UTC session timezone the oracle needs).
-    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     applied = []
-    for kv in filter(None, (s.strip() for s in extra.split(";"))):
-        if "=" not in kv:
-            raise ValueError(
-                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} has no '='; "
-                "expected 'k=v;k=v' (values may not contain ';')"
-            )
-        k, _, v = kv.partition("=")
-        builder = builder.config(k.strip(), v.strip())
-        applied.append(k.strip())
+    for k, v in parse_extra_conf(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")):
+        builder = builder.config(k, v)
+        applied.append(k)
     if applied:
         print(f"[session] SPARK_GRAFT_EXTRA_CONF applied: {applied}", file=sys.stderr)
     spark = builder.getOrCreate()
