@@ -43,6 +43,8 @@ PYTHON_OK = {
     "multimodal_ppm_resize_nn",  # mapInPandas decode+resize is the op
     "multimodal_wav_decimate",  # mapInPandas decode+decimate is the op
     "timeseries_cusum_drift",  # sequential CUSUM state needs applyInPandas
+    "multimodal_image_phash",  # mapInPandas PPM decode + aHash is the op
+    "multimodal_audio_vad",  # mapInPandas WAV decode + VAD is the op
 }
 
 # streaming + side-effecting ops execute work at build time; plan
@@ -1020,3 +1022,52 @@ def test_to_json_map_only(spark):
     p = _plan(spark, "scalar_to_json_struct")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+# ---- §2.19 round-4 additions ------------------------------------------
+
+
+def test_substring_dedup_two_shuffles_no_join(spark):
+    """Span-level dedup is a count() window over the hash partition —
+    join-free: exactly one hash-keyed and one doc-keyed exchange, and
+    only md5 digests (never window text) cross the wire."""
+    p = _exec_plan(spark, "dedup_substring_window")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_token_budget_single_lang_shuffle(spark):
+    """Both windows (ordered running sum + unordered total) share ONE
+    language-keyed exchange; no global single-partition window."""
+    p = _exec_plan(spark, "corpus_token_budget_select")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_domain_mix_windows_post_aggregate(spark):
+    """The ranking windows run AFTER the per-host partial/final
+    aggregate — the single-partition exchange sees only host rows."""
+    p = _exec_plan(spark, "corpus_domain_mix_report")
+    agg_pos = p.index("HashAggregate")
+    single = p.index("Exchange SinglePartition")
+    # executedPlan prints top-down: the single-partition window sits
+    # ABOVE (before) the aggregate that feeds it
+    assert single < agg_pos
+    assert p.count("HashAggregate") >= 2  # partial + final per host
+
+
+def test_simhash_incremental_no_cartesian(spark):
+    """The batch->index probe is a band-key equi-join, never an
+    all-pairs product."""
+    p = _plan(spark, "dedup_simhash_incremental")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_phash_vad_map_only(spark):
+    """Both decode-chain ops are map-only: no exchange at all."""
+    for name in ("multimodal_image_phash", "multimodal_audio_vad"):
+        p = _exec_plan(spark, name)
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name

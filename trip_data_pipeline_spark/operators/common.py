@@ -86,7 +86,7 @@ def duck_epoch_s(col: str) -> str:
     return f"(epoch_us({col}) // 1000000)"
 
 
-def spread(df):
+def spread(df, min_fraction: float = 1.0):
     """Round-robin repartition to the session's default parallelism —
     ONLY when the input is under-partitioned.
 
@@ -104,8 +104,18 @@ def spread(df):
     Hence the guard: if the plan already has >= defaultParallelism
     partitions, return the input untouched — no extra Exchange
     (plan-locked in tests/test_plans.py::test_spread_no_shuffle_when_wide).
-    """
+
+    min_fraction tunes the guard per op (round-4 measurement on the
+    16-file 10x layout, 32 cores): for LIGHT per-row work (split +
+    count: term_freq, exact-hash dedup, tf-idf) the 16->32 text
+    shuffle costs more than the idle cores — relaxed guard
+    (min_fraction=0.25: skip at >= 8 partitions) is 35-45% faster
+    (term_freq 0.64->0.36 s, dedup_exact 0.46->0.29 s).  For HEAVY
+    per-row work (64-perm MinHash HOF folds) the opposite holds:
+    dedup_near_minhash is 33% SLOWER at 16 tasks (42->56 s), so
+    compute-bound ops keep the strict default (always reach full
+    parallelism)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() >= max(2, int(target * min_fraction)):
         return df
     return df.repartition(target)

@@ -49,8 +49,9 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text md5, deterministic survivor —
     SURVEY.md §2.11 row 4.  Round 3: normalization is the shared
     translate() char-map (text_ops._norm) — the old Java regex was
-    ~75% of this op's wall time at the 10x probe (2.03 s -> 0.63 s)."""
-    d = spread(load(spark, sf_dir, "documents"))
+    ~75% of this op's wall time at the 10x probe (2.03 s -> 0.63 s).
+    Light per-row work: relaxed spread guard (common.spread r4 note)."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
     h = F.md5(_norm())
     return (
         d.select(h.alias("text_hash"), "doc_id")

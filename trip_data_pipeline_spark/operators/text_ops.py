@@ -101,8 +101,9 @@ LIMIT 20
 def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top-20 with total tie-break — SURVEY.md
     §2.11 row 2.  explode -> partial-agg'd count -> TakeOrdered(20):
-    the shuffle carries only (word, partial_count)."""
-    d = spread(load(spark, sf_dir, "documents"))
+    the shuffle carries only (word, partial_count).  Light per-row
+    work: relaxed spread guard (see common.spread round-4 note)."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
     return (
         d.select(F.explode(_words()).alias("word"))
         .groupBy("word")
@@ -339,10 +340,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     simply count() over the word partition — computed in place on the
     word-keyed stream, join-free; only the scalar N ships to the
     driver.  Explode -> tf agg -> word window -> per-doc top-k via
-    WindowGroupLimit."""
+    WindowGroupLimit.  Light per-row work: relaxed spread guard
+    (see common.spread round-4 note)."""
     from pyspark.sql import Window
 
-    d = spread(load(spark, sf_dir, "documents"))
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
     tok = d.select("doc_id", F.explode(_words()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(bigint(F.count(F.lit(1))).alias("tf"))
     n_docs = d.count()  # scalar dimension of the corpus, computed once
