@@ -45,6 +45,10 @@ PYTHON_OK = {
     "timeseries_cusum_drift",  # sequential CUSUM state needs applyInPandas
     "multimodal_image_phash",  # mapInPandas PPM decode + aHash is the op
     "multimodal_audio_vad",  # mapInPandas WAV decode + VAD is the op
+    # numpy 64-perm MinHash fold: interpreted HOF lambdas measured 17 s
+    # vs ~2 s Arrow at 10x (docs/SCALE.md crossover note)
+    "dedup_near_minhash",
+    "dedup_minhash_recall_eval",
 }
 
 # streaming + side-effecting ops execute work at build time; plan

@@ -99,45 +99,49 @@ def _duck_hex28(h: str, start: int) -> str:
     ) + ")"
 
 
-def _ab_pairs(shingles: Column) -> Column:
-    """Per-shingle (a, b) integer pairs — ONE md5 per shingle.  Kept as
-    a separate expression so the 64 permutation mins below share it via
-    Spark's subexpression elimination instead of re-hashing per perm."""
-    return F.transform(
-        shingles,
-        lambda s: F.struct(
-            _hex28(F.md5(s), 1).alias("a"), _hex28(F.md5(s), 8).alias("b")
-        ),
+def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, ws) -> (doc_id, sig: array<bigint>) with the
+    64-perm fold done as a numpy batch kernel instead of Catalyst
+    lambdas.  Round-4 measurement (10x layout, 50k docs x ~58
+    shingles): the interpreted HOF fold costs 17 s — higher-order
+    lambdas are NOT codegen'd, so 185M modular ops run on the
+    expression interpreter — while md5 (codegen'd) is only 1.9 s.
+    This keeps the md5 (a, b) parse JVM-side and ships two small
+    int arrays per doc through Arrow for a (64 x n) vectorized
+    min-fold: same integers, same signature, ~8x faster fold (the
+    JVM-fold-vs-Arrow-matmul crossover rule in docs/SCALE.md — this
+    kernel is firmly in the Arrow regime)."""
+    from typing import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    sh = shingle_col(F.col("ws"))
+    ab = docs.select(
+        "doc_id",
+        F.transform(sh, lambda s: _hex28(F.md5(s), 1)).alias("ha"),
+        F.transform(sh, lambda s: _hex28(F.md5(s), 8)).alias("hb"),
     )
 
+    def fold(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        ks = np.arange(1, MINHASH_PERMS + 1, dtype=np.int64).reshape(-1, 1)
+        for pdf in batches:
+            sigs = []
+            for a, b in zip(pdf["ha"], pdf["hb"]):
+                a = np.asarray(a, dtype=np.int64)
+                b = np.asarray(b, dtype=np.int64)
+                # a, b < 2^28 and k <= 64 -> a + k*b < 2^35: no overflow
+                sigs.append(((a + ks * b) % MINHASH_MOD).min(axis=1).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
-def _sig_from_ab(hs: Column, n_perms: int = MINHASH_PERMS) -> Column:
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hs, lambda x: (x["a"] + (j + 1) * x["b"]) % MINHASH_MOD
-                )
-            )
-            for j in range(n_perms)
-        ]
-    )
-
-
-def minhash_signature(shingles: Column, n_perms: int = MINHASH_PERMS) -> Column:
-    """MinHash signature: per permutation j, min over shingles of
-    (a + (j+1)*b) mod M where (a, b) are md5-derived per-shingle
-    integers (portable universal-hash family — see module note)."""
-    return _sig_from_ab(_ab_pairs(shingles), n_perms)
+    return ab.mapInPandas(fold, schema="doc_id bigint, sig array<bigint>")
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """docs(doc_id, ws: array<string>) -> candidate pairs from LSH band
     equality (doc_id1 < doc_id2, distinct)."""
     r = MINHASH_PERMS // LSH_BANDS
-    sigs = docs.select(
-        "doc_id", minhash_signature(shingle_col(F.col("ws"))).alias("sig")
-    )
+    sigs = minhash_signatures_arrow(docs)
     bands = sigs.select(
         "doc_id",
         F.posexplode(
