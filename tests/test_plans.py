@@ -45,10 +45,13 @@ PYTHON_OK = {
     "timeseries_cusum_drift",  # sequential CUSUM state needs applyInPandas
     "multimodal_image_phash",  # mapInPandas PPM decode + aHash is the op
     "multimodal_audio_vad",  # mapInPandas WAV decode + VAD is the op
-    # numpy 64-perm MinHash fold: interpreted HOF lambdas measured 17 s
-    # vs ~2 s Arrow at 10x (docs/SCALE.md crossover note)
+    # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
+    # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
+    # at 10x (docs/SCALE.md crossover note)
     "dedup_near_minhash",
     "dedup_minhash_recall_eval",
+    "dedup_simhash",
+    "dedup_simhash_incremental",
 }
 
 # streaming + side-effecting ops execute work at build time; plan

@@ -293,6 +293,53 @@ def simhash_bits_expr(ws_sql: str, nbits: int = 56) -> str:
     """
 
 
+def simhash_bits_arrow(docs: DataFrame, nbits: int = 56) -> DataFrame:
+    """docs(doc_id, ws) -> (doc_id, sh: 56-char bit string, shl: the
+    same 56 bits as ONE bigint — char i+1 of sh == bit i of shl), with
+    the bit-vote fold as a numpy batch kernel.  Downstream band keys
+    and hamming distances work on shl ((shl >> 14b) & 0x3FFF band
+    extraction, bit_count(xor) hamming — both codegen'd) instead of
+    56-char strings: identical values by construction, far cheaper
+    join keys.  Same round-4 lesson as
+    minhash_signatures_arrow: the aggregate+zip_with fold above runs
+    on the expression interpreter (HOF lambdas are never codegen'd)
+    and cost ~25 s of dedup_simhash's 33 s at the 10x layout; the md5
+    word hash (codegen'd conv/substring) stays JVM-side and only one
+    small long array per doc crosses Arrow.  Bit-identical by
+    construction: votes are the same +/-1 integer sums, threshold the
+    same strict > 0.  simhash_bits_expr remains the single-expression
+    SQL-dialect form (property-tested; it is also the documentation of
+    the portable hash family the DuckDB oracle replays)."""
+    from typing import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    hs = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(ws, w -> cast(conv(substring(md5(w), 1, 14), 16, 10) as long))"
+        ).alias("hv"),
+    )
+
+    def fold(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        shifts = np.arange(nbits, dtype=np.int64)
+        weights = (np.int64(1) << shifts)
+        for pdf in batches:
+            out_s, out_l = [], []
+            for hv in pdf["hv"]:
+                h = np.asarray(hv, dtype=np.int64)
+                votes = (((h[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+                bits = votes > 0
+                out_s.append("".join("1" if b else "0" for b in bits))
+                out_l.append(int((weights * bits).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sh": out_s, "shl": out_l}
+            )
+
+    return hs.mapInPandas(fold, schema="doc_id bigint, sh string, shl bigint")
+
+
 _HAMMING_DUCK = "len([i for i in range(1, 57) if sh1[i] != sh2[i]])"
 
 _SIMHASH_ORACLE = f"""
@@ -349,17 +396,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     # normalize via the shared translate() char-map first (DataFrame
     # API — no SQL-literal escaping of the punctuation set needed),
-    # then the SQL-dialect SimHash fold over the named column.
-    docs = d.select("doc_id", _words().alias("ws")).filter(
-        F.size("ws") > 0
-    ).select(
-        "doc_id", F.expr(simhash_bits_expr("ws")).alias("sh")
+    # then the Arrow bit-vote fold; banding + hamming run on the
+    # single-long signature (shl) — int band keys and a codegen'd
+    # bit_count(xor) instead of 56-char string comparisons.
+    docs = simhash_bits_arrow(
+        d.select("doc_id", _words().alias("ws")).filter(F.size("ws") > 0)
     )
     bands = docs.select(
         "doc_id",
-        "sh",
+        "shl",
         F.posexplode(
-            F.array(*[F.substring("sh", 1 + 14 * b, 14) for b in range(4)])
+            F.array(
+                *[
+                    F.shiftright(F.col("shl"), 14 * b).bitwiseAND(F.lit(16383))
+                    for b in range(4)
+                ]
+            )
         ).alias("band_idx", "band_bits"),
     )
     b1, b2 = bands.alias("b1"), bands.alias("b2")
@@ -373,21 +425,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("b1.doc_id").alias("doc_id1"),
             F.col("b2.doc_id").alias("doc_id2"),
-            F.col("b1.sh").alias("sh1"),
-            F.col("b2.sh").alias("sh2"),
+            F.col("b1.shl").alias("shl1"),
+            F.col("b2.shl").alias("shl2"),
         )
         .distinct()
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sh1"), ""),
-                F.split(F.col("sh2"), ""),
-                lambda a, b: a != b,
-            ),
-            lambda x: x,
-        )
-    )
+    hamming = F.bit_count(F.col("shl1").bitwiseXOR(F.col("shl2")))
     return cand.select(
         "doc_id1", "doc_id2", bigint(hamming).alias("hamming")
     ).filter(F.col("hamming") <= 6)

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
 from trip_data_pipeline_spark.operators.common import bigint, spread
-from trip_data_pipeline_spark.operators.dedup import _duck_hex28, simhash_bits_expr
+from trip_data_pipeline_spark.operators.dedup import _duck_hex28, simhash_bits_arrow
 from trip_data_pipeline_spark.operators.multimodal import (
     _decode_ppm,
     _decode_wav,
@@ -174,16 +174,19 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index side's bands are a materialized artifact in a real
     deployment (built once per snapshot, not recomputed per batch)."""
     d = spread(load(spark, sf_dir, "documents"))
-    docs = (
-        d.select("doc_id", _words().alias("ws"))
-        .filter(F.size("ws") > 0)
-        .select("doc_id", F.expr(simhash_bits_expr("ws")).alias("sh"))
+    docs = simhash_bits_arrow(
+        d.select("doc_id", _words().alias("ws")).filter(F.size("ws") > 0)
     )
     bands = docs.select(
         "doc_id",
-        "sh",
+        "shl",
         F.posexplode(
-            F.array(*[F.substring("sh", 1 + 14 * b, 14) for b in range(4)])
+            F.array(
+                *[
+                    F.shiftright(F.col("shl"), 14 * b).bitwiseAND(F.lit(16383))
+                    for b in range(4)
+                ]
+            )
         ).alias("band_idx", "band_bits"),
     )
     batch = bands.filter(F.col("doc_id") % 2 == 1).alias("b")
@@ -197,21 +200,12 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("b.doc_id").alias("batch_doc"),
             F.col("a.doc_id").alias("index_doc"),
-            F.col("b.sh").alias("shb"),
-            F.col("a.sh").alias("sha"),
+            F.col("b.shl").alias("shlb"),
+            F.col("a.shl").alias("shla"),
         )
         .distinct()
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("shb"), ""),
-                F.split(F.col("sha"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda x: x,
-        )
-    )
+    hamming = F.bit_count(F.col("shlb").bitwiseXOR(F.col("shla")))
     hits = cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 6)
     return hits.groupBy(F.col("batch_doc").alias("doc_id")).agg(
         bigint(F.count(F.lit(1))).alias("n_index_dups"),
