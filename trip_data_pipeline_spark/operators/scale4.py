@@ -2012,29 +2012,31 @@ def _register_minhash_eval():
         sh = d3.select(
             "doc_id", F.explode(F.array_distinct(shingle_col(F.col("ws")))).alias("s")
         )
-        sets_ = d3.select(
-            "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("sset")
+        # Exhaustive truth WITHOUT per-pair set algebra (round-4: the
+        # original pair->re-join-arrays->array_intersect form cost most
+        # of this op's 412 s at 10x).  Shared-shingle count per pair IS
+        # the intersection size (both sides are per-doc-distinct), so
+        # one count aggregation over the index join replaces distinct +
+        # two array joins + per-pair intersect/union; union follows as
+        # |A| + |B| - i.  Identical truth set by construction.
+        sizes = d3.select(
+            "doc_id",
+            F.size(F.array_distinct(shingle_col(F.col("ws")))).alias("nsh"),
         )
         a = sh.select(F.col("doc_id").alias("doc_id1"), "s")
         b = sh.select(F.col("doc_id").alias("doc_id2"), "s")
-        cand_idx = (
+        inter = (
             a.join(b, "s")
             .filter(F.col("doc_id1") < F.col("doc_id2"))
-            .select("doc_id1", "doc_id2")
-            .distinct()
+            .groupBy("doc_id1", "doc_id2")
+            .agg(F.count(F.lit(1)).alias("i_"))
         )
-        s1 = sets_.select(F.col("doc_id").alias("doc_id1"), F.col("sset").alias("s1"))
-        s2 = sets_.select(F.col("doc_id").alias("doc_id2"), F.col("sset").alias("s2"))
+        n1 = sizes.select(F.col("doc_id").alias("doc_id1"), F.col("nsh").alias("n1"))
+        n2 = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("nsh").alias("n2"))
         truth = (
-            cand_idx.join(s1, "doc_id1")
-            .join(s2, "doc_id2")
-            .select(
-                "doc_id1",
-                "doc_id2",
-                F.size(F.array_intersect("s1", "s2")).alias("i_"),
-                F.size(F.array_union("s1", "s2")).alias("u_"),
-            )
-            .filter(2 * F.col("i_") >= F.col("u_"))
+            inter.join(n1, "doc_id1")
+            .join(n2, "doc_id2")
+            .filter(2 * F.col("i_") >= F.col("n1") + F.col("n2") - F.col("i_"))
             .select("doc_id1", "doc_id2")
         )
         cand = minhash_candidate_pairs(d3)
@@ -2864,31 +2866,32 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("sset")
     )
     sh = sets_.select("doc_id", F.explode("sset").alias("s"))
+    # Round-4: shared-shingle COUNT per ordered pair is the
+    # intersection size directly (per-doc-distinct shingles), so one
+    # count aggregation replaces distinct + set re-joins + per-pair
+    # array_intersect — same reformulation as the MinHash truth arm,
+    # identical output pairs (this op was 262 s at 10x, dominated by
+    # the per-pair array algebra).
     a = sh.select(F.col("doc_id").alias("small_id"), "s")
     b = sh.select(F.col("doc_id").alias("big_id"), "s")
-    cand = (
+    inter = (
         a.join(b, "s")
         .filter(F.col("small_id") != F.col("big_id"))
-        .select("small_id", "big_id")
-        .distinct()
+        .groupBy("small_id", "big_id")
+        .agg(F.count(F.lit(1)).alias("i_"))
     )
-    s1 = sets_.select(F.col("doc_id").alias("small_id"), F.col("sset").alias("s1"))
-    s2 = sets_.select(F.col("doc_id").alias("big_id"), F.col("sset").alias("s2"))
-    v = (
-        cand.join(s1, "small_id")
-        .join(s2, "big_id")
+    na = sets_.select(
+        F.col("doc_id").alias("small_id"), F.size("sset").alias("na")
+    )
+    return (
+        inter.join(na, "small_id")
+        .filter(10 * F.col("i_") >= 9 * F.col("na"))
         .select(
             "small_id",
             "big_id",
-            F.size(F.array_intersect("s1", "s2")).alias("i_"),
-            F.size("s1").alias("na"),
+            bigint(F.col("i_")).alias("n_shared"),
+            bigint(F.col("na")).alias("n_small"),
         )
-    )
-    return v.filter(10 * F.col("i_") >= 9 * F.col("na")).select(
-        "small_id",
-        "big_id",
-        bigint(F.col("i_")).alias("n_shared"),
-        bigint(F.col("na")).alias("n_small"),
     )
 
 
