@@ -1241,17 +1241,25 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the recursion generates O(months) rows on the driver-side
     plan — depth is bounded by the data's time span, and the join +
-    aggregate are the usual keyed shuffle."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    aggregate are the usual keyed shuffle.  The date BOUNDS are hoisted
+    into literals by one scalar aggregate first (round-4: leaving them
+    as subqueries inside the recursive arm re-ran the full orders scan
+    once PER RECURSION STEP — ~80 scans, 17.6 s at 10x; with hoisted
+    bounds the op is one bounds scan + one join scan, 1.6 s).  The
+    2-value collect is a scalar, not data, on the driver."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_rcte")
+    lo, hi = orders.select(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).cast("date"),
+        F.date_trunc("month", F.max(F.col("o_orderdate").cast("date"))).cast("date"),
+    ).first()
     return spark.sql(
-        """
+        f"""
 WITH RECURSIVE months(m) AS (
-  SELECT CAST(date_trunc('month',
-              (SELECT min(CAST(o_orderdate AS DATE)) FROM orders_rcte)) AS DATE)
+  SELECT DATE'{lo.isoformat()}'
   UNION ALL
   SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-  WHERE m < (SELECT CAST(date_trunc('month', max(CAST(o_orderdate AS DATE))) AS DATE)
-             FROM orders_rcte)
+  WHERE m < DATE'{hi.isoformat()}'
 )
 SELECT m AS month,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders
