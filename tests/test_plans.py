@@ -1078,3 +1078,19 @@ def test_multimodal_phash_vad_map_only(spark):
         p = _exec_plan(spark, name)
         assert "Exchange" not in p, name
         assert "Join" not in p, name
+
+
+def test_pivot_unpivot_no_explosion(spark):
+    """SQL PIVOT compiles to one partial/final aggregate over a fixed
+    7-column year list; UNPIVOT is an Expand, never a join."""
+    p = _plan(spark, "sql_pivot_unpivot")
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
+
+
+def test_decontam_fuzzy_no_cartesian(spark):
+    """The train->eval probe is a band-key equi-join and the verify is
+    a count aggregation on candidates — no all-pairs product."""
+    p = _plan(spark, "corpus_decontam_fuzzy")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

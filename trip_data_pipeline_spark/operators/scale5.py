@@ -1,6 +1,6 @@
 """§2.19 round-4 additions — training-data pipeline completions.
 
-Six operators closing gaps a 100-TB corpus pipeline still had after
+Eight operators closing gaps a 100-TB corpus pipeline still had after
 §2.11-2.18: exact-substring dedup over shingled windows (the
 "Deduplicating Training Data Makes Language Models Better" span-level
 formulation, distinct from doc-level MinHash/SimHash), INCREMENTAL
@@ -9,10 +9,11 @@ snapshot (the production shape: the index never rescans itself),
 token-budget corpus selection per language (mixture construction
 under a hard token budget), the per-domain token-mix report every
 crawl-curation loop publishes, a perceptual image hash (aHash) over
-the real PPM decode chain, and energy-based voice-activity detection
-over the real RIFF/WAVE decode chain.
+the real PPM decode chain, energy-based voice-activity detection
+over the real RIFF/WAVE decode chain, the SQL-syntax PIVOT/UNPIVOT
+round trip, and fuzzy (MinHash) eval-set decontamination.
 
-All six are hash-checked: every keep/flag decision is integer
+All eight are hash-checked: every keep/flag decision is integer
 arithmetic (cross-multiplied thresholds, integer-ppm ratios), the
 multimodal fixtures are deterministic byte streams whose pixel/PCM
 lattices the DuckDB oracle replays arithmetically while the Spark
@@ -525,4 +526,198 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_frames bigint, n_active bigint, "
             "n_segments bigint, active_ppm bigint"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL PIVOT / UNPIVOT syntax surface (Spark 3.4+)
+# --------------------------------------------------------------------------
+
+_PIVOT_YEARS = list(range(1995, 2002))  # fixture orders span 1995-2001
+
+
+@op(
+    "sql_pivot_unpivot",
+    oracle="""
+SELECT o_orderpriority AS pri,
+       'y' || CAST(year(o_orderdate) AS VARCHAR) AS yr,
+       round(sum(o_totalprice), 2) AS amount
+FROM orders GROUP BY 1, 2
+""",
+    category="2.8 scalar functions",
+)
+def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-syntax PIVOT -> UNPIVOT round trip (Spark 3.4+ clauses,
+    distinct from the DataFrame .pivot() surface pivot_wide covers):
+    priority x year revenue pivoted to wide columns, then unpivoted
+    back to long form in the same query.  UNPIVOT drops NULL cells,
+    so the round trip lands exactly on the groups present in the data
+    — which is precisely the plain GROUP BY the oracle runs.  The
+    pivot compiles to one partial/final aggregate (values are a fixed
+    7-column year list, scale-free); no row explosion anywhere."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    years_in = ", ".join(f"{y} AS y{y}" for y in _PIVOT_YEARS)
+    years_out = ", ".join(f"y{y}" for y in _PIVOT_YEARS)
+    return spark.sql(
+        f"""
+WITH base AS (
+  SELECT o_orderpriority AS pri, year(o_orderdate) AS y, o_totalprice
+  FROM orders_pv
+),
+wide AS (
+  SELECT * FROM base
+  PIVOT (round(sum(o_totalprice), 2) FOR y IN ({years_in}))
+)
+SELECT pri, yr, amount
+FROM wide UNPIVOT (amount FOR yr IN ({years_out}))
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy decontamination: train split probed against the eval split
+# --------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]) AS s
+  FROM d3
+),
+hx AS (
+  SELECT doc_id,
+         {_duck_hex28('md5(s)', 1)} AS a,
+         {_duck_hex28('md5(s)', 8)} AS b
+  FROM sh
+),
+hj AS (
+  SELECT doc_id, j, min((a + (j + 1) * b) % 2147483647) AS mh
+  FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS j) perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM hj GROUP BY doc_id, band_idx
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+  FROM bands t
+  JOIN bands e ON t.band_idx = e.band_idx
+              AND t.band_key = e.band_key
+              AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
+),
+i_ AS (
+  SELECT st.doc_id AS train_doc, se.doc_id AS eval_doc, count(*) AS i_
+  FROM sh st JOIN sh se ON st.s = se.s
+  JOIN cand c ON c.train_doc = st.doc_id AND c.eval_doc = se.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT i_.train_doc, i_.eval_doc
+  FROM i_
+  JOIN sz s1 ON s1.doc_id = i_.train_doc
+  JOIN sz s2 ON s2.doc_id = i_.eval_doc
+  WHERE 2 * i_.i_ >= s1.n + s2.n - i_.i_
+)
+SELECT train_doc AS doc_id,
+       CAST(count(*) AS BIGINT)      AS n_eval_dups,
+       CAST(min(eval_doc) AS BIGINT) AS first_eval_dup
+FROM hits GROUP BY train_doc
+"""
+
+
+@op("corpus_decontam_fuzzy", oracle=_DECON_ORACLE, category=CAT)
+def corpus_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval-set decontamination — the near-dup sibling of
+    eval_contamination_ngram: training docs (doc_id % 97 != 0) are
+    MinHash/LSH-probed against the held-out eval split (% 97 == 0) and
+    flagged when their true shingle Jaccard with any eval doc reaches
+    0.5 — catching paraphrase-level leakage that exact n-gram overlap
+    misses once whitespace or word order drifts.  Per flagged train
+    doc: eval-match count + first eval match.
+
+    Pipeline: shared Arrow MinHash signatures -> 16-band LSH ->
+    train->eval band probe (the eval side is tiny — in production a
+    broadcast-able materialized artifact) -> count-based exact-Jaccard
+    verification on the candidates only (the tranche-5 reformulation:
+    shared-shingle count IS the intersection; no per-pair array
+    algebra).  Only signatures and shingle hashes shuffle, never
+    text."""
+    from trip_data_pipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_PERMS,
+        SHINGLE_K,
+        minhash_signatures_arrow,
+        shingle_col,
+    )
+
+    d3 = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("ws"))
+        .filter(F.size("ws") >= SHINGLE_K)
+    )
+    r = MINHASH_PERMS // LSH_BANDS
+    sigs = minhash_signatures_arrow(d3)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("sig", b * r + i + 1).cast("string")
+                            for i in range(r)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    train = bands.filter(F.col("doc_id") % 97 != 0).alias("t")
+    ev = bands.filter(F.col("doc_id") % 97 == 0).alias("e")
+    cand = (
+        train.join(
+            ev,
+            (F.col("t.band_idx") == F.col("e.band_idx"))
+            & (F.col("t.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_doc"),
+            F.col("e.doc_id").alias("eval_doc"),
+        )
+        .distinct()
+    )
+    sh = d3.select(
+        "doc_id", F.explode(F.array_distinct(shingle_col(F.col("ws")))).alias("s")
+    )
+    st = sh.select(F.col("doc_id").alias("train_doc"), "s")
+    se = sh.select(F.col("doc_id").alias("eval_doc"), "s")
+    inter = (
+        st.join(se, "s")
+        .join(cand, ["train_doc", "eval_doc"])
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("i_"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("n1")),
+            "train_doc",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("eval_doc"), F.col("n").alias("n2")),
+            "eval_doc",
+        )
+        .filter(2 * F.col("i_") >= F.col("n1") + F.col("n2") - F.col("i_"))
+    )
+    return hits.groupBy(F.col("train_doc").alias("doc_id")).agg(
+        bigint(F.count(F.lit(1))).alias("n_eval_dups"),
+        bigint(F.min("eval_doc")).alias("first_eval_dup"),
     )
