@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from trip_data_pipeline_spark import get_session
 from trip_data_pipeline_spark.io import load
 
-SRC = "/tmp/scale_probe_sf1"
+SRC = os.environ.get("PROBE_SRC", "/tmp/scale_probe_sf1")
 NSALT = 8
 
 
