@@ -1,6 +1,6 @@
 """§2.19 round-4 additions — training-data pipeline completions.
 
-Eight operators closing gaps a 100-TB corpus pipeline still had after
+Nine operators closing gaps a 100-TB corpus pipeline still had after
 §2.11-2.18: exact-substring dedup over shingled windows (the
 "Deduplicating Training Data Makes Language Models Better" span-level
 formulation, distinct from doc-level MinHash/SimHash), INCREMENTAL
@@ -11,9 +11,10 @@ under a hard token budget), the per-domain token-mix report every
 crawl-curation loop publishes, a perceptual image hash (aHash) over
 the real PPM decode chain, energy-based voice-activity detection
 over the real RIFF/WAVE decode chain, the SQL-syntax PIVOT/UNPIVOT
-round trip, and fuzzy (MinHash) eval-set decontamination.
+round trip, fuzzy (MinHash) eval-set decontamination, and URL
+canonicalization dedup for crawl-frontier hygiene.
 
-All eight are hash-checked: every keep/flag decision is integer
+All nine are hash-checked: every keep/flag decision is integer
 arithmetic (cross-multiplied thresholds, integer-ppm ratios), the
 multimodal fixtures are deterministic byte streams whose pixel/PCM
 lattices the DuckDB oracle replays arithmetically while the Spark
@@ -720,4 +721,81 @@ def corpus_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy(F.col("train_doc").alias("doc_id")).agg(
         bigint(F.count(F.lit(1))).alias("n_eval_dups"),
         bigint(F.min("eval_doc")).alias("first_eval_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (crawl frontier / index hygiene)
+# --------------------------------------------------------------------------
+
+
+@op(
+    "dedup_url_canonical",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 2 = 0 THEN 'Docs.Example.COM'
+                            ELSE 'docs.example.com' END
+           || '/page/' || CAST(doc_id % 101 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
+           || CAST(doc_id % 101 AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, 'https://([^/]+)/', 1))
+           || regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1)
+           || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS canon
+  FROM u
+)
+SELECT canon,
+       CAST(count(*) AS BIGINT)    AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS survivor_id
+FROM c GROUP BY canon
+""",
+    category=CAT,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — crawl-frontier hygiene: the same
+    page arrives as mixed-case hosts, with tracking params (utm_*),
+    and with fragments; canonicalize (lowercase host, drop fragment,
+    keep only the identifying query param) and group, keeping the
+    first-seen doc as survivor.  The fixture synthesizes exactly those
+    three variant classes deterministically (host case by doc_id%2,
+    utm param by %3, fragment by %5; page identity doc_id%101
+    collapses ~n/101 docs per page), so the op provably merges
+    variants: every canonical group holds multiple raw-URL forms.
+
+    Spark side uses the REAL parse_url family (HOST/PATH/QUERY-key);
+    the oracle mirrors each component with anchored regexes.
+    Map-only projection + one partial/final aggregate — at 100 TB
+    this runs ahead of content fetch, deduping the frontier before
+    any bytes are downloaded."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, "Docs.Example.COM").otherwise(
+            "docs.example.com"
+        ),
+        F.lit("/page/"),
+        (F.col("doc_id") % 101).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "?utm_source=feed&id=").otherwise("?id="),
+        (F.col("doc_id") % 101).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    canon = F.concat(
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.parse_url("url", F.lit("PATH")),
+        F.lit("?id="),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")),
+    )
+    return (
+        u.select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_variants"),
+            bigint(F.min("doc_id")).alias("survivor_id"),
+        )
     )
