@@ -16,7 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-from tests.oracle import canon_rows, duck_connect, duck_result, spark_result
+from tests.oracle import (
+    canon_rows,
+    driver_sort_check,
+    duck_connect,
+    duck_result,
+    spark_result,
+)
 from trip_data_pipeline_spark.registry import OPS, queries
 
 
@@ -53,6 +59,8 @@ def main() -> int:
                 if o.oracle is not None:
                     s_cols, s_raw = spark_result(rdf)
                     d_cols, d_raw = duck_result(con, o.oracle)
+                    driver_sort_check(s_cols, s_raw)  # harness parity:
+                    driver_sort_check(d_cols, d_raw)  # list cells crash here
                     s_rows = canon_rows(s_cols, s_raw)
                     d_rows = canon_rows(d_cols, d_raw)
                     ok = sorted(s_cols) == sorted(d_cols) and s_rows == d_rows
