@@ -1,6 +1,6 @@
 """§2.19 round-4 additions — training-data pipeline completions.
 
-Nine operators closing gaps a 100-TB corpus pipeline still had after
+Eleven operators closing gaps a 100-TB corpus pipeline still had after
 §2.11-2.18: exact-substring dedup over shingled windows (the
 "Deduplicating Training Data Makes Language Models Better" span-level
 formulation, distinct from doc-level MinHash/SimHash), INCREMENTAL
@@ -11,10 +11,13 @@ under a hard token budget), the per-domain token-mix report every
 crawl-curation loop publishes, a perceptual image hash (aHash) over
 the real PPM decode chain, energy-based voice-activity detection
 over the real RIFF/WAVE decode chain, the SQL-syntax PIVOT/UNPIVOT
-round trip, fuzzy (MinHash) eval-set decontamination, and URL
-canonicalization dedup for crawl-frontier hygiene.
+round trip, fuzzy (MinHash) eval-set decontamination, URL
+canonicalization dedup for crawl-frontier hygiene,
+MATCH_RECOGNIZE-style event-pattern matching (CEP over
+regexp-encoded per-user sequences), and exact DECIMAL money
+aggregation.
 
-All nine are hash-checked: every keep/flag decision is integer
+All eleven are hash-checked: every keep/flag decision is integer
 arithmetic (cross-multiplied thresholds, integer-ppm ratios), the
 multimodal fixtures are deterministic byte streams whose pixel/PCM
 lattices the DuckDB oracle replays arithmetically while the Spark
@@ -798,4 +801,127 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.count(F.lit(1))).alias("n_variants"),
             bigint(F.min("doc_id")).alias("survivor_id"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-pattern matching (MATCH_RECOGNIZE-style CEP, regexp-encoded)
+# --------------------------------------------------------------------------
+
+
+@op(
+    "events_pattern_match_cep",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE 'e' END AS ch
+  FROM events
+),
+seq AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY us, event_id) AS s
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT)  AS n_funnels,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)   AS n_error_bursts,
+       regexp_matches(s, 's.*p') AS signup_then_purchase
+FROM seq
+""",
+    category=CAT,
+)
+def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event-pattern detection, which
+    Spark SQL lacks natively: each user's event history becomes a
+    character string in exact (ts, event_id) order (one char per event
+    type), and patterns are REGEXES over that string — `vc+p` (view,
+    clicks, purchase — the strict funnel with no intervening events,
+    stricter than the subsequence funnel funnel_conversion computes),
+    `ee+` (error bursts), `s.*p` (signup eventually converts).  Both
+    engines share the regex dialect for these patterns, and non-greedy
+    scanning (leftmost, non-overlapping) is the POSIX behavior both
+    implement, so the match COUNTS are engine-portable.
+
+    Scale shape: one user-keyed shuffle into sort_array(collect_list)
+    — per-user sequences are bounded (max events/user ~10^3); the
+    regex scan is then a map-only pass over one compact string per
+    user, the same state-collapse trick the sessionize ops use."""
+    ev = load(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(F.expr("unix_micros(ts)").alias("us"), "event_id", ch.alias("ch")).alias(
+                "rec"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("rec")), lambda r: r["ch"]),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        bigint(F.length("s")).alias("n_events"),
+        bigint(F.size(F.expr("regexp_extract_all(s, 'vc+p', 0)"))).alias("n_funnels"),
+        bigint(F.size(F.expr("regexp_extract_all(s, 'ee+', 0)"))).alias(
+            "n_error_bursts"
+        ),
+        F.col("s").rlike("s.*p").alias("signup_then_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact DECIMAL aggregation (the money type, no floats anywhere)
+# --------------------------------------------------------------------------
+
+
+@op(
+    "agg_decimal_exact",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(32,2)))
+            AS VARCHAR) AS revenue,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(32,2))
+                * CAST(CAST(1 - l_discount AS DECIMAL(14,4)) AS DECIMAL(32,4)))
+            AS VARCHAR) AS disc_revenue
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="2.4 aggregation",
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT decimal money aggregation — the type-system surface every
+    other money op sidesteps with round(double, 2): prices are cast to
+    DECIMAL at the scan and every sum/product stays in decimal
+    arithmetic, so the totals are exact by type, not by rounding
+    convention, and NO float ever exists in the plan.  Sums are
+    projected as strings because the two engines give sum(DECIMAL)
+    different result scales/precisions (Spark grows precision by 10,
+    DuckDB to 38) — the VALUE is identical, and a fixed-scale string
+    is the portable encoding (trailing-zero-exact since both sides
+    share the input scale).
+
+    Scale shape: decimal sums are mergeable fixed-width integer state
+    — the same partial/final shape as long sums, immune to the
+    double-sum order noise SURVEY §5.3 rule 1 exists to suppress."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(14,2)").cast("decimal(32,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(14,4)").cast("decimal(32,4)")
+    return li.groupBy("l_returnflag").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        F.sum(price).cast("string").alias("revenue"),
+        F.sum(price * disc).cast("string").alias("disc_revenue"),
     )
