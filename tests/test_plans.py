@@ -45,6 +45,7 @@ PYTHON_OK = {
     "timeseries_cusum_drift",  # sequential CUSUM state needs applyInPandas
     "multimodal_image_phash",  # mapInPandas PPM decode + aHash is the op
     "multimodal_audio_vad",  # mapInPandas WAV decode + VAD is the op
+    "multimodal_image_tiles",  # mapInPandas PPM decode + patchify is the op
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1094,3 +1095,60 @@ def test_decontam_fuzzy_no_cartesian(spark):
     p = _plan(spark, "corpus_decontam_fuzzy")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---- §2.20 round-5 tranche plan locks -------------------------------------
+
+
+def test_gopher_rules_map_only(spark):
+    """The rule filter is a narrow projection riding the scan: no
+    exchange, no join — the shape that lets it run inline with any
+    other corpus pass."""
+    p = _exec_plan(spark, "corpus_gopher_quality_rules")
+    assert "Join" not in p, p
+    # the only permissible exchange is spread()'s local round-robin
+    assert "hashpartitioning" not in p.lower(), p
+
+
+def test_dsir_bucket_weights_broadcast(spark):
+    """The fixed-size feature dictionary must broadcast back onto the
+    token stream (map-side scoring), never shuffle the tokens to it."""
+    p = _exec_plan(spark, "corpus_dsir_importance")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_row_group_prune_pushes_date_filter(spark):
+    """The read-back scan must carry the timestamp range predicate in
+    PushedFilters — that is what row-group min/max stats prune on."""
+    p = _plan(spark, "scan_parquet_row_group_prune")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed), p
+
+
+def test_cms_sketch_partial_final_and_broadcast_probe(spark):
+    """The 256-counter sketch must build via partial/final aggregation
+    (map-side combine bounds shuffle rows at <= d*w per partition) and
+    the probe join must broadcast the sketch, not shuffle the corpus."""
+    p = _exec_plan(spark, "agg_count_min_sketch")
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ivf_balance_broadcasts_centroids(spark):
+    """Assignment is a broadcast of the nlist-row centroid relation
+    against the vector stream; the only CartesianProduct-free plan for
+    a bounded all-centroids argmin is the broadcast nested loop."""
+    p = _exec_plan(spark, "embed_ivf_balance_report")
+    assert "Broadcast" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_survivor_quality_single_window_shuffle(spark):
+    """Both windows (row_number + count) share ONE template-key
+    exchange; quality is computed before the shuffle so only (key,
+    quality) metadata moves."""
+    p = _exec_plan(spark, "corpus_dedup_survivor_quality")
+    assert p.count("Exchange hashpartitioning") <= 2, p  # tree + details
+    assert "Join" not in p, p
