@@ -46,6 +46,7 @@ PYTHON_OK = {
     "multimodal_image_phash",  # mapInPandas PPM decode + aHash is the op
     "multimodal_audio_vad",  # mapInPandas WAV decode + VAD is the op
     "multimodal_image_tiles",  # mapInPandas PPM decode + patchify is the op
+    "multimodal_video_scene_cut",  # mapInPandas frame-walk decode is the op
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1152,3 +1153,34 @@ def test_survivor_quality_single_window_shuffle(spark):
     p = _exec_plan(spark, "corpus_dedup_survivor_quality")
     assert p.count("Exchange hashpartitioning") <= 2, p  # tree + details
     assert "Join" not in p, p
+
+
+def test_ttr_partial_final_aggs(spark):
+    """Both TTR stages are partial/final aggregations — nothing
+    corpus-sized is collected or broadcast."""
+    p = _exec_plan(spark, "corpus_type_token_ratio")
+    assert p.count("HashAggregate") >= 4, p  # two partial/final pairs
+    assert "Join" not in p, p
+
+
+def test_ewma_single_user_shuffle(spark):
+    """The integer EWMA is one user-keyed shuffle into a sorted
+    state-collapse fold — the streaming operator's batch replay."""
+    p = _exec_plan(spark, "timeseries_ewma_int")
+    assert p.count("Exchange hashpartitioning") <= 2, p  # tree + details
+    assert "Join" not in p, p
+
+
+def test_scene_cut_map_only(spark):
+    """Decode + frame differencing never leave the mapper."""
+    p = _exec_plan(spark, "multimodal_video_scene_cut")
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_semdedup_broadcast_centroids_no_cartesian_pairs(spark):
+    """The coarse quantizer broadcasts the centroid relation; the pair
+    stage is a cluster-keyed equi-join, never an all-pairs product."""
+    p = _exec_plan(spark, "corpus_semdedup_bucket")
+    assert "Broadcast" in p, p
+    assert "CartesianProduct" not in p, p

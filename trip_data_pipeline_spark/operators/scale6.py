@@ -654,3 +654,377 @@ def corpus_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         bigint(F.col("doc_id")).alias("survivor_id"),
         bigint(F.col("quality")).alias("survivor_quality"),
     )
+
+
+@op(
+    "corpus_type_token_ratio",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({_duck_words()}) AS w FROM documents
+),
+wc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(1000000 * count(*) // sum(c) AS BIGINT) AS ttr_ppm
+FROM wc GROUP BY lang
+""",
+    category=CAT,
+)
+def corpus_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness report per language: token count, type
+    (distinct-word) count, hapax legomena (words seen once), and
+    type-token ratio in exact ppm.  These are the Heaps'-law inputs
+    that size a tokenizer vocabulary per language and flag synthetic /
+    template-generated slices (anomalously low TTR) before they skew a
+    training mixture.
+
+    Scale: one (lang, word)-keyed shuffle with map-side partial
+    counts; the per-lang rollup then aggregates word rows — both
+    stages are classic partial/final aggs, nothing corpus-sized is
+    ever collected or broadcast."""
+    tok = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        "lang", F.explode(_words()).alias("w")
+    )
+    wc = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            bigint(F.col("n_tokens")).alias("n_tokens"),
+            bigint(F.col("n_types")).alias("n_types"),
+            bigint(F.col("n_hapax")).alias("n_hapax"),
+            bigint(F.expr("1000000 * n_types div n_tokens")).alias("ttr_ppm"),
+        )
+    )
+
+
+@op(
+    "timeseries_ewma_int",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+l AS (
+  SELECT user_id, list(x ORDER BY us, event_id) AS xs, count(*) AS n
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(xs[1] AS BIGINT) AS first_x100,
+       CAST(list_reduce(xs, (acc, x) -> (3 * acc + x) // 4) AS BIGINT)
+         AS ewma_x100
+FROM l
+""",
+    category=CAT,
+)
+def timeseries_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA per user (alpha = 1/4 as the exact rational
+    recurrence s_t = (3*s_{t-1} + x_t) div 4, seeded s_0 = x_0): the
+    smoothing pass behind rate limiting / anomaly baselines, computed
+    with NO floats so the result is engine-exact — float EWMA would
+    drift between engines through rounding order.  x >= 0 on this
+    table, so floor (DuckDB //) and truncating (Spark div) integer
+    division agree everywhere.
+
+    Scale: one user-keyed shuffle into the same sorted state-collapse
+    the sessionize/CEP ops use (sort_array(collect_list) -> one
+    aggregate() fold per user); per-user history is bounded by the
+    CEP-documented cap reasoning.  A streaming deployment carries the
+    single integer s_t as its state — this is the batch replay of
+    exactly that operator."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.expr("unix_micros(ts)").alias("us"),
+                "event_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("x"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("rec")), lambda r: r["x"]
+            ).alias("xs")
+        )
+    )
+    return seq.select(
+        "user_id",
+        bigint(F.size("xs")).alias("n_events"),
+        bigint(F.element_at("xs", 1)).alias("first_x100"),
+        bigint(
+            F.aggregate(
+                F.slice("xs", 2, 1_000_000_000),
+                F.element_at("xs", 1),
+                # floor((3s+x)/4) on exact small ints == DuckDB's //;
+                # x >= 0 keeps the state nonnegative so floor==trunc
+                lambda acc, x: F.floor((acc * 3 + x) / F.lit(4)).cast("long"),
+            )
+        ).alias("ewma_x100"),
+    )
+
+
+# Synthetic "video": a concatenation of real P6/PPM frames (that IS
+# what raw video is — a frame sequence), 16x4 px per frame, frame
+# count (doc_id % 7) + 2.  The pixel lattice shifts per frame and the
+# per-frame gradient changes every 3rd frame, so genuine cuts exist.
+_VID_W, _VID_H = 16, 4
+
+
+def _encode_video(doc_id: int) -> bytes:
+    frames = []
+    n_frames = (doc_id % 7) + 2
+    for f in range(n_frames):
+        header = f"P6\n{_VID_W} {_VID_H}\n255\n".encode("ascii")
+        npx = _VID_W * _VID_H * 3
+        frames.append(
+            header
+            + bytes(
+                (doc_id * 31 + f * 64 + i * ((f // 3) + 1)) % 256
+                for i in range(npx)
+            )
+        )
+    return b"".join(frames)
+
+
+@op(
+    "multimodal_video_scene_cut",
+    oracle=f"""
+WITH g AS (SELECT doc_id, (doc_id % 7) + 2 AS nf FROM documents),
+fp AS (
+  SELECT doc_id, f.f AS f, i.i AS i,
+         (doc_id * 31 + f.f * 64 + i.i * ((f.f // 3) + 1)) % 256 AS v
+  FROM g
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS f) f
+  CROSS JOIN (SELECT unnest(range(0, {_VID_W * _VID_H * 3})) AS i) i
+  WHERE f.f < nf
+),
+d AS (
+  SELECT a.doc_id, a.f, sum(abs(a.v - b.v)) AS diff
+  FROM fp a
+  JOIN fp b ON b.doc_id = a.doc_id AND b.f = a.f - 1 AND b.i = a.i
+  GROUP BY a.doc_id, a.f
+)
+SELECT doc_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN diff > {_VID_W * _VID_H * 3} * 80 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(max(diff) AS BIGINT) AS max_diff
+FROM d GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over a REAL decoded frame sequence: each
+    'video' payload is a concatenation of valid P6/PPM frames (which
+    is literally what raw video is); the Spark side walks the byte
+    stream frame by frame through the same _decode_ppm parser the
+    image ops use, then flags a cut wherever the inter-frame
+    sum-of-absolute-differences exceeds a mean-per-pixel-80 threshold
+    — the shot-boundary pass a video-curation pipeline runs before
+    sampling keyframes for captioning.  The oracle replays the
+    deterministic pixel lattice arithmetically.
+
+    Scale: map-only mapInPandas — decode + frame differencing never
+    leave the mapper and per-doc state is two frames (current +
+    previous), so memory is O(frame), not O(video)."""
+    import numpy as np
+
+    from trip_data_pipeline_spark.operators.multimodal import _decode_ppm
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        thresh = _VID_W * _VID_H * 3 * 80
+        out = {"doc_id": [], "n_frames": [], "n_cuts": [], "max_diff": []}
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                payload = _encode_video(int(d))
+                pos, prev, n_frames, n_cuts, max_diff = 0, None, 0, 0, 0
+                while pos < len(payload):
+                    # frame-by-frame walk: decode one P6 stream, advance
+                    f = _decode_ppm(payload[pos:])
+                    hdr_end = payload.index(b"255\n", pos) + 4
+                    pos = hdr_end + f["n_px"]
+                    cur = np.frombuffer(f["px"], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        diff = int(np.abs(cur - prev).sum())
+                        max_diff = max(max_diff, diff)
+                        if diff > thresh:
+                            n_cuts += 1
+                    prev = cur
+                    n_frames += 1
+                out["doc_id"].append(int(d))
+                out["n_frames"].append(n_frames)
+                out["n_cuts"].append(n_cuts)
+                out["max_diff"].append(max_diff)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        cuts,
+        schema="doc_id bigint, n_frames bigint, n_cuts bigint, max_diff bigint",
+    )
+
+
+# SemDeDup geometry: a FIXED-SIZE seed codebook (every 25th vector
+# below id 2000 -> at most 80 centroids at any SF; a trained k-means
+# codebook is the production equivalent — same plan).  Fixed k keeps
+# coarse assignment LINEAR in the corpus (n * k * 16 dims); the known
+# SemDeDup cost is the within-cluster pair stage, O(n^2/k) — the paper
+# picks k ~ sqrt(n) to balance the two, which here means raising the
+# cap, not changing the plan.  Coarse assignment uses only the first
+# 16 dims — exactly a coarse quantizer's job.
+_SEM_SEED_MOD = 25
+_SEM_SEED_CAP = 2000
+_SEM_COARSE_DIMS = 16
+# drop threshold cos >= 0.35 as the exact rational 7/20, tested by the
+# cross-multiplied integer predicate 400*dot^2 >= 49*|a|^2*|b|^2 (with
+# dot > 0) — no sqrt/float anywhere NEAR the decision boundary.
+_SEM_NUM, _SEM_DEN = 7, 20
+
+
+@op(
+    "corpus_semdedup_bucket",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM q
+      WHERE vec_id % {_SEM_SEED_MOD} = 0 AND vec_id < {_SEM_SEED_CAP}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, {_SEM_COARSE_DIMS} + 1),
+           i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS dist
+  FROM q CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, min(dist * 100000 + cid) % 100000 AS cid
+  FROM d GROUP BY vec_id
+),
+p AS (
+  SELECT a1.cid, a1.vec_id AS v1, a2.vec_id AS v2
+  FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+),
+flag AS (
+  SELECT p.cid, p.v1, p.v2,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> q1.v[i] * q2.v[i])) AS BIGINT) AS dt,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> q1.v[i] * q1.v[i])) AS BIGINT) AS na2,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> q2.v[i] * q2.v[i])) AS BIGINT) AS nb2
+  FROM p JOIN q q1 ON q1.vec_id = p.v1 JOIN q q2 ON q2.vec_id = p.v2
+),
+hits AS (
+  SELECT cid, v1, v2 FROM flag
+  WHERE dt > 0
+    AND {_SEM_DEN} * {_SEM_DEN} * dt * dt
+        >= {_SEM_NUM} * {_SEM_NUM} * na2 * nb2
+)
+SELECT v2 AS dropped_id,
+       CAST(min(v1) AS BIGINT) AS kept_id,
+       CAST(any_value(cid) AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM hits GROUP BY v2
+""",
+    category=CAT,
+)
+def corpus_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-
+    quantize every embedding to its nearest seed centroid (first 16
+    dims only — the coarse quantizer's job), form pairs ONLY within a
+    cluster, and drop the higher id of any pair whose full-64-dim
+    cosine clears 0.35 — tested by the cross-multiplied integer
+    predicate 400*dot^2 >= 49*|a|^2|b|^2 with dot > 0, so the drop
+    decision has no float anywhere near the boundary.  Output: each
+    dropped vector with its lowest-id keeper, cluster, and match
+    count.
+
+    Scale: cluster-then-pair is THE shape that makes semantic dedup
+    tractable: with a fixed-k codebook (capped sampled seeds here, a
+    trained k-means at 100 TB — kmeans_lloyd_int — same plan)
+    assignment is linear in the corpus, the centroid relation
+    broadcasts, and pairs ride one cluster-keyed shuffle.  The honest
+    cost accounting: within-cluster pairs are O(n^2/k) — SemDeDup's
+    intrinsic term — so k scales ~sqrt(n) in production (raise the
+    cap; the plan is unchanged).  Never all-pairs."""
+    q = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("bigint"),
+        ).alias("v"),
+    )
+    c = q.filter(
+        (F.col("vec_id") % _SEM_SEED_MOD == 0)
+        & (F.col("vec_id") < _SEM_SEED_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    coarse_dist = F.aggregate(
+        F.zip_with(
+            F.slice("v", 1, _SEM_COARSE_DIMS),
+            F.slice("cv", 1, _SEM_COARSE_DIMS),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    a = (
+        q.crossJoin(F.broadcast(c))
+        .select("vec_id", "v", "cid", coarse_dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            (F.min(F.col("dist") * 100000 + F.col("cid")) % 100000).alias("cid"),
+            F.first("v").alias("v"),
+        )
+    )
+    a1 = a.select(F.col("cid"), F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    a2 = a.select(F.col("cid"), F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    pairs = a1.join(a2, "cid").filter(F.col("v1") < F.col("v2"))
+
+    def _sq(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    dt = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    flag = pairs.select(
+        "cid",
+        "v1",
+        "v2",
+        dt.alias("dt"),
+        _sq(F.col("va")).alias("na2"),
+        _sq(F.col("vb")).alias("nb2"),
+    )
+    hits = flag.filter(
+        (F.col("dt") > 0)
+        & (
+            F.lit(_SEM_DEN * _SEM_DEN) * F.col("dt") * F.col("dt")
+            >= F.lit(_SEM_NUM * _SEM_NUM) * F.col("na2") * F.col("nb2")
+        )
+    )
+    return hits.groupBy(F.col("v2").alias("dropped_id")).agg(
+        bigint(F.min("v1")).alias("kept_id"),
+        bigint(F.any_value("cid")).alias("cluster_id"),
+        bigint(F.count(F.lit(1))).alias("n_matches"),
+    )
