@@ -102,7 +102,14 @@ def _ensure_loaded() -> None:
 #   agg_percentile_approx, agg_percentile_disc,
 #   agg_string_concat_sorted, join_bucketed_colocated,
 #   pipeline_anonymize_trips, profile_table, regexp_extract_all_freq,
-#   stat_crosstab_exact, text_pii_redact).
+#   stat_crosstab_exact, text_pii_redact); PLUS the 12 round-5 §2.20
+#   additions (corpus_gopher_quality_rules, corpus_dsir_importance,
+#   text_readability_scores, multimodal_image_tiles,
+#   scan_parquet_row_group_prune, agg_count_min_sketch,
+#   embed_ivf_balance_report, corpus_dedup_survivor_quality,
+#   corpus_type_token_ratio, timeseries_ewma_int,
+#   multimodal_video_scene_cut, corpus_semdedup_bucket) — 49 names,
+#   exactly one window: rounds 6 and 7 finish the whole ledger.
 PRIORITY: tuple[str, ...] = (
     # 2.9 streaming — the full family (micro-batch fixed-input replays;
     # the two rows-only ops are micro-batch-boundary state, SURVEY §5.3)
