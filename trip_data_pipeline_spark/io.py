@@ -31,6 +31,18 @@ from pyspark.sql import types as T
 # die with their DataFrames, nothing pins query plans in memory.
 _DF_SRC: "weakref.WeakKeyDictionary[DataFrame, str]" = weakref.WeakKeyDictionary()
 
+# Per-session memo of loaded fixture DataFrames.  spark.read.parquet
+# EAGERLY resolves the schema (footer read + file listing over py4j)
+# — measured ~75-90 ms per table, so a 5-table star join paid ~450 ms
+# of pure plan-construction per execution.  Fixture tables are
+# immutable and DataFrames are immutable logical plans, so reusing
+# one scan object per (session, dir, table) is semantics-free; the
+# session key is weak (a stopped session's cache dies with it, and a
+# recycled object id can never alias a live one).
+_SESSION_LOADS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 TABLES = (
     "region",
     "nation",
@@ -210,6 +222,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is naive-UTC, so pin it regardless of how the caller's session was
     # built (the driver constructs its own SparkSession).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        cache = _SESSION_LOADS.setdefault(spark, {})
+    except TypeError:  # non-weak-referenceable session impl
+        cache = {}
+    df = cache.get((sf_dir, name))
+    if df is not None:
+        return df
     if name == "events":
         # nanos parquet arrives as TIMESTAMP_NTZ in this PySpark build
         # (the legacy nanosAsLong conf is a no-op at runtime here);
@@ -221,4 +240,5 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _DF_SRC[df] = table_path(sf_dir, name)
     except TypeError:  # non-weak-referenceable DataFrame impl: skip hint
         pass
+    cache[(sf_dir, name)] = df
     return df
