@@ -47,6 +47,8 @@ PYTHON_OK = {
     "multimodal_audio_vad",  # mapInPandas WAV decode + VAD is the op
     "multimodal_image_tiles",  # mapInPandas PPM decode + patchify is the op
     "multimodal_video_scene_cut",  # mapInPandas frame-walk decode is the op
+    "multimodal_audio_zcr",  # mapInPandas WAV decode + ZCR is the op
+    "multimodal_image_histogram_stats",  # mapInPandas decode + histogram
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1184,3 +1186,19 @@ def test_semdedup_broadcast_centroids_no_cartesian_pairs(spark):
     p = _exec_plan(spark, "corpus_semdedup_bucket")
     assert "Broadcast" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_group_by_all_compiles_to_explicit_agg(spark):
+    """GROUP BY ALL / ORDER BY ALL are resolver sugar: the plan must be
+    the explicit-list partial/final aggregate + bounded output sort."""
+    p = _plan(spark, "sql_group_order_by_all")
+    assert p.count("HashAggregate") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_langid_eval_small_join_only(spark):
+    """The quality eval joins two per-language aggregates (5-row key):
+    classification is map-side, nothing corpus-sized joins."""
+    p = _exec_plan(spark, "eval_langid_quality")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 4, p

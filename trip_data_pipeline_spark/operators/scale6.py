@@ -1028,3 +1028,257 @@ def corpus_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.any_value("cid")).alias("cluster_id"),
         bigint(F.count(F.lit(1))).alias("n_matches"),
     )
+
+
+@op(
+    "multimodal_audio_zcr",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, i.i AS i,
+         ((doc_id * 131 + i.i * 17) % 65536) - 32768 AS s
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 60)) AS i) i
+  WHERE i.i < (doc_id % 50) + 10
+),
+z AS (
+  SELECT doc_id, i, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NOT NULL
+                      AND (s >= 0) != (prev >= 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zc_count,
+       CAST(1000000 * sum(CASE WHEN prev IS NOT NULL
+                      AND (s >= 0) != (prev >= 0) THEN 1 ELSE 0 END)
+            // (count(*) - 1) AS BIGINT) AS zcr_ppm
+FROM z GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate over the REAL RIFF/WAVE decode chain: count
+    of sign flips between consecutive PCM samples (nonnegative vs
+    negative), as count + exact ppm rate — the classic cheap
+    speech-vs-music / silence-vs-tone discriminator an audio-curation
+    pipeline runs alongside energy VAD (multimodal_audio_vad).  The
+    oracle replays the deterministic PCM lattice through a lag window;
+    the Spark side decodes actual RIFF bytes.
+
+    Scale: map-only mapInPandas — one pass, per-doc state is one
+    previous sample."""
+    import numpy as np
+
+    from trip_data_pipeline_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+    )
+
+    def zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "n_samples": [], "zc_count": [], "zcr_ppm": []}
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                f = _decode_wav(_encode_wav(int(d)))
+                s = np.asarray(f["samples"], dtype=np.int64)
+                nn = s >= 0
+                zc = int((nn[1:] != nn[:-1]).sum())
+                out["doc_id"].append(int(d))
+                out["n_samples"].append(len(s))
+                out["zc_count"].append(zc)
+                out["zcr_ppm"].append(1_000_000 * zc // (len(s) - 1))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        zcr,
+        schema="doc_id bigint, n_samples bigint, zc_count bigint, zcr_ppm bigint",
+    )
+
+
+@op(
+    "sql_group_order_by_all",
+    oracle="""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ALL
+ORDER BY ALL
+LIMIT 40
+""",
+    category="2.8 scalar functions",
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUP BY ALL / ORDER BY ALL syntax surface (Spark 3.4+ /
+    DuckDB-originated sugar): every non-aggregate select item groups,
+    every output column orders — the form analysts actually write.
+    Compiles to exactly the explicit-list plan (one partial/final agg
+    + output sort), proven by the value-hash against DuckDB's native
+    GROUP BY ALL."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_gba")
+    return spark.sql(
+        """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM docs_gba
+GROUP BY ALL
+ORDER BY ALL
+LIMIT 40
+"""
+    )
+
+
+@op(
+    "multimodal_image_histogram_stats",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         unnest(range(0, {16} * ((doc_id % 13) + 1))) AS p
+  FROM documents
+),
+g AS (
+  SELECT doc_id, p,
+         ((doc_id * 31 + p * 3) % 256)
+       + ((doc_id * 31 + p * 3 + 1) % 256)
+       + ((doc_id * 31 + p * 3 + 2) % 256) AS gray
+  FROM px
+),
+b AS (SELECT doc_id, (gray * 8) // 766 AS bin FROM g),
+h AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY doc_id, bin)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_px,
+       CAST(count(*) AS BIGINT) AS n_nonzero_bins,
+       CAST(1000000 * max(c) // sum(c) AS BIGINT) AS max_bin_share_ppm
+FROM h GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-level histogram shape stats over the REAL PPM decode: 8-bin
+    histogram of per-pixel gray sums (r+g+b in 0..765), reporting
+    occupied-bin count and the max bin's share in ppm — the
+    blank/corrupt-image detector (a screenshot of one color peaks one
+    bin; a natural image spreads) that gates images before captioning
+    spend.  Oracle replays the pixel lattice; Spark decodes bytes and
+    histograms in numpy.
+
+    Scale: map-only mapInPandas, constant 8-int state per image."""
+    import numpy as np
+
+    from trip_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _encode_ppm,
+    )
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "n_px": [], "n_nonzero_bins": [],
+            "max_bin_share_ppm": [],
+        }
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                f = _decode_ppm(_encode_ppm(int(d)))
+                arr = np.frombuffer(f["px"], dtype=np.uint8).astype(np.int64)
+                gray = arr.reshape(-1, 3).sum(axis=1)
+                bins = np.bincount(gray * 8 // 766, minlength=8)
+                n = int(gray.size)
+                out["doc_id"].append(int(d))
+                out["n_px"].append(n)
+                out["n_nonzero_bins"].append(int((bins > 0).sum()))
+                out["max_bin_share_ppm"].append(1_000_000 * int(bins.max()) // n)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        hist,
+        schema=(
+            "doc_id bigint, n_px bigint, n_nonzero_bins bigint, "
+            "max_bin_share_ppm bigint"
+        ),
+    )
+
+
+@op(
+    "eval_langid_quality",
+    oracle="""
+WITH p AS (
+  SELECT lang, CASE
+    WHEN regexp_matches(lower(text), '(^| )(the|and|of)( |$)') THEN 'en'
+    WHEN regexp_matches(lower(text), '(^| )(der|und|die)( |$)') THEN 'de'
+    WHEN regexp_matches(lower(text), '(^| )(le|et|la)( |$)') THEN 'fr'
+    WHEN regexp_matches(lower(text), '(^| )(el|los|una)( |$)') THEN 'es'
+    WHEN regexp_matches(lower(text), '(^| )(de5|shi4|le5)( |$)') THEN 'zh'
+    ELSE 'und' END AS predicted
+  FROM documents
+),
+r AS (
+  SELECT lang, count(*) AS n_labeled,
+         sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_correct
+  FROM p GROUP BY lang
+),
+q AS (
+  SELECT predicted AS lang, count(*) AS n_predicted
+  FROM p WHERE predicted != 'und' GROUP BY predicted
+)
+SELECT r.lang,
+       CAST(r.n_labeled AS BIGINT) AS n_labeled,
+       CAST(r.n_correct AS BIGINT) AS n_correct,
+       CAST(1000000 * r.n_correct // r.n_labeled AS BIGINT) AS recall_ppm,
+       CAST(coalesce(q.n_predicted, 0) AS BIGINT) AS n_predicted,
+       CAST(CASE WHEN q.n_predicted > 0
+                 THEN 1000000 * r.n_correct // q.n_predicted
+                 ELSE 0 END AS BIGINT) AS precision_ppm
+FROM r LEFT JOIN q ON q.lang = r.lang
+""",
+    category=CAT,
+)
+def eval_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality eval-as-query for the marker-word lang-ID
+    heuristic (text_lang_id emits the raw confusion counts; this op
+    computes the metrics a model card reports): per labeled language,
+    recall and precision in exact ppm — run ENTIRELY inside the engine
+    so the quality numbers themselves hash-match, the same
+    eval-as-query discipline as the ANN/MinHash recall evals.
+
+    Scale: one map-side classification pass feeding two small
+    aggregates joined on the 5-row language key — nothing corpus-sized
+    moves after the scan."""
+    from trip_data_pipeline_spark.operators.text_ops import (
+        _LANG_MARKERS,
+        _marker_regex,
+    )
+
+    d = spread(load(spark, sf_dir, "documents"))
+    expr = None
+    for lg, ws in _LANG_MARKERS.items():
+        cond = F.lower(F.col("text")).rlike(_marker_regex(ws))
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    p = d.select("lang", expr.otherwise("und").alias("predicted"))
+    r = p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_labeled"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    q = (
+        p.filter(F.col("predicted") != "und")
+        .groupBy(F.col("predicted").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_predicted"))
+    )
+    return r.join(q, "lang", "left").select(
+        "lang",
+        bigint(F.col("n_labeled")).alias("n_labeled"),
+        bigint(F.col("n_correct")).alias("n_correct"),
+        bigint(F.expr("1000000 * n_correct div n_labeled")).alias("recall_ppm"),
+        bigint(F.coalesce(F.col("n_predicted"), F.lit(0))).alias("n_predicted"),
+        bigint(
+            F.when(
+                F.col("n_predicted") > 0,
+                F.expr("1000000 * n_correct div n_predicted"),
+            ).otherwise(0)
+        ).alias("precision_ppm"),
+    )

@@ -102,14 +102,18 @@ def _ensure_loaded() -> None:
 #   agg_percentile_approx, agg_percentile_disc,
 #   agg_string_concat_sorted, join_bucketed_colocated,
 #   pipeline_anonymize_trips, profile_table, regexp_extract_all_freq,
-#   stat_crosstab_exact, text_pii_redact); PLUS the 12 round-5 §2.20
-#   additions (corpus_gopher_quality_rules, corpus_dsir_importance,
-#   text_readability_scores, multimodal_image_tiles,
-#   scan_parquet_row_group_prune, agg_count_min_sketch,
-#   embed_ivf_balance_report, corpus_dedup_survivor_quality,
-#   corpus_type_token_ratio, timeseries_ewma_int,
-#   multimodal_video_scene_cut, corpus_semdedup_bucket) — 49 names,
-#   exactly one window: rounds 6 and 7 finish the whole ledger.
+#   stat_crosstab_exact, text_pii_redact); PLUS 13 of the 16 round-5
+#   §2.20 additions (corpus_gopher_quality_rules,
+#   corpus_dsir_importance, text_readability_scores,
+#   multimodal_image_tiles, scan_parquet_row_group_prune,
+#   agg_count_min_sketch, embed_ivf_balance_report,
+#   corpus_dedup_survivor_quality, corpus_type_token_ratio,
+#   timeseries_ewma_int, multimodal_video_scene_cut,
+#   corpus_semdedup_bucket, multimodal_audio_zcr) — 50 names.
+# ROUND 8 (3, the sliver): sql_group_order_by_all,
+#   multimodal_image_histogram_stats, eval_langid_quality — or fold
+#   them into r7 by swapping out three r1-era extras already covered
+#   by adjacent driver-green ops; either way the ledger closes by r8.
 PRIORITY: tuple[str, ...] = (
     # 2.9 streaming — the full family (micro-batch fixed-input replays;
     # the two rows-only ops are micro-batch-boundary state, SURVEY §5.3)
