@@ -127,3 +127,22 @@ def test_parse_extra_conf():
         parse_extra_conf("a.b=1;oops")
     with pytest.raises(ValueError, match="empty key"):
         parse_extra_conf("=1")
+
+
+def test_load_memoizes_per_session_and_table(spark):
+    """io.load memoizes the scan DataFrame per (session, dir, table):
+    repeat loads return the IDENTICAL object (no repeated eager schema
+    resolution — the round-5 bench fix), distinct tables/dirs miss."""
+    from trip_data_pipeline_spark.io import load
+
+    a = load(spark, "/root/testdata/sf0.001", "nation")
+    b = load(spark, "/root/testdata/sf0.001", "nation")
+    assert a is b
+    c = load(spark, "/root/testdata/sf0.001", "region")
+    assert c is not a
+    d = load(spark, "/root/testdata/sf0.01", "nation")
+    assert d is not a
+    # the memoized frame still carries the spread() source-path hint
+    from trip_data_pipeline_spark.io import _DF_SRC
+
+    assert _DF_SRC.get(a, "").endswith("nation.parquet")
