@@ -1202,3 +1202,33 @@ def test_langid_eval_small_join_only(spark):
     p = _exec_plan(spark, "eval_langid_quality")
     assert "CartesianProduct" not in p, p
     assert p.count("Exchange hashpartitioning") <= 4, p
+
+
+def test_degree_distribution_constant_output(spark):
+    """Degree distribution: equi-join edge build + two agg levels —
+    no cartesian; output is <= 64 bucket rows regardless of graph."""
+    p = _exec_plan(spark, "graph_degree_distribution")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p  # degree + bucket, partial/final
+
+
+def test_values_inline_table_broadcasts(spark):
+    """The 5-row VALUES relation must broadcast into the fact join."""
+    p = _exec_plan(spark, "sql_values_inline_table")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_weighted_avg_partial_final(spark):
+    """Weighted mean is mergeable integer state: partial/final agg,
+    no join, no window."""
+    p = _exec_plan(spark, "agg_weighted_avg_exact")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" not in p and "Window" not in p, p
+
+
+def test_truncated_variants_equijoin_metadata_only(spark):
+    """Pairs form via the template-key equi-join; only (key, n_words)
+    metadata shuffles — the text column must not reach the join."""
+    p = _exec_plan(spark, "dedup_truncated_variants")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p

@@ -1282,3 +1282,203 @@ def eval_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("precision_ppm"),
     )
+
+
+# Same sampled part-co-occurrence edge derivation as the graph family
+# (graph.py:_copart_edges / scale3 PageRank oracle) so the degree
+# numbers are directly comparable across the graph ops.
+_DEG_EDGES_DUCK = """
+op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p)
+"""
+
+
+@op(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH {_DEG_EDGES_DUCK},
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)
+SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(d) AS BIGINT) AS min_deg,
+       CAST(max(d) AS BIGINT) AS max_deg,
+       CAST(sum(d) AS BIGINT) AS sum_deg
+FROM deg GROUP BY 1
+""",
+    category=CAT,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution health check over the shared co-occurrence
+    graph: per log2 degree bucket (bucket = len(bin(d)) - 1, an
+    integer-exact floor(log2) both engines compute identically), node
+    count and min/max/sum degree.  This is the report that validates
+    the power-law assumption the triangle-counting orientation
+    (graph_triangle_count docstring) and skew-handling strategies rest
+    on — run it BEFORE committing a partitioning strategy for a new
+    graph.
+
+    Scale: edge build (equi-join on sampled orders) -> one degree agg
+    -> one constant-size bucket agg; the distribution itself is <= 64
+    rows no matter the graph."""
+    from trip_data_pipeline_spark.operators.graph import _copart_edges
+
+    deg = (
+        _copart_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bucket = (F.length(F.bin(F.col("d"))) - 1).cast("bigint")
+    return deg.groupBy(bucket.alias("log2_bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n_nodes"),
+        bigint(F.min("d")).alias("min_deg"),
+        bigint(F.max("d")).alias("max_deg"),
+        bigint(F.sum("d")).alias("sum_deg"),
+    )
+
+
+@op(
+    "sql_values_inline_table",
+    oracle="""
+WITH sev(pri, severity) AS (
+  VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+         ('4-NOT SPECIFIED', 4), ('5-LOW', 5)
+)
+SELECT severity,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN sev ON sev.pri = o_orderpriority
+GROUP BY severity
+""",
+    category="2.8 scalar functions",
+)
+def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined to a fact table — the config/seed
+    -table-in-the-query surface (severity mapping here) every SQL user
+    reaches for before a dim table exists.  The 5-row VALUES relation
+    broadcasts; the plan is otherwise the plain dim-join aggregate."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_vit")
+    return spark.sql(
+        """
+SELECT severity,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders_vit
+JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+             ('4-NOT SPECIFIED', 4), ('5-LOW', 5)) AS sev(pri, severity)
+  ON sev.pri = o_orderpriority
+GROUP BY severity
+"""
+    )
+
+
+@op(
+    "agg_weighted_avg_exact",
+    oracle=f"""
+WITH q AS (
+  SELECT lang,
+         len({_duck_words()}) AS w,
+         1000000 * len(list_distinct({_duck_words()}))
+           // len({_duck_words()}) AS x_ppm
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS w_total,
+       CAST(sum(w * x_ppm) // sum(w) AS BIGINT) AS wmean_ppm
+FROM q GROUP BY lang
+""",
+    category=CAT,
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted mean of a per-doc quality score (unique-token
+    ppm), per language, as the exact integer sum(w*x) div sum(w) —
+    corpus statistics must be token-weighted, not doc-weighted (a
+    10-token doc must not count like a 10k-token doc), and the
+    cross-multiplied integer form keeps the report engine-exact where
+    a float weighted mean drifts with partial-agg order.
+
+    Scale: map-side (w, w*x) products, one partial/final agg —
+    mergeable integer state, the same shape as any weighted metric
+    rollup."""
+    d = spread(load(spark, sf_dir, "documents"))
+    ws = _words()
+    q = d.select(
+        "lang",
+        F.size(ws).alias("w"),
+        F.size(F.array_distinct(ws)).alias("nd"),
+    ).select("lang", "w", F.expr("1000000 * nd div w").alias("x_ppm"))
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("w_total"),
+            F.sum(F.col("w") * F.col("x_ppm")).alias("wx"),
+        )
+        .select(
+            "lang",
+            bigint(F.col("n_docs")).alias("n_docs"),
+            bigint(F.col("w_total")).alias("w_total"),
+            bigint(F.expr("wx div w_total")).alias("wmean_ppm"),
+        )
+    )
+
+
+@op(
+    "dedup_truncated_variants",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         md5(array_to_string({_duck_words()}[1:2], ' ')) AS h,
+         len({_duck_words()}) AS n
+  FROM documents
+)
+SELECT a.doc_id AS short_id,
+       b.doc_id AS long_id,
+       CAST(a.n AS BIGINT) AS short_words,
+       CAST(b.n AS BIGINT) AS long_words,
+       CAST(1000000 * a.n // b.n AS BIGINT) AS len_ratio_ppm
+FROM q a JOIN q b
+  ON a.h = b.h AND a.doc_id <> b.doc_id
+WHERE 10 * a.n <= 9 * b.n
+""",
+    category=CAT,
+)
+def dedup_truncated_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-variant detection — the crawl pattern doc-level
+    near-dup misses in the OTHER direction from containment: the same
+    page captured cut short (paywall folds, render timeouts) shares
+    its lead bigram but is >=10% shorter.  Pairs form ONLY within
+    lead-bigram template groups (md5 of the first 2 normalized words);
+    the cross-multiplied integer test 10*short <= 9*long flags the
+    shorter side with its length ratio in ppm, feeding a keep-longest
+    survivorship policy (the mirror of corpus_dedup_survivor_quality's
+    keep-best-quality).
+
+    Scale: one template-keyed self-join — group sizes are bounded by
+    template frequency exactly like the shingle inverted index, and
+    only (key, n_words) metadata shuffles; text never moves."""
+    d = spread(load(spark, sf_dir, "documents"))
+    ws = _words()
+    q = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(ws, 1, 2))).alias("h"),
+        F.size(ws).alias("n"),
+    )
+    a = q.select(F.col("doc_id").alias("short_id"), "h", F.col("n").alias("sn"))
+    b = q.select(F.col("doc_id").alias("long_id"), F.col("h"), F.col("n").alias("ln"))
+    return (
+        a.join(b, "h")
+        .filter(
+            (F.col("short_id") != F.col("long_id"))
+            & (10 * F.col("sn") <= 9 * F.col("ln"))
+        )
+        .select(
+            "short_id",
+            "long_id",
+            bigint(F.col("sn")).alias("short_words"),
+            bigint(F.col("ln")).alias("long_words"),
+            bigint(F.expr("1000000 * sn div ln")).alias("len_ratio_ppm"),
+        )
+    )
