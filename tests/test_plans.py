@@ -1232,3 +1232,35 @@ def test_truncated_variants_equijoin_metadata_only(spark):
     p = _exec_plan(spark, "dedup_truncated_variants")
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_benford_constant_output_single_agg(spark):
+    """Benford digit audit: one partial/final agg to <= 9 rows; the
+    global-share window runs over those 9 rows only (after the agg)."""
+    p = _exec_plan(spark, "dq_benford_first_digit")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_hhi_single_fact_shuffle_broadcast_dims(spark):
+    """HHI: the only fact-sized shuffle is the supplier-keyed agg;
+    supplier and nation join via broadcast."""
+    p = _exec_plan(spark, "agg_hhi_concentration")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_speed_gate_one_window_sort(spark):
+    """Speed gate: one user-keyed window (three lags share the frame),
+    then partial/final agg — no join."""
+    p = _exec_plan(spark, "geo_trip_speed_gate")
+    assert p.count("Window") == 1, p
+    assert "Join" not in p, p
+
+
+def test_referential_integrity_no_cartesian_key_only_parents(spark):
+    """RI audit: four left joins against DISTINCT parent keys; no
+    cartesian, and parent payload columns never enter the join."""
+    p = _exec_plan(spark, "dq_referential_integrity")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Union") >= 1, p

@@ -1482,3 +1482,274 @@ def dedup_truncated_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.expr("1000000 * sn div ln")).alias("len_ratio_ppm"),
         )
     )
+
+
+@op(
+    "dq_benford_first_digit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(1000000 * n // sum(n) OVER () AS BIGINT) AS share_ppm
+FROM c
+""",
+    category=CAT,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals (in exact
+    cents): per leading digit, order count and corpus share in ppm.
+    Fabricated or unit-mangled money columns drift visibly from the
+    log10(1+1/d) profile — this is the one-glance data-forensics gate
+    run before a new source's prices are trusted (Benford 1938; Nigrini
+    1996 for the audit usage).
+
+    Scale: map-side digit extraction (integer cast chain, no float
+    formatting), one partial/final agg to <= 9 rows, then a window
+    total over those 9 rows — constant-size output regardless of
+    input."""
+    o = spread(load(spark, sf_dir, "orders"))
+    digit = F.expr(
+        "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS STRING), 1, 1) AS BIGINT)"
+    )
+    c = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    withtot = c.select(
+        "digit", "n", F.sum("n").over(Window.partitionBy()).alias("total")
+    )
+    return withtot.select(
+        "digit",
+        bigint(F.col("n")).alias("n_orders"),
+        bigint(F.expr("1000000 * n div total")).alias("share_ppm"),
+    )
+
+
+@op(
+    "agg_hhi_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS sc
+  FROM lineitem GROUP BY l_suppkey
+),
+j AS (
+  SELECT s_nationkey AS nk, sc,
+         1000000 * sc // sum(sc) OVER (PARTITION BY s_nationkey)
+           AS share_ppm
+  FROM rev JOIN supplier ON s_suppkey = sk
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(sc) AS BIGINT) AS total_cents,
+       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM j JOIN nation ON n_nationkey = nk
+GROUP BY n_name
+""",
+    category=CAT,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation:
+    each supplier's revenue share of its nation in exact ppm (floor
+    div on integer cents), HHI = sum(share^2) rescaled back to ppm.
+    The concentration report behind 'is this market/source dominated
+    by one supplier' — for corpus work the identical shape answers
+    'is this language slice dominated by one domain' before a
+    dedup/mixture decision.
+
+    Scale: one supplier-keyed partial/final agg over the fact (the
+    only fact-sized shuffle), a broadcast dim join, a nation-keyed
+    window over supplier rows (dim-sized), and a <= 25-row final agg.
+    Floor-div share quantization is deterministic in both engines."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    cents = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    )
+    rev = (
+        li.select(F.col("l_suppkey").alias("sk"), cents.alias("c"))
+        .groupBy("sk")
+        .agg(F.sum("c").alias("sc"))
+    )
+    j = rev.join(F.broadcast(sup), rev.sk == sup.s_suppkey).select(
+        F.col("s_nationkey").alias("nk"), "sc"
+    )
+    shared = j.select(
+        "nk",
+        "sc",
+        F.expr("1000000 * sc").alias("scaled"),
+        F.sum("sc").over(Window.partitionBy("nk")).alias("nat_total"),
+    ).select("nk", "sc", F.expr("scaled div nat_total").alias("share_ppm"))
+    per_nat = shared.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("sc").alias("total_cents"),
+        F.sum(F.expr("share_ppm * share_ppm")).alias("hhi_raw"),
+    )
+    return per_nat.join(
+        F.broadcast(nat), per_nat.nk == nat.n_nationkey
+    ).select(
+        "n_name",
+        bigint(F.col("n_suppliers")).alias("n_suppliers"),
+        bigint(F.col("total_cents")).alias("total_cents"),
+        bigint(F.expr("hhi_raw div 1000000")).alias("hhi_ppm"),
+    )
+
+
+@op(
+    "geo_trip_speed_gate",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ((user_id * 7919 + event_id * 13) % 17000) / 100.0 - 85.0  AS lat,
+         ((user_id * 104729 + event_id * 31) % 36000) / 100.0 - 180.0 AS lon
+  FROM events
+),
+legs AS (
+  SELECT user_id, lat, lon, us,
+         lag(lat) OVER w AS plat,
+         lag(lon) OVER w AS plon,
+         lag(us)  OVER w AS pus
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sp AS (
+  SELECT user_id,
+         CAST(round(2 * 6371000 * asin(sqrt(
+             pow(sin(radians(lat - plat) / 2), 2)
+             + cos(radians(plat)) * cos(radians(lat))
+               * pow(sin(radians(lon - plon) / 2), 2)))) AS BIGINT)
+           * 1000000000 // (us - pus) AS mm_s
+  FROM legs WHERE plat IS NOT NULL AND us > pus
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_legs,
+       CAST(sum(CASE WHEN mm_s > 70000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_impossible,
+       CAST(max(mm_s) AS BIGINT) AS max_mm_s
+FROM sp GROUP BY user_id
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_trip_speed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physically-impossible-trip gate: implied speed of each
+    consecutive leg per user (integer-metre haversine over derived
+    coordinates, duration in exact microseconds), legs above 70 m/s
+    (~250 km/h) flagged.  The classic GPS-noise / clock-skew data
+    quality filter a trip pipeline runs before any distance-derived
+    metric is trusted; speeds are integer mm/s (floor div) so the
+    report is engine-exact.
+
+    Scale: same single user-keyed window sort as the haversine op
+    (geo.py), then a partial/final agg per user; zero-duration legs
+    (timestamp ties) are excluded by us > pus in both engines."""
+    from trip_data_pipeline_spark.operators.geo import _HAVERSINE_M, _with_coords
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pts = _with_coords(load(spark, sf_dir, "events"))
+    legs = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        "us",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("us").over(w).alias("pus"),
+    ).filter(F.col("plat").isNotNull() & (F.col("us") > F.col("pus")))
+    leg_m = F.round(F.expr(_HAVERSINE_M)).cast("bigint")
+    sp = legs.select(
+        "user_id",
+        (leg_m * F.lit(1000000000)).alias("mm"),
+        (F.col("us") - F.col("pus")).alias("dt"),
+    ).select("user_id", F.expr("mm div dt").alias("mm_s"))
+    return sp.groupBy("user_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_legs"),
+        bigint(F.sum(F.when(F.col("mm_s") > 70000, 1).otherwise(0))).alias(
+            "n_impossible"
+        ),
+        bigint(F.max("mm_s")).alias("max_mm_s"),
+    )
+
+
+_RI_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+@op(
+    "dq_referential_integrity",
+    oracle="""
+SELECT 'lineitem->orders' AS fk,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM lineitem c
+LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+  ON p.k = c.l_orderkey
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem c
+LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+  ON p.k = c.l_suppkey
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem c
+LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+  ON p.k = c.l_partkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders c
+LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+  ON p.k = c.o_custkey
+""",
+    category=CAT,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key edge of
+    the star schema with child row count and orphan count (child keys
+    with no parent).  The ingest smoke report every warehouse load
+    runs before downstream joins silently drop rows — inner joins eat
+    orphans without a trace, so this gate is how the drop becomes a
+    number someone owns.
+
+    Scale: each edge is a left join against the DISTINCT parent keys
+    (key column only — parents never move their payload), aggregated
+    to one row before the union; Catalyst/AQE picks broadcast for
+    dim-sized parents and a shuffle join for fact-sized ones (orders),
+    exactly the per-edge strategy a 100-TB audit wants.  A bloom-filter
+    pre-probe would cut the orders edge further; at fixture scale the
+    plain plan is already 4 aggregates over 4 joins."""
+    parts = []
+    for fk, child_t, ck, parent_t, pk in _RI_EDGES:
+        child = spread(load(spark, sf_dir, child_t))
+        parent = load(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        j = child.select(F.col(ck).alias("__ck")).join(
+            parent, F.col("__ck") == F.col("__pk"), "left"
+        )
+        parts.append(
+            j.agg(
+                bigint(F.count(F.lit(1))).alias("n_child"),
+                bigint(
+                    F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                ).alias("n_orphans"),
+            ).select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
