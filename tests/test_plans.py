@@ -1264,3 +1264,33 @@ def test_referential_integrity_no_cartesian_key_only_parents(spark):
     p = _exec_plan(spark, "dq_referential_integrity")
     assert "CartesianProduct" not in p, p
     assert p.count("Union") >= 1, p
+
+
+def test_chi2_contingency_one_corpus_shuffle(spark):
+    """Chi2: the (lang, source) agg is the only corpus-sized shuffle;
+    window totals run on table-sized rows. No join anywhere."""
+    p = _exec_plan(spark, "stats_chi2_lang_source")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_abtest_single_row_no_join(spark):
+    """A/B readout: user agg -> one global agg; no join, no window."""
+    p = _exec_plan(spark, "abtest_two_proportion")
+    assert "Join" not in p and "Window" not in p, p
+
+
+def test_shard_assign_16_group_agg(spark):
+    """Shard balance: map-side hash, one 16-group agg, window over 16
+    rows — no join."""
+    p = _exec_plan(spark, "corpus_shard_assign")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_freshness_lag_mergeable_agg(spark):
+    """Freshness: one event_type agg (mergeable max/count), window over
+    the handful of type rows."""
+    p = _exec_plan(spark, "dq_freshness_lag")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p

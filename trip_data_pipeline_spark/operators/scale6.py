@@ -1753,3 +1753,262 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@op(
+    "stats_chi2_lang_source",
+    oracle="""
+WITH o AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+  FROM documents GROUP BY lang, source
+),
+m AS (
+  SELECT lang, source, obs,
+         sum(obs) OVER (PARTITION BY lang)   AS r_tot,
+         sum(obs) OVER (PARTITION BY source) AS c_tot,
+         sum(obs) OVER ()                    AS g_tot
+  FROM o
+),
+cell AS (
+  SELECT lang,
+         CAST(floor(
+           1000000
+           * (obs - CAST(r_tot AS DOUBLE) * c_tot / g_tot)
+           * (obs - CAST(r_tot AS DOUBLE) * c_tot / g_tot)
+           / (CAST(r_tot AS DOUBLE) * c_tot / g_tot)
+         ) AS BIGINT) AS chi2_ppm
+  FROM m
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(chi2_ppm) AS BIGINT) AS chi2_ppm
+FROM cell GROUP BY lang
+""",
+    category=CAT,
+)
+def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between language and source over
+    the observed (lang, source) contingency table: per-cell
+    (obs - exp)^2 / exp with exp = row_total * col_total / grand,
+    each cell floored to integer ppm BEFORE the per-language sum so
+    the statistic is engine-exact (floor avoids the round-half
+    semantics gap; the doubles feeding it derive from exact integer
+    counts via identical IEEE mul/div, the same parity argument as the
+    haversine ops).  A high per-language chi2 says that language's
+    sources are skewed vs the corpus — the signal behind
+    source-stratified sampling decisions.
+
+    Scale: the contingency table is one (lang, source) partial/final
+    agg over the corpus; everything after runs on table-sized rows
+    (|langs| x |sources|), where three window totals and the final
+    rollup are negligible."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    m = o.select(
+        "lang",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).alias("r_tot"),
+        F.sum("obs").over(Window.partitionBy("source")).alias("c_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("g_tot"),
+    )
+    exp = F.expr("CAST(r_tot AS DOUBLE) * c_tot / g_tot")
+    cell = m.select(
+        "lang",
+        F.floor(1000000 * (F.col("obs") - exp) * (F.col("obs") - exp) / exp)
+        .cast("bigint")
+        .alias("chi2_ppm"),
+    )
+    return cell.groupBy("lang").agg(
+        bigint(F.count(F.lit(1))).alias("n_cells"),
+        bigint(F.sum("chi2_ppm")).alias("chi2_ppm"),
+    )
+
+
+@op(
+    "abtest_two_proportion",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)    AS n_a,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)    AS n_b,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c_b
+  FROM u
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+       CAST(1000000 * c_a // n_a AS BIGINT) AS cvr_a_ppm,
+       CAST(1000000 * c_b // n_b AS BIGINT) AS cvr_b_ppm,
+       CAST(floor(1000 * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b))) AS BIGINT) AS z_milli
+FROM arms
+""",
+    category=CAT,
+)
+def abtest_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (arm = user_id parity,
+    conversion = a heavy purchaser, >= 14 purchase events — the
+    threshold sits at the fixture's per-user mean so both outcomes
+    occur in every arm at every SF): per-arm user and conversion
+    counts, conversion rates in exact ppm, and the pooled z statistic
+    floored to milli-units.  The experiment-readout query an analytics
+    engine must answer natively; every float feeding z derives from
+    exact integers through identical IEEE mul/div/sqrt in both engines
+    (floor, not round, at the boundary).
+
+    Scale: one user-keyed partial/final agg (conversion flags), then a
+    single global agg to one row — the per-user agg is the only
+    corpus-sized shuffle."""
+    ev = spread(load(spark, sf_dir, "events"))
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    arms = u.select(
+        (F.col("user_id") % 2).alias("arm"), "conv"
+    ).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    return arms.select(
+        bigint(F.col("n_a")).alias("n_a"),
+        bigint(F.col("c_a")).alias("c_a"),
+        bigint(F.col("n_b")).alias("n_b"),
+        bigint(F.col("c_b")).alias("c_b"),
+        bigint(F.expr("1000000 * c_a div n_a")).alias("cvr_a_ppm"),
+        bigint(F.expr("1000000 * c_b div n_b")).alias("cvr_b_ppm"),
+        bigint(
+            F.expr(
+                "floor(1000 * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+                " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+                "        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+                "        * (1.0 / n_a + 1.0 / n_b)))"
+            )
+        ).alias("z_milli"),
+    )
+
+
+@op(
+    "corpus_shard_assign",
+    oracle=f"""
+WITH d AS (
+  SELECT {_duck_hex28("md5(CAST(doc_id AS VARCHAR))", 1)} % 16 AS shard,
+         len({_duck_words()}) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT shard, count(*) AS n_docs, sum(n_tokens) AS toks
+  FROM d GROUP BY shard
+)
+SELECT shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(toks AS BIGINT) AS n_tokens,
+       CAST(1000000 * 16 * toks // sum(toks) OVER () AS BIGINT)
+         AS share_x16_ppm
+FROM s
+""",
+    category=CAT,
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output-shard assignment + balance report: docs
+    hash (md5 of the id, content-independent) into 16 shards; per
+    shard, doc count, token total, and the shard's share of tokens
+    scaled so 1,000,000 ppm == a perfectly balanced 1/16.  This is the
+    write-side layout op for a 100-TB corpus export — balanced shards
+    are what keep downstream tokenizer / training readers from
+    stragglers, and the report is the check that the hash actually
+    balanced the TOKEN mass, not just the doc count.
+
+    Scale: map-side hash + token count, one 16-group partial/final
+    agg, window total over 16 rows.  The same expression passed to
+    DataFrameWriter.partitionBy/repartition does the actual write."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    shard = (
+        _hex28(F.md5(F.col("doc_id").cast("string")), 1) % 16
+    ).alias("shard")
+    s = d.select(shard, F.size(_words()).alias("n_tokens")).groupBy(
+        "shard"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("toks"),
+    )
+    withtot = s.select(
+        "shard",
+        "n_docs",
+        "toks",
+        F.sum("toks").over(Window.partitionBy()).alias("total"),
+    )
+    return withtot.select(
+        "shard",
+        bigint(F.col("n_docs")).alias("n_docs"),
+        bigint(F.col("toks")).alias("n_tokens"),
+        bigint(F.expr("1000000 * 16 * toks div total")).alias("share_x16_ppm"),
+    )
+
+
+@op(
+    "dq_freshness_lag",
+    oracle="""
+WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+per AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         max(us) AS latest_us
+  FROM e GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(latest_us AS BIGINT) AS latest_us,
+       CAST((max(latest_us) OVER () - latest_us) // 1000000 AS BIGINT)
+         AS lag_s
+FROM per
+""",
+    category=CAT,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: for each event type, event count,
+    latest timestamp (exact microseconds), and how many whole seconds
+    it lags the freshest stream.  The pipeline-health report that
+    catches a stalled upstream producer before its staleness poisons
+    a time-windowed join or a training cutoff.
+
+    Scale: one event_type-keyed partial/final agg (max/count are
+    mergeable), then a window over the handful of type rows —
+    constant-size output."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.select(
+        "event_type", F.expr("unix_micros(ts)").alias("us")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("us").alias("latest_us"),
+    )
+    withmax = per.select(
+        "event_type",
+        "n_events",
+        "latest_us",
+        F.max("latest_us").over(Window.partitionBy()).alias("freshest"),
+    )
+    return withmax.select(
+        "event_type",
+        bigint(F.col("n_events")).alias("n_events"),
+        bigint(F.col("latest_us")).alias("latest_us"),
+        bigint(F.expr("(freshest - latest_us) div 1000000")).alias("lag_s"),
+    )
