@@ -1294,3 +1294,36 @@ def test_freshness_lag_mergeable_agg(spark):
     p = _exec_plan(spark, "dq_freshness_lag")
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_reconcile_fact_agg_then_equijoin(spark):
+    """Reconciliation: orderkey agg over the fact, one equi-join to the
+    header, 1-row report — no cartesian, no window."""
+    p = _exec_plan(spark, "dq_reconcile_order_totals")
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_pmi_lift_broadcast_vocab(spark):
+    """PMI lift: the two unigram-count joins and the 1-row N attach all
+    broadcast; no sort-merge join anywhere."""
+    p = _exec_plan(spark, "text_bigram_pmi_lift")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_pk_uniqueness_two_level_agg_per_table(spark):
+    """PK audit: each table is a key-keyed agg plus a 1-row rollup (no
+    global distinct), unioned — no join at all."""
+    p = _exec_plan(spark, "dq_primary_key_uniqueness")
+    assert "Join" not in p, p
+    assert "Union" in p, p
+
+
+def test_time_to_convert_constant_output(spark):
+    """Time-to-convert: user-keyed aggs + one equi-join, rolled up to
+    <= 64 log2 buckets; no cartesian."""
+    p = _exec_plan(spark, "events_time_to_convert")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p

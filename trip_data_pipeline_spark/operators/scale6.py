@@ -2012,3 +2012,273 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.col("latest_us")).alias("latest_us"),
         bigint(F.expr("(freshest - latest_us) div 1000000")).alias("lag_s"),
     )
+
+
+@op(
+    "dq_reconcile_order_totals",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey AS k,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 100) AS BIGINT)) AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents, line_cents
+  FROM orders JOIN li ON li.k = o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o_cents = line_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN o_cents <> line_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(sum(abs(o_cents - line_cents)) AS BIGINT) AS drift_cents,
+       CAST(max(abs(o_cents - line_cents)) AS BIGINT) AS max_drift_cents
+FROM j
+""",
+    category=CAT,
+)
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: each order's header total against
+    the sum of its line amounts (extendedprice x (1-discount) x
+    (1+tax), per-line rounded to exact cents) — match/mismatch counts
+    plus total and max absolute drift.  The two-system consistency
+    check every warehouse runs between an ingested header feed and its
+    detail feed; drift as a number is what turns 'the totals look off'
+    into a pageable defect.
+
+    Scale: one orderkey-keyed partial/final agg over the fact, then an
+    equi-join to the header (both sides keyed on the join key, and at
+    TPC-H-like layouts co-partitioned), collapsing to a 1-row report."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    o = load(spark, sf_dir, "orders")
+    line = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+                " * 100) AS BIGINT)"
+            )
+        ).alias("line_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("o_cents"),
+    ).join(line, F.col("o_orderkey") == F.col("k"))
+    diff = F.abs(F.col("o_cents") - F.col("line_cents"))
+    return j.agg(
+        bigint(F.count(F.lit(1))).alias("n_orders"),
+        bigint(
+            F.sum(F.when(F.col("o_cents") == F.col("line_cents"), 1).otherwise(0))
+        ).alias("n_matched"),
+        bigint(
+            F.sum(F.when(F.col("o_cents") != F.col("line_cents"), 1).otherwise(0))
+        ).alias("n_mismatched"),
+        bigint(F.sum(diff)).alias("drift_cents"),
+        bigint(F.max(diff)).alias("max_drift_cents"),
+    )
+
+
+@op(
+    "text_bigram_pmi_lift",
+    oracle=f"""
+WITH d AS (SELECT {_duck_words()} AS ws FROM documents),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w
+),
+n AS (SELECT sum(c) AS n_uni FROM uni),
+bi AS (
+  SELECT x, y, count(*) AS cxy
+  FROM (
+    SELECT unnest(ws[1:-2]) AS x,
+           unnest(ws[2:-1]) AS y
+    FROM d WHERE len(ws) >= 2
+  ) GROUP BY x, y
+)
+SELECT bi.x, bi.y,
+       CAST(bi.cxy AS BIGINT) AS c_xy,
+       CAST(ux.c AS BIGINT) AS c_x,
+       CAST(uy.c AS BIGINT) AS c_y,
+       CAST(1000000 * bi.cxy * n.n_uni // (ux.c * uy.c) AS BIGINT)
+         AS lift_ppm
+FROM bi, n
+JOIN uni ux ON ux.w = bi.x
+JOIN uni uy ON uy.w = bi.y
+WHERE bi.cxy >= 5
+""",
+    category=CAT,
+)
+def text_bigram_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: exponentiated-PMI lift for every bigram seen
+    >= 5 times — lift_ppm = 10^6 * c(x,y) * N / (c(x) * c(y)), all
+    integer (floor div), where N is the unigram token total.  Lift >>
+    1e6 marks collocations ('machine learning'-style units a tokenizer
+    or phrase-dedup pass should treat atomically); the integer form is
+    the engine-exact stand-in for log-PMI, ordering identically.
+
+    Scale: unigram and bigram counts are two token-keyed partial/final
+    aggs; the bigram->unigram joins broadcast the vocabulary (counts
+    only — vocab is tiny next to the corpus, the classic
+    big-fact/small-dim shape), and the 1-row N attaches as a literal
+    crossed constant."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        _words().alias("ws")
+    )
+    uni = d.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = d.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    )
+    bi = pairs.select("p.x", "p.y").groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("cxy")
+    ).filter(F.col("cxy") >= 5)
+    n = uni.agg(F.sum("c").alias("n_uni"))
+    ux = uni.select(F.col("w").alias("xw"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("yw"), F.col("c").alias("cy"))
+    return (
+        bi.join(F.broadcast(ux), bi.x == ux.xw)
+        .join(F.broadcast(uy), bi.y == uy.yw)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            bigint(F.col("cxy")).alias("c_xy"),
+            bigint(F.col("cx")).alias("c_x"),
+            bigint(F.col("cy")).alias("c_y"),
+            bigint(F.expr("1000000 * cxy * n_uni div (cx * cy)")).alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+_PK_TABLES = (
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+)
+
+
+@op(
+    "dq_primary_key_uniqueness",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{t}' AS table_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(max(c) AS BIGINT) AS max_multiplicity
+FROM (SELECT {k}, count(*) AS c FROM {t} GROUP BY {k})
+"""
+        for t, k in _PK_TABLES
+    ),
+    category=CAT,
+)
+def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: per table, row count, distinct
+    key count, duplicated-key count, and worst multiplicity.  The
+    companion gate to the referential-integrity audit — duplicate keys
+    silently FAN OUT downstream joins exactly where orphans silently
+    drop rows, and a fan-out found after a 100-TB join re-run is the
+    expensive way to find it.
+
+    Scale: one key-keyed partial/final agg per table (count-distinct
+    as a two-level exact agg, never a global distinct), each collapsing
+    to a 1-row report before the union."""
+    parts = []
+    for t, k in _PK_TABLES:
+        keyed = (
+            spread(load(spark, sf_dir, t), min_fraction=0.25)
+            .groupBy(F.col(k))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        parts.append(
+            keyed.agg(
+                bigint(F.sum("c")).alias("n_rows"),
+                bigint(F.count(F.lit(1))).alias("n_keys"),
+                bigint(F.sum(F.when(F.col("c") > 1, 1).otherwise(0))).alias(
+                    "n_dup_keys"
+                ),
+                bigint(F.max("c")).alias("max_multiplicity"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "n_keys",
+                "n_dup_keys",
+                "max_multiplicity",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@op(
+    "events_time_to_convert",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t_signup
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT (p.t_purchase - s.t_signup) // 1000000 AS dt_s
+  FROM s JOIN p ON p.user_id = s.user_id
+)
+SELECT CAST(length(bin(dt_s + 1)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(dt_s) AS BIGINT) AS min_s,
+       CAST(max(dt_s) AS BIGINT) AS max_s
+FROM d GROUP BY 1
+""",
+    category=CAT,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first signup to first
+    subsequent purchase in whole seconds, histogrammed into log2
+    buckets (bucket = len(bin(dt+1))-1, integer-exact in both
+    engines).  The funnel op counts who converts; this one answers HOW
+    LONG conversion takes — the latency view product teams read next,
+    with constant-size output no matter the user count.
+
+    Scale: two conditional min-aggregates per user (signup floor, then
+    purchase gated on it) — user-keyed shuffles all the way, then the
+    <= 64-bucket rollup."""
+    ev = spread(load(spark, sf_dir, "events"))
+    us = F.expr("unix_micros(ts)")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(us).alias("t_signup")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(s, "user_id")
+        .filter(F.col("t") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"), F.min("t_signup").alias("t_signup"))
+    )
+    d = p.select(
+        F.expr("(t_purchase - t_signup) div 1000000").alias("dt_s")
+    )
+    bucket = (F.length(F.bin(F.col("dt_s") + 1)) - 1).cast("bigint")
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n_users"),
+        bigint(F.min("dt_s")).alias("min_s"),
+        bigint(F.max("dt_s")).alias("max_s"),
+    )
