@@ -1327,3 +1327,35 @@ def test_time_to_convert_constant_output(spark):
     p = _exec_plan(spark, "events_time_to_convert")
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_jaccard_neighbors_wedge_join_broadcast_degrees(spark):
+    """Jaccard link prediction: wedge equi-join + anti-join exclusion;
+    degree lookups broadcast; never a cartesian."""
+    p = _exec_plan(spark, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_sentiment_lexicon_no_join(spark):
+    """Lexicon scoring folds the word lists into map-side expressions:
+    one lang-keyed agg, no join."""
+    p = _exec_plan(spark, "text_sentiment_lexicon")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_multi_horizon_single_window_sort(spark):
+    """Three RANGE frames must share one window sort: exactly one
+    Window operator, one user-keyed Exchange before it."""
+    p = _exec_plan(spark, "features_multi_horizon")
+    assert p.count("Window") == 1, p
+    assert "Join" not in p, p
+
+
+def test_negatives_ring_single_equijoin(spark):
+    """Negative sampling: 1-row count broadcast + map-side explode +
+    one equi-join on the ring id; no cartesian beyond the 1-row
+    attach."""
+    p = _exec_plan(spark, "sample_negatives_hash_ring")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p

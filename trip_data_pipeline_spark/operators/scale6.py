@@ -2282,3 +2282,272 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.min("dt_s")).alias("min_s"),
         bigint(F.max("dt_s")).alias("max_s"),
     )
+
+
+@op(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH {_DEG_EDGES_DUCK},
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+cn AS (
+  SELECT l.src AS a, r.src AS b, count(*) AS common
+  FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT cn.a, cn.b, cn.common FROM cn
+  WHERE cn.common >= 2
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = cn.a AND e.dst = cn.b)
+)
+SELECT a, b,
+       CAST(common AS BIGINT) AS n_common,
+       CAST(1000000 * common // (da.d + db.d - common) AS BIGINT)
+         AS jaccard_ppm
+FROM cand
+JOIN deg da ON da.src = a
+JOIN deg db ON db.src = b
+""",
+    category=CAT,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard over the shared
+    co-occurrence graph: for NON-adjacent pairs with >= 2 common
+    neighbors, jaccard_ppm = 10^6 * |N(a) cap N(b)| div
+    |N(a) cup N(b)| — the candidate-edge scores a recommender ranks.
+
+    Scale: the wedge self-join (edges joined on the shared neighbor)
+    is the canonical bounded-by-degree-squared step; the degree
+    distribution op is the pre-flight check that bounds it, and the
+    a < b orientation halves the work exactly as in triangle counting.
+    The adjacency exclusion is a left-anti join on the edge key, and
+    degree lookups broadcast (node-count-sized)."""
+    from trip_data_pipeline_spark.operators.graph import _copart_edges
+
+    e = _copart_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    l = e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    r = e.select(F.col("src").alias("b"), F.col("dst").alias("n"))
+    cn = (
+        l.join(r, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    cand = cn.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            bigint(F.col("common")).alias("n_common"),
+            bigint(
+                F.expr("1000000 * common div (da + db - common)")
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+_SENT_POS = ("fast", "big", "value")
+_SENT_NEG = ("slow", "small", "dup")
+
+
+@op(
+    "text_sentiment_lexicon",
+    oracle=f"""
+WITH w AS (SELECT lang, {_duck_words()} AS ws FROM documents),
+s AS (
+  SELECT lang,
+         len(ws) AS n_words,
+         len(list_filter(ws, x -> x IN ('fast','big','value'))) AS pos,
+         len(list_filter(ws, x -> x IN ('slow','small','dup'))) AS neg
+  FROM w
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pos) AS BIGINT) AS pos_hits,
+       CAST(sum(neg) AS BIGINT) AS neg_hits,
+       CAST(1000000 * (sum(pos) - sum(neg)) // sum(n_words) AS BIGINT)
+         AS net_ppm
+FROM s GROUP BY lang
+""",
+    category=CAT,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the pre-neural baseline every
+    text engine still ships): positive/negative token hits per doc
+    against small word lists, rolled up per language with the exact
+    token-weighted net score in ppm (cross-multiplied integer — the
+    same immune-to-partial-agg-order form as the weighted-mean op).
+    In a corpus pipeline the identical shape scores toxicity / policy
+    lexicons, where per-slice drift gates a source.
+
+    Scale: map-side array filters against broadcast-literal lists (no
+    join — the lexicon folds into the expression), one lang-keyed
+    partial/final agg."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    ws = _words()
+    s = d.select(
+        "lang",
+        F.size(ws).alias("n_words"),
+        F.size(
+            F.filter(ws, lambda x: x.isin(*_SENT_POS))
+        ).alias("pos"),
+        F.size(
+            F.filter(ws, lambda x: x.isin(*_SENT_NEG))
+        ).alias("neg"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("pos_hits"),
+            F.sum("neg").alias("neg_hits"),
+            F.sum("n_words").alias("nw"),
+        )
+        .select(
+            "lang",
+            bigint(F.col("n_docs")).alias("n_docs"),
+            bigint(F.col("pos_hits")).alias("pos_hits"),
+            bigint(F.col("neg_hits")).alias("neg_hits"),
+            bigint(
+                F.expr("1000000 * (pos_hits - neg_hits) div nw")
+            ).alias("net_ppm"),
+        )
+    )
+
+
+@op(
+    "features_multi_horizon",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+w AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING
+                              AND CURRENT ROW) AS c1h,
+         count(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 21600000000 PRECEDING
+                              AND CURRENT ROW) AS c6h,
+         count(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 86400000000 PRECEDING
+                              AND CURRENT ROW) AS c24h
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(c1h) AS BIGINT) AS peak_1h,
+       CAST(max(c6h) AS BIGINT) AS peak_6h,
+       CAST(max(c24h) AS BIGINT) AS peak_24h
+FROM w GROUP BY user_id
+""",
+    category=CAT,
+)
+def features_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon trailing-window features in ONE pass: per event,
+    trailing 1h/6h/24h event counts via three RANGE frames over the
+    same user-keyed sort, rolled up to each user's PEAK per horizon —
+    the feature-store pattern (and the burst/bot signal: a peak_1h
+    near peak_24h is a burst account).  RANGE frames make timestamp
+    ties frame-peers in both engines, so the counts are order-stable
+    without a tiebreaker.
+
+    Scale: the three frames share one window sort (one Exchange + one
+    Sort, three frame evaluators), then a user-keyed partial/final
+    agg — adding horizons costs no extra shuffle."""
+    ev = spread(load(spark, sf_dir, "events"))
+    e = ev.select("user_id", F.expr("unix_micros(ts)").alias("us"))
+
+    def frame(preceding_us: int):
+        return (
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rangeBetween(-preceding_us, Window.currentRow)
+        )
+
+    w = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(frame(3_600_000_000)).alias("c1h"),
+        F.count(F.lit(1)).over(frame(21_600_000_000)).alias("c6h"),
+        F.count(F.lit(1)).over(frame(86_400_000_000)).alias("c24h"),
+    )
+    return w.groupBy("user_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_events"),
+        bigint(F.max("c1h")).alias("peak_1h"),
+        bigint(F.max("c6h")).alias("peak_6h"),
+        bigint(F.max("c24h")).alias("peak_24h"),
+    )
+
+
+@op(
+    "sample_negatives_hash_ring",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+pos AS (SELECT doc_id, lang FROM documents),
+neg AS (
+  SELECT p.doc_id, j.j AS neg_rank,
+         (p.doc_id + j.j * 104729) % n.n_docs AS neg_id
+  FROM pos p, n, (SELECT unnest([1, 2, 3]) AS j) j
+  WHERE (p.doc_id + j.j * 104729) % n.n_docs <> p.doc_id
+)
+SELECT neg.doc_id, neg.neg_rank, CAST(neg.neg_id AS BIGINT) AS neg_id,
+       CAST(CASE WHEN p.lang = q.lang THEN 1 ELSE 0 END AS BIGINT)
+         AS same_lang
+FROM neg
+JOIN pos p ON p.doc_id = neg.doc_id
+JOIN pos q ON q.doc_id = neg.neg_id
+""",
+    category=CAT,
+)
+def sample_negatives_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    doc gets k=3 negatives at fixed prime strides around the dense-id
+    ring ((id + j*104729) mod N — reproducible across runs and
+    engines, no RNG), annotated with a same-language flag so the
+    training mix can control easy-vs-hard negative ratios.  Requires
+    dense ids; the ids_global_contiguous op is the densifier when a
+    corpus lacks them (its docstring carries the premise).
+
+    Scale: the 1-row corpus count broadcasts, the 3-way explode is
+    map-side, and the negative's features arrive via one equi-join on
+    the ring id — no shuffle beyond that join; self-pairs (N divides
+    the stride ring onto itself) are excluded identically in both
+    engines."""
+    docs = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        "doc_id", "lang"
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    neg = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("neg_rank"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "neg_rank",
+            F.expr("(doc_id + neg_rank * 104729) % n_docs").alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    q = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+    )
+    return neg.join(q, "neg_id").select(
+        "doc_id",
+        "neg_rank",
+        bigint(F.col("neg_id")).alias("neg_id"),
+        bigint(
+            F.when(F.col("lang") == F.col("neg_lang"), 1).otherwise(0)
+        ).alias("same_lang"),
+    )
