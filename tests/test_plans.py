@@ -1359,3 +1359,35 @@ def test_negatives_ring_single_equijoin(spark):
     attach."""
     p = _exec_plan(spark, "sample_negatives_hash_ring")
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_peak_concurrency_single_sweep_sort(spark):
+    """Sweep-line: one event_type-keyed window over the boundary-point
+    union, then agg + small join — no cartesian."""
+    p = _exec_plan(spark, "events_peak_concurrency")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window") == 1, p
+
+
+def test_weighted_median_one_lang_sort(spark):
+    """Exact weighted median: one lang-keyed window sort (running sum +
+    partition total share it), then partial/final agg — no join."""
+    p = _exec_plan(spark, "agg_weighted_median_exact")
+    assert "Join" not in p, p
+    assert p.count("Window") <= 2, p
+
+
+def test_partition_drift_partition_rows_only(spark):
+    """Drift audit: one partition-key agg; window totals run on the
+    handful of partition rows — no join."""
+    p = _exec_plan(spark, "dq_partition_drift")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_od_flow_legs_built_once(spark):
+    """Flow imbalance: ONE user-keyed window builds legs; dep/arr aggs
+    + a cell-keyed outer join; no cartesian."""
+    p = _exec_plan(spark, "geo_od_flow_imbalance")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window") <= 2, p

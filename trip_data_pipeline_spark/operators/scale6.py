@@ -2551,3 +2551,299 @@ def sample_negatives_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == F.col("neg_lang"), 1).otherwise(0)
         ).alias("same_lang"),
     )
+
+
+@op(
+    "events_peak_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+),
+pts AS (
+  SELECT event_type, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta FROM iv
+),
+run AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM pts
+)
+SELECT event_type,
+       CAST((SELECT count(*) FROM iv i WHERE i.event_type = run.event_type)
+            AS BIGINT) AS n_intervals,
+       CAST(max(live) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY event_type
+""",
+    category=CAT,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep-line: each event opens a 5-minute
+    half-open interval; +1/-1 boundary points sorted by (t, delta)
+    (ends before starts at the same instant, so back-to-back intervals
+    never double-count), running sum, max per event type.  The
+    max-concurrent-viewers / peak-open-sessions query — the capacity
+    number a trip or streaming platform plans against.
+
+    The running sum's per-row values among identical (t, delta) peers
+    are order-dependent, but the partition MAX is not: within a tie
+    run of +1s the max sits at the run's end, within -1s at its start
+    — both engines agree (property the test pins).
+
+    Scale: one event_type-keyed window sort over 2x the events.  For
+    a single global timeline (no type key) the standard trick is a
+    two-level sweep: per-shard running sums plus a tiny prefix-offset
+    recombine; the per-key form here is the shape that parallelizes
+    for free."""
+    ev = spread(load(spark, sf_dir, "events"))
+    iv = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("s"),
+        F.expr("unix_micros(ts) + 300000000").alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("live"))
+    peaks = run.groupBy("event_type").agg(
+        bigint(F.max("live")).alias("peak_concurrent")
+    )
+    counts = iv.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n_intervals")
+    )
+    return peaks.join(counts, "event_type").select(
+        "event_type", "n_intervals", "peak_concurrent"
+    )
+
+
+@op(
+    "agg_weighted_median_exact",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len({_duck_words()}) AS w,
+         1000000 * len(list_distinct({_duck_words()}))
+           // len({_duck_words()}) AS x
+  FROM documents
+),
+c AS (
+  SELECT lang, w, x,
+         sum(w) OVER (PARTITION BY lang ORDER BY x, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY lang) AS total_w
+  FROM q
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_qualifying,
+       CAST(min(total_w) AS BIGINT) AS w_total,
+       CAST(min(x) AS BIGINT) AS wmedian_ppm
+FROM c WHERE 2 * cumw >= total_w
+GROUP BY lang
+""",
+    category=CAT,
+)
+def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-weighted MEDIAN of per-doc quality per language:
+    sort docs by (score, doc_id) within language, running weight sum,
+    the median is the first score whose cumulative weight reaches half
+    the total — expressed as min(x) over qualifying rows, which is
+    deterministic because cumw is monotone along the sort.  The robust
+    companion to the weighted mean (agg_weighted_avg_exact): one
+    mega-doc can drag a mean but not this.
+
+    Scale: one lang-keyed window sort + running sum, then a
+    partial/final agg — the classic exact-distributed-median shape
+    (no collect, no iterative quantile probing); the doc_id tiebreak
+    makes the sort total so the answer is replayable."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    ws = _words()
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("w"),
+        F.size(F.array_distinct(ws)).alias("nd"),
+    ).select(
+        "doc_id", "lang", "w", F.expr("1000000 * nd div w").alias("x")
+    )
+    cum = (
+        Window.partitionBy("lang")
+        .orderBy("x", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = q.select(
+        "lang",
+        "w",
+        "x",
+        F.sum("w").over(cum).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("lang")).alias("total_w"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("lang")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_qualifying"),
+            bigint(F.min("total_w")).alias("w_total"),
+            bigint(F.min("x")).alias("wmedian_ppm"),
+        )
+    )
+
+
+@op(
+    "dq_partition_drift",
+    oracle="""
+WITH m AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT ym, n, cents,
+         cents // n AS mean_cents,
+         sum(cents) OVER () // sum(n) OVER () AS global_mean
+  FROM m
+)
+SELECT CAST(ym AS BIGINT) AS ym,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(mean_cents AS BIGINT) AS mean_cents,
+       CAST(1000000 * abs(mean_cents - global_mean) // global_mean
+            AS BIGINT) AS drift_ppm,
+       CAST(CASE WHEN mean_cents >= global_mean THEN 1 ELSE -1 END
+            AS BIGINT) AS drift_sign
+FROM g
+""",
+    category=CAT,
+)
+def dq_partition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level drift audit: mean order value (exact integer
+    cents, floor-div) per year-month partition vs the global mean,
+    absolute drift in ppm plus its sign.  The table-health scan that
+    catches a bad backfill or a unit change landing in ONE partition —
+    global stats stay plausible while a single month is 10x off.
+
+    Scale: one partition-key agg (mergeable sum/count), window totals
+    over the handful of partition rows; at a real lakehouse this reads
+    partition column + one metric column only, pruned at the scan."""
+    o = spread(load(spark, sf_dir, "orders"))
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents"),
+    )
+    g = m.select(
+        "ym",
+        "n",
+        "cents",
+        F.expr("cents div n").alias("mean_cents"),
+        F.sum("cents").over(Window.partitionBy()).alias("tc"),
+        F.sum("n").over(Window.partitionBy()).alias("tn"),
+    ).select("ym", "n", "mean_cents", F.expr("tc div tn").alias("global_mean"))
+    return g.select(
+        bigint(F.col("ym")).alias("ym"),
+        bigint(F.col("n")).alias("n_orders"),
+        bigint(F.col("mean_cents")).alias("mean_cents"),
+        bigint(
+            F.expr("1000000 * abs(mean_cents - global_mean) div global_mean")
+        ).alias("drift_ppm"),
+        bigint(
+            F.when(F.col("mean_cents") >= F.col("global_mean"), 1).otherwise(-1)
+        ).alias("drift_sign"),
+    )
+
+
+@op(
+    "geo_od_flow_imbalance",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ((user_id * 7919 + event_id * 13) % 17000) // 100 AS cell_lat,
+         ((user_id * 104729 + event_id * 31) % 36000) // 100 AS cell_lon
+  FROM events
+),
+legs AS (
+  SELECT lag(cell_lat) OVER w AS o_lat, lag(cell_lon) OVER w AS o_lon,
+         cell_lat AS d_lat, cell_lon AS d_lon
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+dep AS (
+  SELECT o_lat AS lat, o_lon AS lon, count(*) AS departures
+  FROM legs WHERE o_lat IS NOT NULL GROUP BY 1, 2
+),
+arr AS (
+  SELECT d_lat AS lat, d_lon AS lon, count(*) AS arrivals
+  FROM legs WHERE o_lat IS NOT NULL GROUP BY 1, 2
+)
+SELECT CAST(coalesce(dep.lat, arr.lat) AS BIGINT) AS lat,
+       CAST(coalesce(dep.lon, arr.lon) AS BIGINT) AS lon,
+       CAST(coalesce(departures, 0) AS BIGINT) AS departures,
+       CAST(coalesce(arrivals, 0) AS BIGINT) AS arrivals,
+       CAST(coalesce(arrivals, 0) - coalesce(departures, 0) AS BIGINT)
+         AS net_inflow
+FROM dep FULL OUTER JOIN arr ON dep.lat = arr.lat AND dep.lon = arr.lon
+WHERE abs(coalesce(arrivals, 0) - coalesce(departures, 0)) >= 2
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_od_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow imbalance per 1-degree grid cell:
+    departures vs arrivals over consecutive-event trips, keeping cells
+    with |net inflow| >= 2 — the rebalancing report (where do vehicles
+    / riders accumulate) that complements the OD matrix's top flows.
+
+    Scale: the same single user-keyed window as the OD matrix builds
+    legs once; departures and arrivals are two cell-keyed partial/final
+    aggs over it, recombined with a cell-keyed full outer join (both
+    sides already cell-partitioned, grid domain is fixed 360x170 so
+    the join is bounded)."""
+    from trip_data_pipeline_spark.operators.geo import _LAT_CENTI, _LON_CENTI
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr(f"{_LAT_CENTI} div 100").alias("cell_lat"),
+        F.expr(f"{_LON_CENTI} div 100").alias("cell_lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    legs = pts.select(
+        F.lag("cell_lat").over(w).alias("o_lat"),
+        F.lag("cell_lon").over(w).alias("o_lon"),
+        F.col("cell_lat").alias("d_lat"),
+        F.col("cell_lon").alias("d_lon"),
+    ).filter(F.col("o_lat").isNotNull())
+    dep = legs.groupBy(
+        F.col("o_lat").alias("lat"), F.col("o_lon").alias("lon")
+    ).agg(F.count(F.lit(1)).alias("departures"))
+    arr = legs.groupBy(
+        F.col("d_lat").alias("lat"), F.col("d_lon").alias("lon")
+    ).agg(F.count(F.lit(1)).alias("arrivals"))
+    j = dep.join(arr, ["lat", "lon"], "full_outer").select(
+        "lat",
+        "lon",
+        F.coalesce("departures", F.lit(0)).alias("departures"),
+        F.coalesce("arrivals", F.lit(0)).alias("arrivals"),
+    )
+    return (
+        j.select(
+            bigint(F.col("lat")).alias("lat"),
+            bigint(F.col("lon")).alias("lon"),
+            bigint(F.col("departures")).alias("departures"),
+            bigint(F.col("arrivals")).alias("arrivals"),
+            bigint(F.col("arrivals") - F.col("departures")).alias("net_inflow"),
+        )
+        .filter(F.abs(F.col("net_inflow")) >= 2)
+    )
