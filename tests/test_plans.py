@@ -1391,3 +1391,38 @@ def test_od_flow_legs_built_once(spark):
     p = _exec_plan(spark, "geo_od_flow_imbalance")
     assert "CartesianProduct" not in p, p
     assert p.count("Window") <= 2, p
+
+
+def test_asof_forward_no_cartesian(spark):
+    """Forward as-of: user-keyed equi-join + inequality filter +
+    per-order top-1 window; no cartesian/BNLJ on the keyed path."""
+    p = _exec_plan(spark, "join_asof_forward")
+    assert "CartesianProduct" not in p, p
+    # one Window node; WindowGroupLimit partial/final (the rank-limit
+    # pushdown that keeps only top-1 per order pre-shuffle) is a bonus
+    assert p.count("Window [") == 1, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_watermark_detect_bounded_agg_after_mapside_decode(spark):
+    """Watermark detection: map-only decode (no exchange before the
+    tile stats), one signature-keyed agg to a bounded output."""
+    p = _exec_plan(spark, "multimodal_tile_watermark_detect")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_interpurchase_gap_one_window(spark):
+    """Inter-purchase gaps: one customer-keyed window sort, then
+    partial/final agg — no join."""
+    p = _exec_plan(spark, "orders_interpurchase_gap")
+    assert "Join" not in p, p
+    assert p.count("Window") == 1, p
+
+
+def test_pareto_curve_on_aggregate_not_fact(spark):
+    """Pareto coverage: fact collapses to per-customer rows BEFORE the
+    global-sort window; the 3-row threshold relation broadcasts."""
+    p = _exec_plan(spark, "agg_pareto_coverage")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p

@@ -32,7 +32,7 @@ from trip_data_pipeline_spark.operators.text_ops import (
     _norm,
     _words,
 )
-from trip_data_pipeline_spark.registry import op
+from trip_data_pipeline_spark.registry import OPS, op
 
 CAT = "2.20 round-5 additions"
 
@@ -2846,4 +2846,265 @@ def geo_od_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.col("arrivals") - F.col("departures")).alias("net_inflow"),
         )
         .filter(F.abs(F.col("net_inflow")) >= 2)
+    )
+
+
+@op(
+    "join_asof_forward",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         o_custkey % 150 AS uid,
+         1704067200 + (o_orderkey * 1700) % 2592000 AS order_s
+  FROM orders WHERE o_orderkey < 2000
+), e AS (
+  SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS ev_s FROM events
+), j AS (
+  SELECT o.o_orderkey, o.order_s, e.event_id, e.ev_s,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ev_s ASC, e.event_id ASC) AS rn
+  FROM o JOIN e ON e.user_id = o.uid AND e.ev_s >= o.order_s
+)
+SELECT o_orderkey, order_s, event_id AS next_event_id, ev_s AS next_ev_s,
+       CAST(ev_s - order_s AS BIGINT) AS lag_s
+FROM j WHERE rn = 1
+""",
+    category="2.3 joins",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: EARLIEST event at-or-after each order (the
+    mirror of join_asof_latest's backward lookup) plus the response
+    lag in seconds — the SLA / next-touch query: 'how long until the
+    system reacted'.  Same user-key + inequality + row_number()=1
+    formulation; the same coarse-time-bucket bounding strategy from
+    the backward op (joins.py:330) is the 100-TB path.
+
+    Scale: candidate fan-out is bounded by the probe-side filter per
+    the backward op's contract; the shuffle keys on the user id and
+    the per-order top-1 is a window over the candidates."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("uid"),
+            (F.lit(1704067200) + (F.col("o_orderkey") * 1700) % 2592000).alias(
+                "order_s"
+            ),
+        )
+    )
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("ev_s"),
+    )
+    j = o.join(
+        e,
+        (e.user_id == o.uid) & (e.ev_s >= o.order_s),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ev_s").asc(), F.col("event_id").asc()
+    )
+    return (
+        j.select(
+            "o_orderkey", "order_s", "event_id", "ev_s",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "order_s",
+            F.col("event_id").alias("next_event_id"),
+            F.col("ev_s").alias("next_ev_s"),
+            bigint(F.col("ev_s") - F.col("order_s")).alias("lag_s"),
+        )
+    )
+
+
+# Watermark detection reuses the tiles op wholesale: its DataFrame on
+# the Spark side, its arithmetic-replay oracle (embedded as a derived
+# table) on the DuckDB side.
+_TILES_ORACLE = OPS["multimodal_image_tiles"].oracle
+
+
+@op(
+    "multimodal_tile_watermark_detect",
+    oracle=f"""
+WITH q AS (
+  SELECT tile_x, tile_y,
+         (sum_r * 4) // (n_px * 256) AS qr,
+         (sum_g * 4) // (n_px * 256) AS qg,
+         (sum_b * 4) // (n_px * 256) AS qb
+  FROM ({_TILES_ORACLE}) tiles
+)
+SELECT tile_x, tile_y,
+       CAST(qr AS BIGINT) AS qr,
+       CAST(qg AS BIGINT) AS qg,
+       CAST(qb AS BIGINT) AS qb,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM q GROUP BY tile_x, tile_y, qr, qg, qb
+HAVING count(*) >= 5
+""",
+    category=CAT,
+)
+def multimodal_tile_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark / logo / banner detection by coarse tile signatures:
+    each decoded tile's per-channel mean quantized to 2 bits, then
+    (position, signature) buckets appearing in >= 5 distinct images
+    are flagged — repeated same-looking content at the same position
+    is how overlay watermarks surface in a crawl, and removing them
+    before dedup stops a shared banner from gluing unrelated pages
+    into one near-dup cluster.
+
+    Scale: consumes the tiles op's map-only decode (zero exchanges),
+    adds one (position, signature)-keyed partial/final agg; the
+    signature space is constant (32 positions x 64 signatures) so the
+    output is bounded regardless of corpus size."""
+    tiles = multimodal_image_tiles(spark, sf_dir)
+    q = tiles.select(
+        "tile_x",
+        "tile_y",
+        F.expr("(sum_r * 4) div (n_px * 256)").alias("qr"),
+        F.expr("(sum_g * 4) div (n_px * 256)").alias("qg"),
+        F.expr("(sum_b * 4) div (n_px * 256)").alias("qb"),
+    )
+    return (
+        q.groupBy("tile_x", "tile_y", "qr", "qg", "qb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select(
+            "tile_x",
+            "tile_y",
+            bigint(F.col("qr")).alias("qr"),
+            bigint(F.col("qg")).alias("qg"),
+            bigint(F.col("qb")).alias("qb"),
+            bigint(F.col("n")).alias("n_docs"),
+        )
+    )
+
+
+@op(
+    "orders_interpurchase_gap",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER w AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_d
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_d) AS BIGINT) AS min_gap_d,
+       CAST(max(gap_d) AS BIGINT) AS max_gap_d,
+       CAST(sum(gap_d) // count(*) AS BIGINT) AS mean_gap_d
+FROM g WHERE gap_d IS NOT NULL
+GROUP BY o_custkey
+""",
+    category=CAT,
+)
+def orders_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval stats per customer: whole-day gaps
+    between consecutive orders ((orderdate, orderkey)-ordered for a
+    total sort), min/max/floor-mean per customer — the cadence signal
+    behind churn prediction and replenishment timing, complementing
+    RFM's how-much with how-regularly.
+
+    Scale: one customer-keyed window sort (same shape as
+    sessionization: a customer's orders fit a partition) + a
+    partial/final agg; whole-day gaps via date-boundary datediff on
+    the NAIVE date part, timezone-free in both engines (the fixture
+    column is TIMESTAMP_NTZ — epoch arithmetic would drag the session
+    TZ in)."""
+    o = spread(load(spark, sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    g = o.select(
+        "o_custkey", F.datediff(d, F.lag(d).over(w)).alias("gap_d")
+    ).filter(F.col("gap_d").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        bigint(F.count(F.lit(1))).alias("n_gaps"),
+        bigint(F.min("gap_d")).alias("min_gap_d"),
+        bigint(F.max("gap_d")).alias("max_gap_d"),
+        bigint(F.expr("sum(gap_d) div count(1)")).alias("mean_gap_d"),
+    )
+
+
+@op(
+    "agg_pareto_coverage",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cents) OVER () AS total
+  FROM rev
+),
+share AS (SELECT rn, 1000000 * cum // total AS share_ppm FROM ranked),
+thr(threshold_ppm) AS (VALUES (500000), (800000), (900000))
+SELECT CAST(thr.threshold_ppm AS BIGINT) AS threshold_ppm,
+       CAST(min(rn) AS BIGINT) AS n_customers,
+       CAST(min(share_ppm) AS BIGINT) AS share_ppm
+FROM thr JOIN share ON share.share_ppm >= thr.threshold_ppm
+GROUP BY thr.threshold_ppm
+""",
+    category=CAT,
+)
+def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration-curve coverage: how many top customers
+    (revenue-ranked, custkey tiebreak) cover 50% / 80% / 90% of total
+    revenue, with the exact share reached at that head count — the
+    80/20 readout behind account-tiering and the long-tail view HHI's
+    single number hides.  min(rn) and min(share_ppm) over qualifying
+    rows are deterministic because cumulative share is monotone along
+    the rank order.
+
+    Scale: customer-keyed partial/final agg over the fact, then ONE
+    global sort of customer rows for the running share — at 100 TB the
+    curve is computed on the aggregate (customers), not the fact, and
+    a two-level sampled-quantile variant bounds even that; the 3-row
+    threshold relation broadcasts into the inequality probe."""
+    o = spread(load(spark, sf_dir, "orders"))
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    order = [F.col("cents").desc(), F.col("o_custkey")]
+    ranked = rev.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rn"),
+        F.sum("cents")
+        .over(
+            Window.orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    share = ranked.select(
+        "rn", F.expr("1000000 * cum div total").alias("share_ppm")
+    )
+    thr = spark.createDataFrame(
+        [(500000,), (800000,), (900000,)], "threshold_ppm int"
+    )
+    return (
+        F.broadcast(thr)
+        .join(share, share.share_ppm >= thr.threshold_ppm)
+        .groupBy("threshold_ppm")
+        .agg(
+            bigint(F.min("rn")).alias("n_customers"),
+            bigint(F.min("share_ppm")).alias("share_ppm"),
+        )
+        .select(
+            bigint(F.col("threshold_ppm")).alias("threshold_ppm"),
+            "n_customers",
+            "share_ppm",
+        )
     )

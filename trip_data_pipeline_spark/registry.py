@@ -110,7 +110,7 @@ def _ensure_loaded() -> None:
 #   corpus_dedup_survivor_quality, corpus_type_token_ratio,
 #   timeseries_ewma_int, multimodal_video_scene_cut,
 #   corpus_semdedup_bucket, multimodal_audio_zcr) — 50 names.
-# ROUND 8 (27, the sliver): sql_group_order_by_all,
+# ROUND 8 (31, the sliver): sql_group_order_by_all,
 #   multimodal_image_histogram_stats, eval_langid_quality,
 #   graph_degree_distribution, sql_values_inline_table,
 #   agg_weighted_avg_exact, dedup_truncated_variants,
@@ -123,7 +123,9 @@ def _ensure_loaded() -> None:
 #   graph_jaccard_neighbors, text_sentiment_lexicon,
 #   features_multi_horizon, sample_negatives_hash_ring,
 #   events_peak_concurrency, agg_weighted_median_exact,
-#   dq_partition_drift, geo_od_flow_imbalance — the ledger
+#   dq_partition_drift, geo_od_flow_imbalance, join_asof_forward,
+#   multimodal_tile_watermark_detect, orders_interpurchase_gap,
+#   agg_pareto_coverage — the ledger
 #   closes by r8 (or earlier if a future tranche pauses).
 PRIORITY: tuple[str, ...] = (
     # 2.9 streaming — the full family (micro-batch fixed-input replays;
