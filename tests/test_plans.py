@@ -49,6 +49,8 @@ PYTHON_OK = {
     "multimodal_video_scene_cut",  # mapInPandas frame-walk decode is the op
     "multimodal_audio_zcr",  # mapInPandas WAV decode + ZCR is the op
     "multimodal_image_histogram_stats",  # mapInPandas decode + histogram
+    "multimodal_audio_clipping",  # mapInPandas WAV decode + clip gate
+    "multimodal_tile_watermark_detect",  # consumes the tiles decode
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1426,3 +1428,34 @@ def test_pareto_curve_on_aggregate_not_fact(spark):
     p = _exec_plan(spark, "agg_pareto_coverage")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_fertility_single_tokenize_pass(spark):
+    """Fertility: both token counts come from one projection; one
+    lang-keyed agg, no join."""
+    p = _exec_plan(spark, "corpus_tokenizer_fertility")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_ltob_shared_sort_and_rank_pushdown(spark):
+    """LTOB: row_number + lag/lead share the user-keyed sort; the
+    per-bucket top-1 gets WindowGroupLimit pushdown."""
+    p = _exec_plan(spark, "timeseries_downsample_ltob")
+    assert "Join" not in p, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_rle_islands_one_sort(spark):
+    """RLE: change flag + running sum share one user-keyed sort; then
+    a (user, run) partial/final agg."""
+    p = _exec_plan(spark, "events_run_length_encode")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_audio_clipping_map_only(spark):
+    """Clipping QA: map-only mapInPandas — zero exchanges."""
+    p = _exec_plan(spark, "multimodal_audio_clipping")
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p

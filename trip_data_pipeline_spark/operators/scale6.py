@@ -3108,3 +3108,290 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm",
         )
     )
+
+
+@op(
+    "corpus_tokenizer_fertility",
+    oracle=r"""
+WITH t AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(1000000 * sum(n_bpe) // sum(n_ws) AS BIGINT)
+         AS fertility_ppm
+FROM t GROUP BY lang
+""",
+    category=CAT,
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word in exact ppm — the multilingual-tokenizer health
+    metric (a language with 2-3x the fertility of English pays 2-3x
+    the context budget for the same content, the signal that drives
+    vocab-size and per-language budget decisions).  Reuses the exact
+    token definitions of text_token_count_bpe, aggregated corpus-wide.
+
+    Scale: map-side regex counting (constant state per doc), one
+    lang-keyed partial/final agg; the corpus never re-tokenizes twice
+    because both counts come from the same projection."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    from trip_data_pipeline_spark.operators.text_ops import _BPE_RE
+
+    t = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+        ).alias("n_bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            bigint(F.col("n_docs")).alias("n_docs"),
+            bigint(F.col("ws_tokens")).alias("ws_tokens"),
+            bigint(F.col("bpe_tokens")).alias("bpe_tokens"),
+            bigint(F.expr("1000000 * bpe_tokens div ws_tokens")).alias(
+                "fertility_ppm"
+            ),
+        )
+    )
+
+
+@op(
+    "timeseries_downsample_ltob",
+    oracle="""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+),
+n AS (
+  SELECT user_id, x, y, event_id, rn, rn // 8 AS bucket,
+         lag(x)  OVER w AS px, lag(y)  OVER w AS py,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+a AS (
+  SELECT user_id, bucket, event_id, y,
+         abs((px - nx) * (y - py) - (px - x) * (ny - py)) AS area2
+  FROM n WHERE px IS NOT NULL AND nx IS NOT NULL
+),
+r AS (
+  SELECT user_id, bucket, event_id, y, area2,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY area2 DESC, event_id) AS pick
+  FROM a
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+       event_id AS kept_event_id,
+       CAST(y AS BIGINT) AS kept_y_cents,
+       CAST(area2 AS BIGINT) AS area2
+FROM r WHERE pick = 1
+""",
+    category=CAT,
+)
+def timeseries_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013's
+    LTOB variant): per user, split the series into 8-point buckets and
+    keep the point with the largest doubled-triangle area against its
+    immediate neighbors — the chart-fidelity downsampler dashboards
+    run before plotting millions of points.  The area is an exact
+    integer cross product on (epoch us, cents), so selection —
+    including the event_id tiebreak — replays exactly in both engines
+    (unlike true LTTB, whose previous-selected-point recurrence is
+    sequential; LTOB is the parallelizable variant).
+
+    Scale: one user-keyed window sort shared by row_number + lag/lead,
+    then a (user, bucket)-keyed top-1 — rank pushdown
+    (WindowGroupLimit) keeps only candidates per bucket pre-shuffle."""
+    ev = spread(load(spark, sf_dir, "events"))
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+        "event_id",
+        (F.row_number().over(worder) - 1).alias("rn"),
+    )
+    wrn = Window.partitionBy("user_id").orderBy("rn")
+    n = p.select(
+        "user_id",
+        "x",
+        "y",
+        "event_id",
+        F.expr("rn div 8").alias("bucket"),
+        F.lag("x").over(wrn).alias("px"),
+        F.lag("y").over(wrn).alias("py"),
+        F.lead("x").over(wrn).alias("nx"),
+        F.lead("y").over(wrn).alias("ny"),
+    )
+    a = n.filter(F.col("px").isNotNull() & F.col("nx").isNotNull()).select(
+        "user_id",
+        "bucket",
+        "event_id",
+        "y",
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+            - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+        ).alias("area2"),
+    )
+    pick = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area2").desc(), F.col("event_id")
+    )
+    return (
+        a.select(
+            "user_id", "bucket", "event_id", "y", "area2",
+            F.row_number().over(pick).alias("pk"),
+        )
+        .filter(F.col("pk") == 1)
+        .select(
+            "user_id",
+            bigint(F.col("bucket")).alias("bucket"),
+            F.col("event_id").alias("kept_event_id"),
+            bigint(F.col("y")).alias("kept_y_cents"),
+            bigint(F.col("area2")).alias("area2"),
+        )
+    )
+
+
+@op(
+    "events_run_length_encode",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM runs GROUP BY user_id, run_id, event_type
+""",
+    category=CAT,
+)
+def events_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of per-user event-type sequences: the
+    gaps-and-islands change-flag + running-sum trick compresses
+    consecutive same-type events into (run_id, type, length) — the
+    sequence-compression pass before pattern mining (a 40-click run
+    becomes one token for the CEP/Markov ops), and the islands
+    primitive itself, distinct from the daily-streak op's
+    calendar form.
+
+    Scale: one user-keyed window sort shared by the change flag and
+    the running sum, then a partial/final agg on (user, run) — output
+    is one row per run, never wider than the input."""
+    ev = spread(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = o.select(
+        "user_id", "event_type", F.sum("brk").over(wrun).alias("run_id")
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        bigint(F.count(F.lit(1))).alias("run_len")
+    ).select(
+        "user_id",
+        bigint(F.col("run_id")).alias("run_id"),
+        "event_type",
+        "run_len",
+    )
+
+
+@op(
+    "multimodal_audio_clipping",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, i.i AS i,
+         ((doc_id * 131 + i.i * 17) % 65536) - 32768 AS s
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 60)) AS i) i
+  WHERE i.i < (doc_id % 50) + 10
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+       CAST(sum(CASE WHEN abs(s) >= 32256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(1000000 * sum(CASE WHEN abs(s) >= 32256 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS clip_ppm
+FROM s GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping / loudness QA over the REAL RIFF/WAVE decode chain:
+    per clip, sample count, peak absolute amplitude, and the count +
+    exact ppm of samples within 512 of full scale (|s| >= 32256, about
+    -0.14 dBFS) — the hard-clipping gate an audio-curation pipeline
+    applies before spending ASR/captioning compute, next to the energy
+    VAD and ZCR ops.  The oracle replays the deterministic PCM
+    lattice; the Spark side decodes actual RIFF bytes.
+
+    Scale: map-only mapInPandas, constant per-doc state."""
+    import numpy as np
+
+    from trip_data_pipeline_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+    )
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n_samples", "peak_abs", "n_clipped", "clip_ppm"]
+        out = {k: [] for k in cols}
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                f = _decode_wav(_encode_wav(int(d)))
+                s = np.abs(np.asarray(f["samples"], dtype=np.int64))
+                nc = int((s >= 32256).sum())
+                out["doc_id"].append(int(d))
+                out["n_samples"].append(len(s))
+                out["peak_abs"].append(int(s.max()))
+                out["n_clipped"].append(nc)
+                out["clip_ppm"].append(1_000_000 * nc // len(s))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in cols}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        clip,
+        schema=(
+            "doc_id bigint, n_samples bigint, peak_abs bigint,"
+            " n_clipped bigint, clip_ppm bigint"
+        ),
+    )

@@ -110,7 +110,7 @@ def _ensure_loaded() -> None:
 #   corpus_dedup_survivor_quality, corpus_type_token_ratio,
 #   timeseries_ewma_int, multimodal_video_scene_cut,
 #   corpus_semdedup_bucket, multimodal_audio_zcr) — 50 names.
-# ROUND 8 (31, the sliver): sql_group_order_by_all,
+# ROUND 8 (35, the sliver — may spill into r9): sql_group_order_by_all,
 #   multimodal_image_histogram_stats, eval_langid_quality,
 #   graph_degree_distribution, sql_values_inline_table,
 #   agg_weighted_avg_exact, dedup_truncated_variants,
@@ -125,8 +125,10 @@ def _ensure_loaded() -> None:
 #   events_peak_concurrency, agg_weighted_median_exact,
 #   dq_partition_drift, geo_od_flow_imbalance, join_asof_forward,
 #   multimodal_tile_watermark_detect, orders_interpurchase_gap,
-#   agg_pareto_coverage — the ledger
-#   closes by r8 (or earlier if a future tranche pauses).
+#   agg_pareto_coverage, corpus_tokenizer_fertility,
+#   timeseries_downsample_ltob, events_run_length_encode,
+#   multimodal_audio_clipping — the ledger
+#   closes by r8-r9 (two slivers if a future tranche pauses).
 PRIORITY: tuple[str, ...] = (
     # 2.9 streaming — the full family (micro-batch fixed-input replays;
     # the two rows-only ops are micro-batch-boundary state, SURVEY §5.3)
