@@ -1459,3 +1459,35 @@ def test_audio_clipping_map_only(spark):
     p = _exec_plan(spark, "multimodal_audio_clipping")
     assert "Exchange" not in p, p
     assert "Join" not in p, p
+
+
+def test_colocation_blocked_selfjoin(spark):
+    """Co-location: pair formation only via the (cell, hour) equi-join
+    — never a cartesian; DISTINCT runs before the join."""
+    p = _exec_plan(spark, "geo_colocation_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_sequence_gaps_key_only_sort(spark):
+    """Gap audit: the global sort moves the 8-byte key only (ReadSchema
+    is o_orderkey alone); one window, no join."""
+    p = _exec_plan(spark, "dq_sequence_gaps")
+    assert "Join" not in p, p
+    assert "o_totalprice" not in p, p
+
+
+def test_centroid_drift_single_agg_no_join(spark):
+    """Centroid drift: both halves aggregate in ONE conditional-sum
+    pass on the 64-dim key — no join, no second scan."""
+    p = _exec_plan(spark, "embed_centroid_drift")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_double_fire_two_level_agg(spark):
+    """Double-fire audit: (type, user, sec) agg then per-type rollup —
+    mergeable all the way, no join."""
+    p = _exec_plan(spark, "dq_double_fire_events")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p

@@ -3395,3 +3395,216 @@ def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_clipped bigint, clip_ppm bigint"
         ),
     )
+
+
+@op(
+    "geo_colocation_pairs",
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT user_id,
+         ((user_id * 7919 + event_id * 13) % 17000) // 100 AS cell_lat,
+         ((user_id * 104729 + event_id * 31) % 36000) // 100 AS cell_lon,
+         epoch_us(ts) // 3600000000 AS hour_bucket
+  FROM events
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_colocations,
+       CAST(count(DISTINCT a.hour_bucket) AS BIGINT) AS n_distinct_hours
+FROM pts a JOIN pts b
+  ON a.cell_lat = b.cell_lat AND a.cell_lon = b.cell_lon
+ AND a.hour_bucket = b.hour_bucket AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+HAVING count(*) >= 3
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location mining: user pairs repeatedly in the same 1-degree
+    grid cell during the same hour (>= 3 co-occurrences) — the
+    contact-graph / shared-ride-candidate analysis famous from taxi
+    datasets, and the privacy-review query that shows WHY coordinate
+    coarsening (geo_grid_cell_density's anonymization note) matters
+    before publishing trips.
+
+    Scale: self-join keyed on (cell, hour) — the spatiotemporal
+    blocking that bounds pair formation to co-bucket groups exactly
+    like the dedup band joins; DISTINCT first so a user's repeated
+    pings in one cell-hour count once."""
+    ev = load(spark, sf_dir, "events")
+    from trip_data_pipeline_spark.operators.geo import _LAT_CENTI, _LON_CENTI
+
+    pts = ev.select(
+        "user_id",
+        F.expr(f"{_LAT_CENTI} div 100").alias("cell_lat"),
+        F.expr(f"{_LON_CENTI} div 100").alias("cell_lon"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+    ).distinct()
+    a = pts.select(
+        F.col("user_id").alias("user_a"), "cell_lat", "cell_lon", "hour_bucket"
+    )
+    b = pts.select(
+        F.col("user_id").alias("user_b"), "cell_lat", "cell_lon", "hour_bucket"
+    )
+    return (
+        a.join(b, ["cell_lat", "cell_lon", "hour_bucket"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_colocations"),
+            bigint(F.countDistinct("hour_bucket")).alias("n_distinct_hours"),
+        )
+        .filter(F.col("n_colocations") >= 3)
+    )
+
+
+@op(
+    "dq_sequence_gaps",
+    oracle="""
+WITH k AS (
+  SELECT o_orderkey AS k,
+         lag(o_orderkey) OVER (ORDER BY o_orderkey) AS pk
+  FROM orders
+)
+SELECT CAST(pk + 1 AS BIGINT) AS gap_start,
+       CAST(k - 1 AS BIGINT) AS gap_end,
+       CAST(k - pk - 1 AS BIGINT) AS gap_len
+FROM k WHERE pk IS NOT NULL AND k - pk > 1
+""",
+    category=CAT,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit over a supposedly-sequential key: every
+    missing-id range in o_orderkey as (start, end, length) — the
+    lost-batch detector for ingest feeds that promise contiguous ids
+    (a gap of exactly one file's worth of rows is a dropped file, not
+    noise).  TPC-H orderkeys are deliberately sparse, so the fixture
+    exercises real gaps.
+
+    Scale: one global ordering of the KEY COLUMN ONLY (range-partition
+    sort on 8 bytes/row; the payload never moves) + a lag — the same
+    key-only-sort discipline as the Pareto curve; per-partition lag
+    with boundary exchange is the constant-memory formulation."""
+    o = spread(load(spark, sf_dir, "orders")).select(
+        F.col("o_orderkey").alias("k")
+    )
+    w = Window.orderBy("k")
+    g = o.select("k", F.lag("k").over(w).alias("pk")).filter(
+        F.col("pk").isNotNull() & (F.col("k") - F.col("pk") > 1)
+    )
+    return g.select(
+        bigint(F.col("pk") + 1).alias("gap_start"),
+        bigint(F.col("k") - 1).alias("gap_end"),
+        bigint(F.col("k") - F.col("pk") - 1).alias("gap_len"),
+    )
+
+
+@op(
+    "embed_centroid_drift",
+    oracle="""
+WITH q AS (
+  SELECT vec_id % 2 AS half,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS iv
+  FROM embeddings
+),
+cells AS (
+  SELECT half, i.i AS dim, q.iv[i.i + 1] AS v
+  FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+m AS (
+  SELECT dim,
+         sum(CASE WHEN half = 0 THEN v END)
+           // sum(CASE WHEN half = 0 THEN 1 END) AS mean_a,
+         sum(CASE WHEN half = 1 THEN v END)
+           // sum(CASE WHEN half = 1 THEN 1 END) AS mean_b
+  FROM cells GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(mean_a AS BIGINT) AS mean_a_milli,
+       CAST(mean_b AS BIGINT) AS mean_b_milli,
+       CAST(abs(mean_a - mean_b) AS BIGINT) AS shift_milli
+FROM m
+""",
+    category=CAT,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift between two corpus halves (vec_id
+    parity stands in for before/after an encoder upgrade): per
+    dimension, both centroid means in exact quantized milli-units and
+    the absolute shift — the drift monitor that catches a silently
+    retrained/requantized embedding model before mixed-version vectors
+    poison an ANN index.  Same floor(x*1000+0.5) quantization contract
+    as the covariance op.
+
+    Scale: posexplode to (half, dim, v) then ONE partial/final agg on
+    the 64-dim key with conditional sums — both halves aggregate in a
+    single pass, no join, constant-size output."""
+    raw = spread(load(spark, sf_dir, "embeddings"), min_fraction=0.25)
+    cells = raw.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("bigint"),
+            )
+        ).alias("dim", "v"),
+    )
+    m = cells.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v"))).alias("sa"),
+        F.sum(F.when(F.col("half") == 0, 1)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, F.col("v"))).alias("sb"),
+        F.sum(F.when(F.col("half") == 1, 1)).alias("nb"),
+    )
+    return m.select(
+        bigint(F.col("dim")).alias("dim"),
+        bigint(F.expr("sa div na")).alias("mean_a_milli"),
+        bigint(F.expr("sb div nb")).alias("mean_b_milli"),
+        bigint(F.expr("abs(sa div na - sb div nb)")).alias("shift_milli"),
+    )
+
+
+@op(
+    "dq_double_fire_events",
+    oracle="""
+WITH g AS (
+  SELECT event_type, user_id, epoch_us(ts) // 1000000 AS sec,
+         count(*) AS c
+  FROM events
+  GROUP BY event_type, user_id, epoch_us(ts) // 1000000
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+         AS n_extra_rows
+FROM g GROUP BY event_type
+""",
+    category=CAT,
+)
+def dq_double_fire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire telemetry audit: events identical on (type, user,
+    whole second) — the retry/at-least-once duplicate class the
+    PK-uniqueness audit CANNOT see (each dup has a fresh event_id) —
+    reported per type as duplicated groups and excess rows.  This
+    number is what decides whether a pipeline needs the
+    dedup-by-semantic-key pass (stream_dedup_watermark is the
+    streaming form).
+
+    Scale: one (type, user, sec)-keyed partial/final agg, then a
+    per-type rollup — both mergeable, no join."""
+    ev = spread(load(spark, sf_dir, "events"))
+    g = ev.groupBy(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return g.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n_groups"),
+        bigint(F.sum(F.when(F.col("c") > 1, 1).otherwise(0))).alias(
+            "n_dup_groups"
+        ),
+        bigint(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        ).alias("n_extra_rows"),
+    )
