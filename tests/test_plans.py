@@ -1491,3 +1491,34 @@ def test_double_fire_two_level_agg(spark):
     p = _exec_plan(spark, "dq_double_fire_events")
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_shipping_sla_header_detail_shape(spark):
+    """SLA: fact max-agg -> one equi-join to the header -> tiny rollup;
+    no cartesian, no window."""
+    p = _exec_plan(spark, "orders_shipping_sla")
+    assert "CartesianProduct" not in p and "Window" not in p, p
+
+
+def test_rank_movers_on_aggregate_not_fact(spark):
+    """Rank movers: rank + lead windows run on (customer, year)
+    aggregate rows with NO self-join — the rank is computed once."""
+    p = _exec_plan(spark, "orders_rank_movers")
+    assert "Join" not in p, p
+    assert p.count("Window [") == 2, p
+
+
+def test_autocomplete_rank_pushdown_on_vocab(spark):
+    """Autocomplete: corpus shuffles once for the token count; the
+    prefix top-3 gets rank-limit pushdown on the vocabulary."""
+    p = _exec_plan(spark, "text_prefix_autocomplete")
+    assert "WindowGroupLimit" in p, p
+    assert "Join" not in p, p
+
+
+def test_ship_before_order_two_columns_move(spark):
+    """Temporal audit: the lineitem side of the join reads exactly
+    (l_orderkey, l_shipdate) — no other fact column moves."""
+    p = _exec_plan(spark, "dq_ship_before_order")
+    assert "l_extendedprice" not in p and "l_quantity" not in p, p
+    assert "CartesianProduct" not in p, p

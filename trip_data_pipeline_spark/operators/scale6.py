@@ -3608,3 +3608,247 @@ def dq_double_fire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
         ).alias("n_extra_rows"),
     )
+
+
+@op(
+    "orders_shipping_sla",
+    oracle="""
+WITH last AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_orderpriority AS pri,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(last_ship AS DATE)) AS days_to_ship
+  FROM orders JOIN last ON l_orderkey = o_orderkey
+)
+SELECT pri,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN days_to_ship > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breached,
+       CAST(1000000 * sum(CASE WHEN days_to_ship > 90 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS breach_ppm,
+       CAST(max(days_to_ship) AS BIGINT) AS max_days
+FROM j GROUP BY pri
+""",
+    category=CAT,
+)
+def orders_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA breach report: per order priority, orders whose
+    LAST line shipped more than 90 days after order date (count, exact
+    ppm rate, worst case) — the fulfillment-ops readout; 'last line'
+    makes it the complete-order SLA, not the first-box SLA.
+    Date-boundary day arithmetic, TZ-free on the NTZ columns.
+
+    Scale: orderkey-keyed max over the fact (partial/final), one
+    equi-join to the header, then a tiny priority rollup — the same
+    header-detail shape as the reconciliation op."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    o = load(spark, sf_dir, "orders")
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    j = o.join(last, o.o_orderkey == last.l_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.to_date("last_ship"), F.to_date("o_orderdate")
+        ).alias("days_to_ship"),
+    )
+    return j.groupBy("pri").agg(
+        bigint(F.count(F.lit(1))).alias("n_orders"),
+        bigint(
+            F.sum(F.when(F.col("days_to_ship") > 90, 1).otherwise(0))
+        ).alias("n_breached"),
+        bigint(
+            F.expr(
+                "1000000 * sum(CASE WHEN days_to_ship > 90 THEN 1 ELSE 0 END)"
+                " div count(1)"
+            )
+        ).alias("breach_ppm"),
+        bigint(F.max("days_to_ship")).alias("max_days"),
+    )
+
+
+@op(
+    "orders_rank_movers",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, year(o_orderdate) AS y,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey, year(o_orderdate)
+),
+rk AS (
+  SELECT o_custkey, y,
+         rank() OVER (PARTITION BY y ORDER BY cents DESC, o_custkey) AS r
+  FROM rev
+),
+nxt AS (
+  SELECT o_custkey, y, r,
+         lead(y) OVER w AS ny, lead(r) OVER w AS nr
+  FROM rk WINDOW w AS (PARTITION BY o_custkey ORDER BY y)
+)
+SELECT o_custkey, CAST(ny AS BIGINT) AS year,
+       CAST(r AS BIGINT) AS prev_rank,
+       CAST(nr AS BIGINT) AS rank,
+       CAST(r - nr AS BIGINT) AS places_up
+FROM nxt WHERE ny = y + 1 AND abs(r - nr) >= 100
+""",
+    category=CAT,
+)
+def orders_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard rank movers: each customer's revenue rank per year
+    (deterministic custkey tiebreak), adjacent years paired by a
+    lead() over the customer timeline (no self-join — the rank pass
+    runs ONCE), keeping moves of >= 100 places — the biggest
+    climbers/fallers view every account dashboard ships, and the
+    reusable rank-shift shape for term trends or supplier churn.
+
+    Scale: (customer, year) agg over the fact, a year-keyed window
+    rank on the aggregate (small), then a customer-keyed lead() —
+    all three stages run on customer-count-sized data, never the
+    fact, and the rank is computed once (a naive self-join would
+    execute the rank window twice)."""
+    o = spread(load(spark, sf_dir, "orders"))
+    rev = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    rk = rev.select(
+        "o_custkey",
+        "y",
+        F.rank()
+        .over(
+            Window.partitionBy("y").orderBy(
+                F.col("cents").desc(), F.col("o_custkey")
+            )
+        )
+        .alias("r"),
+    )
+    wcust = Window.partitionBy("o_custkey").orderBy("y")
+    nxt = rk.select(
+        "o_custkey",
+        "y",
+        "r",
+        F.lead("y").over(wcust).alias("ny"),
+        F.lead("r").over(wcust).alias("nr"),
+    )
+    return (
+        nxt.filter(
+            (F.col("ny") == F.col("y") + 1)
+            & (F.abs(F.col("r") - F.col("nr")) >= 100)
+        )
+        .select(
+            "o_custkey",
+            bigint(F.col("ny")).alias("year"),
+            bigint(F.col("r")).alias("prev_rank"),
+            bigint(F.col("nr")).alias("rank"),
+            bigint(F.col("r") - F.col("nr")).alias("places_up"),
+        )
+    )
+
+
+@op(
+    "text_prefix_autocomplete",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_duck_words()}) AS w FROM documents),
+freq AS (
+  SELECT w, count(*) AS c FROM tok WHERE length(w) >= 3 GROUP BY w
+),
+rk AS (
+  SELECT substr(w, 1, 3) AS prefix, w, c,
+         row_number() OVER (PARTITION BY substr(w, 1, 3)
+                            ORDER BY c DESC, w) AS rn
+  FROM freq
+)
+SELECT prefix, CAST(rn AS BIGINT) AS rank, w AS completion,
+       CAST(c AS BIGINT) AS freq
+FROM rk WHERE rn <= 3
+""",
+    category=CAT,
+)
+def text_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index build: top-3 completions per 3-char prefix
+    by corpus frequency (deterministic word tiebreak) — the
+    search-box suggestion table, materialized as a query.  The same
+    build runs per-language or per-surface by adding a key.
+
+    Scale: one token-keyed partial/final count (the only corpus-sized
+    shuffle), then a prefix-keyed top-3 over the VOCABULARY (tiny) —
+    rank-limit pushdown truncates each prefix group pre-shuffle."""
+    tok = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        F.explode(_words()).alias("w")
+    )
+    freq = (
+        tok.filter(F.length("w") >= 3)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = freq.select(
+        F.substring("w", 1, 3).alias("prefix"),
+        "w",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy(F.substring("w", 1, 3)).orderBy(
+                F.col("c").desc(), F.col("w")
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    return rk.select(
+        "prefix",
+        bigint(F.col("rn")).alias("rank"),
+        F.col("w").alias("completion"),
+        bigint(F.col("c")).alias("freq"),
+    )
+
+
+@op(
+    "dq_ship_before_order",
+    oracle="""
+SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_impossible,
+       CAST(1000000 * sum(CASE WHEN l_shipdate < o_orderdate
+                               THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+         AS impossible_ppm
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+    category=CAT,
+)
+def dq_ship_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field temporal-consistency audit: lines shipped BEFORE
+    their order existed, per order month — the impossible-timestamp
+    class (clock skew, timezone double-conversion, backfill with the
+    wrong epoch) that single-table range checks can't see because each
+    column alone looks plausible.  The synthetic fixture violates it
+    heavily, which is exactly the point: the audit MEASURES the
+    violation instead of assuming it away.
+
+    Scale: one fact-to-header equi-join (both keyed on orderkey) and
+    a month rollup; the flag is evaluated inside the join projection,
+    so only two date columns move."""
+    li = spread(load(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    return j.groupBy(ym).agg(
+        bigint(F.count(F.lit(1))).alias("n_lines"),
+        bigint(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            )
+        ).alias("n_impossible"),
+        bigint(
+            F.expr(
+                "1000000 * sum(CASE WHEN l_shipdate < o_orderdate"
+                " THEN 1 ELSE 0 END) div count(1)"
+            )
+        ).alias("impossible_ppm"),
+    )
