@@ -1522,3 +1522,37 @@ def test_ship_before_order_two_columns_move(spark):
     p = _exec_plan(spark, "dq_ship_before_order")
     assert "l_extendedprice" not in p and "l_quantity" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_entry_exit_shared_session_sort(spark):
+    """Entry/exit: gap flag + session id + endpoint ranks all run on
+    user-keyed sorts; constant-size (5x5) output rollup; no join."""
+    p = _exec_plan(spark, "sessions_entry_exit_matrix")
+    assert "Join" not in p, p
+    # the (user, sid) agg rides the window's sort order (SortAggregate)
+    assert p.count("HashAggregate") + p.count("SortAggregate") >= 4, p
+
+
+def test_stem_report_single_agg(spark):
+    """Stemming report: map-side regexp, one lang agg with two exact
+    count-distincts (expand plan) — no join."""
+    p = _exec_plan(spark, "text_stem_naive")
+    assert "Join" not in p, p
+    assert "Expand" in p, p
+
+
+def test_skipgram_mapside_pairs_one_shuffle(spark):
+    """Skip-grams: pair generation is map-side array slicing; the only
+    data shuffle is the (w1, w2) count agg — never a positions
+    self-join."""
+    p = _exec_plan(spark, "text_skipgram_pairs")
+    assert "Join" not in p, p
+    assert "Union" in p, p
+
+
+def test_bot_score_signals_share_pass(spark):
+    """Bot score: one window (burst leg) + one user agg computing all
+    three signals — not one scan per signal."""
+    p = _exec_plan(spark, "events_bot_score")
+    assert "Join" not in p, p
+    assert p.count("Window [") == 1, p

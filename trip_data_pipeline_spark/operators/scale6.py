@@ -3852,3 +3852,283 @@ def dq_ship_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("impossible_ppm"),
     )
+
+
+@op(
+    "sessions_entry_exit_matrix",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+g AS (
+  SELECT user_id, us, event_id, event_type,
+         CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY us, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY us DESC, event_id DESC) AS rd
+  FROM s
+),
+ee AS (
+  SELECT user_id, sid,
+         max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rd = 1 THEN event_type END) AS exit_type
+  FROM r GROUP BY user_id, sid
+)
+SELECT entry_type, exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM ee GROUP BY entry_type, exit_type
+""",
+    category=CAT,
+)
+def sessions_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit matrix: first and last event type of every
+    gap-sessionized session (the sessionize_batch islands, 30-min
+    gap), counted per (entry, exit) pair — the landing-page ->
+    exit-page view web analytics runs to find where journeys start and
+    die.  Endpoints come from forward/backward row_numbers over the
+    (us, event_id) total order — deterministic in both engines (DuckDB
+    min_by lacks composite keys, so the rank formulation is the
+    portable one).
+
+    Scale: one user-keyed window sort (shared by gap flag + running
+    session id), a (user, session) agg with argmin/argmax state, then
+    a constant-size (5x5 types) rollup."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("us").over(w)
+    new_s = F.when(prev.isNull() | (F.col("us") - prev >= 1800000000), 1).otherwise(0)
+    s = ev.withColumn("sid", F.sum(new_s).over(run))
+    wf = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    wl = Window.partitionBy("user_id", "sid").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    r = s.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(wf).alias("rn"),
+        F.row_number().over(wl).alias("rd"),
+    )
+    ee = r.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry_type"),
+        F.max(F.when(F.col("rd") == 1, F.col("event_type"))).alias("exit_type"),
+    )
+    return ee.groupBy("entry_type", "exit_type").agg(
+        bigint(F.count(F.lit(1))).alias("n_sessions")
+    )
+
+
+@op(
+    "text_stem_naive",
+    oracle=f"""
+WITH t AS (SELECT lang, unnest({_duck_words()}) AS w FROM documents),
+s AS (
+  SELECT lang, w,
+         regexp_replace(w, '(ing|ed|es|s)$', '') AS stem
+  FROM t WHERE length(w) >= 4
+)
+SELECT lang,
+       CAST(count(DISTINCT w) AS BIGINT) AS vocab_raw,
+       CAST(count(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+       CAST(1000000 * (count(DISTINCT w) - count(DISTINCT stem))
+            // count(DISTINCT w) AS BIGINT) AS reduction_ppm
+FROM s GROUP BY lang
+""",
+    category=CAT,
+)
+def text_stem_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping stemmer (the Porter-step-1 shape) with a vocab
+    impact report: per language, distinct surface forms vs distinct
+    stems after stripping (ing|ed|es|s)$ from words of length >= 4,
+    and the vocabulary reduction in exact ppm — the measurement that
+    decides whether stemming is worth applying before index build or
+    term-frequency analysis for that language (it collapses English
+    far more than Mandarin pinyin, and the report shows it).
+
+    Scale: map-side regexp per token, one lang-keyed agg with two
+    exact count-distincts (Spark expands to the two-level
+    distinct-expand plan, still mergeable)."""
+    t = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        "lang", F.explode(_words()).alias("w")
+    ).filter(F.length("w") >= 4)
+    s = t.select(
+        "lang", "w", F.regexp_replace("w", r"(ing|ed|es|s)$", "").alias("stem")
+    )
+    return s.groupBy("lang").agg(
+        bigint(F.countDistinct("w")).alias("vocab_raw"),
+        bigint(F.countDistinct("stem")).alias("vocab_stemmed"),
+        bigint(
+            (
+                F.lit(1000000)
+                * (F.countDistinct("w") - F.countDistinct("stem"))
+            )
+            / F.countDistinct("w")
+        ).alias("_tmp_reduction"),
+    ).withColumnRenamed("_tmp_reduction", "reduction_ppm")
+
+
+@op(
+    "text_skipgram_pairs",
+    oracle=f"""
+WITH d AS (SELECT {_duck_words()} AS ws FROM documents),
+p AS (
+  SELECT unnest(ws[1:-2]) AS a, unnest(ws[2:-1]) AS b FROM d
+  WHERE len(ws) >= 2
+  UNION ALL
+  SELECT unnest(ws[1:-3]) AS a, unnest(ws[3:-1]) AS b FROM d
+  WHERE len(ws) >= 3
+)
+SELECT least(a, b) AS w1, greatest(a, b) AS w2,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p WHERE a <> b
+GROUP BY 1, 2
+HAVING count(*) >= 50
+""",
+    category=CAT,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counting (the word2vec / GloVe
+    preprocessing pass): unordered word pairs within a +-2 token
+    window, self-pairs excluded, kept at count >= 50 — the
+    co-occurrence matrix embedding pretraining consumes, built as
+    offset-1 and offset-2 pair streams (map-side array slicing, the
+    same zip pattern as the bigram op) rather than a positions
+    self-join.
+
+    Scale: pair generation is map-side; ONE (w1, w2)-keyed
+    partial/final agg is the only shuffle — the positions-self-join
+    formulation would shuffle the corpus twice and explode on
+    high-frequency tokens."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        _words().alias("ws")
+    )
+
+    def offset_pairs(k: int):
+        return d.filter(F.size("ws") > k).select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - k),
+                    F.slice(F.col("ws"), 1 + k, F.size("ws") - k),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+
+    p = offset_pairs(1).unionAll(offset_pairs(2)).filter(F.col("a") != F.col("b"))
+    return (
+        p.select(
+            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+        .select("w1", "w2", bigint(F.col("n")).alias("n_pairs"))
+    )
+
+
+@op(
+    "events_bot_score",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         epoch_us(ts) // 3600000000 % 24 AS hod
+  FROM events
+),
+w AS (
+  SELECT user_id, event_type, hod,
+         count(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING
+                              AND CURRENT ROW) AS c1h
+  FROM e
+),
+u AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         max(c1h) AS peak_1h,
+         1000000 * count(DISTINCT event_type) // 5 AS type_div_ppm,
+         1000000 * sum(CASE WHEN hod < 6 THEN 1 ELSE 0 END) // count(*)
+           AS night_ppm
+  FROM w GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(peak_1h AS BIGINT) AS peak_1h,
+       CAST(night_ppm AS BIGINT) AS night_ppm,
+       CAST(CASE WHEN peak_1h >= 10 THEN 40 ELSE 0 END
+          + CASE WHEN night_ppm >= 400000 THEN 30 ELSE 0 END
+          + CASE WHEN type_div_ppm <= 400000 THEN 30 ELSE 0 END
+          AS BIGINT) AS bot_score
+FROM u
+""",
+    category=CAT,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite bot score: three integer signals — burstiness (peak
+    events in any trailing hour, the multi-horizon op's 1h leg),
+    night-time share (00:00-06:00 UTC activity ppm), and low
+    event-type diversity — combined into a 0-100 rule score per user.
+    The rule-ensemble shape (signals -> thresholds -> weighted sum)
+    mirrors the Gopher quality gate: attribution stays per-rule, so
+    'why flagged' is a column, not a model artifact.
+
+    Scale: one user-keyed window sort for the burst leg, then one
+    user agg computing all three signals together — the signals share
+    the pass, not one scan each."""
+    ev = spread(load(spark, sf_dir, "events"))
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("unix_micros(ts) div 3600000000 % 24").alias("hod"),
+    )
+    wburst = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    w = e.select(
+        "user_id",
+        "event_type",
+        "hod",
+        F.count(F.lit(1)).over(wburst).alias("c1h"),
+    )
+    u = w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("c1h").alias("peak_1h"),
+        F.expr("1000000 * count(DISTINCT event_type) div 5").alias(
+            "type_div_ppm"
+        ),
+        F.expr(
+            "1000000 * sum(CASE WHEN hod < 6 THEN 1 ELSE 0 END) div count(1)"
+        ).alias("night_ppm"),
+    )
+    score = (
+        F.when(F.col("peak_1h") >= 10, 40).otherwise(0)
+        + F.when(F.col("night_ppm") >= 400000, 30).otherwise(0)
+        + F.when(F.col("type_div_ppm") <= 400000, 30).otherwise(0)
+    )
+    return u.select(
+        "user_id",
+        bigint(F.col("n_events")).alias("n_events"),
+        bigint(F.col("peak_1h")).alias("peak_1h"),
+        bigint(F.col("night_ppm")).alias("night_ppm"),
+        bigint(score).alias("bot_score"),
+    )
