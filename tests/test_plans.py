@@ -1556,3 +1556,37 @@ def test_bot_score_signals_share_pass(spark):
     p = _exec_plan(spark, "events_bot_score")
     assert "Join" not in p, p
     assert p.count("Window [") == 1, p
+
+
+def test_detour_one_window_pass(spark):
+    """Detour ratio: lag, first_value, and the reverse-order marker all
+    run in window passes over ONE user-keyed shuffle; no join."""
+    p = _exec_plan(spark, "geo_trip_detour_ratio")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_demand_profile_windows_on_profile_rows(spark):
+    """Demand by hour: fact shuffles once into the (type, hour) agg;
+    share/rank windows run on the 5x24 profile."""
+    p = _exec_plan(spark, "events_demand_by_hour")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_utilization_gap_stream_one_sort(spark):
+    """Utilization: one user-keyed window for the gap stream, then a
+    per-user agg — no join."""
+    p = _exec_plan(spark, "geo_fleet_utilization")
+    assert "Join" not in p, p
+    assert p.count("Window [") == 1, p
+
+
+def test_octant_turns_shared_order_no_trig(spark):
+    """Octant turns: both lags share the (user; us, event_id) order —
+    at most 2 window nodes over 1 user shuffle; and the plan contains
+    no trig calls (octants are sign/magnitude CASE logic)."""
+    p = _exec_plan(spark, "geo_heading_octant_turns")
+    assert "Join" not in p, p
+    assert "ATAN" not in p.upper().replace("ATAN2", "ATAN"), p
+    assert p.count("Exchange hashpartitioning") <= 2, p

@@ -4132,3 +4132,325 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.col("night_ppm")).alias("night_ppm"),
         bigint(score).alias("bot_score"),
     )
+
+
+@op(
+    "geo_trip_detour_ratio",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ((user_id * 7919 + event_id * 13) % 17000) / 100.0 - 85.0  AS lat,
+         ((user_id * 104729 + event_id * 31) % 36000) / 100.0 - 180.0 AS lon
+  FROM events
+),
+legs AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         first_value(lat) OVER w AS flat, first_value(lon) OVER w AS flon,
+         row_number() OVER (PARTITION BY user_id ORDER BY us DESC,
+                            event_id DESC) AS rd
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+path AS (
+  SELECT user_id,
+         sum(CASE WHEN plat IS NOT NULL THEN
+           CAST(round(2 * 6371000 * asin(sqrt(
+               pow(sin(radians(lat - plat) / 2), 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * pow(sin(radians(lon - plon) / 2), 2)))) AS BIGINT)
+           ELSE 0 END) AS path_m,
+         max(CASE WHEN rd = 1 THEN
+           CAST(round(2 * 6371000 * asin(sqrt(
+               pow(sin(radians(lat - flat) / 2), 2)
+               + cos(radians(flat)) * cos(radians(lat))
+                 * pow(sin(radians(lon - flon) / 2), 2)))) AS BIGINT)
+           END) AS direct_m
+  FROM legs GROUP BY user_id
+)
+SELECT user_id,
+       CAST(path_m AS BIGINT) AS path_m,
+       CAST(direct_m AS BIGINT) AS direct_m,
+       CAST(1000000 * path_m // direct_m AS BIGINT) AS detour_ppm
+FROM path WHERE direct_m >= 1000
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_trip_detour_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detour ratio per user trace: summed leg distance over the
+    straight-line first-to-last distance, in exact ppm (both distances
+    integer-metre haversine; the direct leg is evaluated at the LAST
+    point via first_value + reverse row_number, so one window pass
+    feeds both) — the routing-quality metric that separates wandering
+    traces from direct ones, with sub-kilometre direct distances
+    excluded as ratio-unstable.
+
+    Scale: one user-keyed window sort feeds lag, first_value, AND the
+    last-row marker; then a per-user agg — identical shuffle budget to
+    the plain haversine op despite computing two path metrics."""
+    from trip_data_pipeline_spark.operators.geo import _HAVERSINE_M, _with_coords
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    pts = _with_coords(load(spark, sf_dir, "events"))
+    legs = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.first("lat").over(w).alias("flat"),
+        F.first("lon").over(w).alias("flon"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    leg_m = F.round(F.expr(_HAVERSINE_M)).cast("bigint")
+    direct_expr = _HAVERSINE_M.replace("plat", "flat").replace("plon", "flon")
+    direct_m = F.round(F.expr(direct_expr)).cast("bigint")
+    path = legs.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("plat").isNotNull(), leg_m).otherwise(0)
+        ).alias("path_m"),
+        F.max(F.when(F.col("rd") == 1, direct_m)).alias("direct_m"),
+    )
+    return path.filter(F.col("direct_m") >= 1000).select(
+        "user_id",
+        bigint(F.col("path_m")).alias("path_m"),
+        bigint(F.col("direct_m")).alias("direct_m"),
+        bigint(F.expr("1000000 * path_m div direct_m")).alias("detour_ppm"),
+    )
+
+
+@op(
+    "events_demand_by_hour",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hod FROM events
+),
+c AS (SELECT event_type, hod, count(*) AS n FROM e GROUP BY 1, 2)
+SELECT event_type, CAST(hod AS BIGINT) AS hod,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(1000000 * n // sum(n) OVER (PARTITION BY event_type)
+            AS BIGINT) AS share_ppm,
+       CAST(rank() OVER (PARTITION BY event_type
+                         ORDER BY n DESC, hod) AS BIGINT) AS hour_rank
+FROM c
+""",
+    category=CAT,
+)
+def events_demand_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day demand profile per event type: count, exact share
+    ppm of the type's traffic, and the hour's demand rank (count-desc,
+    hour tiebreak) — the canonical taxi-demand curve that drives
+    surge/rebalancing schedules and, for pipelines, when to run the
+    daily batch (the trough is in the data).
+
+    Scale: one (type, hour) partial/final agg over the events; the
+    share/rank windows run on the constant 5x24 profile rows."""
+    ev = spread(load(spark, sf_dir, "events"))
+    c = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000 % 24").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "event_type",
+        bigint(F.col("hod")).alias("hod"),
+        bigint(F.col("n")).alias("n_events"),
+        bigint(
+            F.expr("1000000 * n").cast("bigint")
+        ).alias("_scaled"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("_tot"),
+        F.rank()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("n").desc(), F.col("hod")
+            )
+        )
+        .alias("hour_rank"),
+    ).select(
+        "event_type",
+        "hod",
+        "n_events",
+        bigint(F.expr("_scaled div _tot")).alias("share_ppm"),
+        bigint(F.col("hour_rank")).alias("hour_rank"),
+    )
+
+
+@op(
+    "geo_fleet_utilization",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+g AS (
+  SELECT user_id, us - lag(us) OVER w AS gap_us
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN gap_us < 1800000000 THEN gap_us ELSE 0 END)
+            AS BIGINT) AS active_us,
+       CAST(sum(gap_us) AS BIGINT) AS span_us,
+       CAST(1000000 * sum(CASE WHEN gap_us < 1800000000 THEN gap_us
+                               ELSE 0 END) // sum(gap_us) AS BIGINT)
+         AS util_ppm
+FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY user_id
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_fleet_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-utilization ratio per unit: time covered by sub-30-minute
+    inter-ping gaps (in service) over the total observed span, in
+    exact ppm — the idle-time decomposition behind 'how many vehicles
+    do we actually need', and the mirror of sessionization (the gaps
+    BETWEEN sessions are the metric here, not the sessions).
+
+    Scale: one user-keyed window sort for the gap stream, then a
+    per-user agg — zero-length gaps (duplicate pings) excluded
+    identically in both engines."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    active = F.sum(
+        F.when(F.col("gap_us") < 1800000000, F.col("gap_us")).otherwise(0)
+    )
+    return g.groupBy("user_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_gaps"),
+        bigint(active).alias("active_us"),
+        bigint(F.sum("gap_us")).alias("span_us"),
+        bigint(
+            F.expr(
+                "1000000 * sum(CASE WHEN gap_us < 1800000000 THEN gap_us"
+                " ELSE 0 END) div sum(gap_us)"
+            )
+        ).alias("util_ppm"),
+    )
+
+
+@op(
+    "geo_heading_octant_turns",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(((user_id * 7919 + event_id * 13) % 17000) AS BIGINT)
+           AS laty,
+         CAST(((user_id * 104729 + event_id * 31) % 36000) AS BIGINT)
+           AS lonx
+  FROM events
+),
+legs AS (
+  SELECT user_id, us, event_id,
+         lonx - lag(lonx) OVER w AS dx,
+         laty - lag(laty) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+oct AS (
+  SELECT user_id, us, event_id,
+         CASE
+           WHEN dx >= 0 AND dy >= 0 AND abs(dx) >= abs(dy) THEN 0
+           WHEN dx >= 0 AND dy >= 0 THEN 1
+           WHEN dx < 0 AND dy >= 0 AND abs(dx) < abs(dy) THEN 2
+           WHEN dx < 0 AND dy >= 0 THEN 3
+           WHEN dx < 0 AND dy < 0 AND abs(dx) >= abs(dy) THEN 4
+           WHEN dx < 0 AND dy < 0 THEN 5
+           WHEN dx >= 0 AND dy < 0 AND abs(dx) < abs(dy) THEN 6
+           ELSE 7
+         END AS o
+  FROM legs WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)
+),
+turns AS (
+  SELECT (o - lag(o) OVER (PARTITION BY user_id ORDER BY us, event_id)
+          + 8) % 8 AS turn
+  FROM oct
+)
+SELECT CAST(turn AS BIGINT) AS turn_octants,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(1000000 * count(*) // sum(count(*)) OVER () AS BIGINT)
+         AS share_ppm
+FROM turns WHERE turn IS NOT NULL
+GROUP BY turn
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_heading_octant_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-behavior distribution from GPS traces: each leg's heading
+    quantized to an octant by PURE SIGN/MAGNITUDE comparisons on the
+    integer centi-degree deltas (no atan2 — the one decision an engine
+    can make exactly), then consecutive-leg turn angles (octant
+    difference mod 8) histogrammed corpus-wide with exact ppm shares.
+    Zero-length legs (duplicate positions) are excluded in both
+    engines; turn=0 is straight-on, 4 is a U-turn — a trace corpus
+    full of U-turns is GPS noise, not driving.
+
+    Scale: one user-keyed window sort shared by the delta lag and the
+    octant lag (same ordering), then a constant 8-row rollup."""
+    ev = load(spark, sf_dir, "events")
+    from trip_data_pipeline_spark.operators.geo import _LAT_CENTI, _LON_CENTI
+
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"CAST({_LAT_CENTI} AS BIGINT)").alias("laty"),
+        F.expr(f"CAST({_LON_CENTI} AS BIGINT)").alias("lonx"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    legs = pts.select(
+        "user_id",
+        "us",
+        "event_id",
+        (F.col("lonx") - F.lag("lonx").over(w)).alias("dx"),
+        (F.col("laty") - F.lag("laty").over(w)).alias("dy"),
+    ).filter(
+        F.col("dx").isNotNull() & ~((F.col("dx") == 0) & (F.col("dy") == 0))
+    )
+    o = (
+        F.when(
+            (F.col("dx") >= 0)
+            & (F.col("dy") >= 0)
+            & (F.abs("dx") >= F.abs("dy")),
+            0,
+        )
+        .when((F.col("dx") >= 0) & (F.col("dy") >= 0), 1)
+        .when(
+            (F.col("dx") < 0)
+            & (F.col("dy") >= 0)
+            & (F.abs("dx") < F.abs("dy")),
+            2,
+        )
+        .when((F.col("dx") < 0) & (F.col("dy") >= 0), 3)
+        .when(
+            (F.col("dx") < 0)
+            & (F.col("dy") < 0)
+            & (F.abs("dx") >= F.abs("dy")),
+            4,
+        )
+        .when((F.col("dx") < 0) & (F.col("dy") < 0), 5)
+        .when(
+            (F.col("dx") >= 0)
+            & (F.col("dy") < 0)
+            & (F.abs("dx") < F.abs("dy")),
+            6,
+        )
+        .otherwise(7)
+    )
+    oct_df = legs.select("user_id", "us", "event_id", o.alias("o"))
+    turns = oct_df.select(
+        ((F.col("o") - F.lag("o").over(w) + 8) % 8).alias("turn")
+    ).filter(F.col("turn").isNotNull())
+    c = turns.groupBy("turn").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        bigint(F.col("turn")).alias("turn_octants"),
+        bigint(F.col("n")).alias("n_turns"),
+        F.sum("n").over(Window.partitionBy()).alias("_tot"),
+        F.expr("1000000 * n").alias("_scaled"),
+    ).select(
+        "turn_octants",
+        "n_turns",
+        bigint(F.expr("_scaled div _tot")).alias("share_ppm"),
+    )
