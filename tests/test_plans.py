@@ -1590,3 +1590,35 @@ def test_octant_turns_shared_order_no_trig(spark):
     assert "Join" not in p, p
     assert "ATAN" not in p.upper().replace("ATAN2", "ATAN"), p
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_forecast_eval_windows_on_hourly_series(spark):
+    """Naive-seasonal eval: fact shuffles once into the (type, hour)
+    agg; the lag-24 window runs on the hourly series; no join."""
+    p = _exec_plan(spark, "events_forecast_naive_eval")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_repurchase_curve_broadcast_thresholds(spark):
+    """Repurchase curve: 4-row thresholds broadcast into the gap
+    stream; one customer window; no cartesian at data scale."""
+    p = _exec_plan(spark, "orders_repurchase_curve")
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" not in p, p
+    assert p.count("Window [") == 1, p
+
+
+def test_vocab_growth_one_corpus_shuffle(spark):
+    """Heaps curve: first-seen min agg is the only corpus shuffle; the
+    max and cutoffs broadcast into the vocabulary."""
+    p = _exec_plan(spark, "text_vocab_growth")
+    assert "SortMergeJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_dod_change_daily_series_only(spark):
+    """DoD alert: one day agg, then a lag over the daily series —
+    the fact is never touched twice."""
+    p = _exec_plan(spark, "dq_volume_dod_change")
+    assert "Join" not in p, p
+    assert p.count("Window [") == 1, p

@@ -4454,3 +4454,238 @@ def geo_heading_octant_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_turns",
         bigint(F.expr("_scaled div _tot")).alias("share_ppm"),
     )
+
+
+@op(
+    "events_forecast_naive_eval",
+    oracle="""
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type, n,
+         lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS pred
+  FROM h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err_total,
+       CAST(sum(abs(n - pred)) // count(*) AS BIGINT) AS mae_floor,
+       CAST(1000000 * sum(abs(n - pred)) // sum(n) AS BIGINT)
+         AS wape_ppm
+FROM p WHERE pred IS NOT NULL
+GROUP BY event_type
+""",
+    category=CAT,
+)
+def events_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline eval-as-query: predict each hour's event
+    volume with the naive-seasonal rule (same hour yesterday, lag 24
+    on the hourly series) and score it in exact integers — total/mean
+    absolute error and WAPE in ppm, per event type.  This is the
+    baseline every capacity forecast must beat, computed in-engine
+    with the same eval discipline as the ANN/MinHash/lang-ID evals:
+    the metric itself hash-matches.
+
+    Scale: one (type, hour) partial/final agg over events, a lag-24
+    window on the tiny hourly series, a per-type rollup."""
+    ev = spread(load(spark, sf_dir, "events"))
+    h = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    p = h.select(
+        "event_type", "n", F.lag("n", 24).over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    err = F.abs(F.col("n") - F.col("pred"))
+    return p.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n_hours"),
+        bigint(F.sum(err)).alias("abs_err_total"),
+        bigint(F.expr("sum(abs(n - pred)) div count(1)")).alias("mae_floor"),
+        bigint(F.expr("1000000 * sum(abs(n - pred)) div sum(n)")).alias(
+            "wape_ppm"
+        ),
+    )
+
+
+@op(
+    "orders_repurchase_curve",
+    oracle="""
+WITH g AS (
+  SELECT date_diff('day',
+                   CAST(lag(o_orderdate) OVER w AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_d
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+t(threshold_d) AS (VALUES (30), (60), (90), (180))
+SELECT CAST(t.threshold_d AS BIGINT) AS threshold_d,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN gap_d <= t.threshold_d THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within,
+       CAST(1000000 * sum(CASE WHEN gap_d <= t.threshold_d
+                               THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+         AS within_ppm
+FROM g CROSS JOIN t
+WHERE gap_d IS NOT NULL
+GROUP BY t.threshold_d
+""",
+    category=CAT,
+)
+def orders_repurchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase retention curve: the share of inter-order gaps that
+    land within 30/60/90/180 days, in exact ppm — the
+    time-to-repurchase distribution read as a curve (the survival-view
+    companion to the inter-purchase gap stats; product teams quote
+    'X% reorder within 30 days' straight off this row set).
+
+    Scale: the same single customer-keyed window as the gap op; the
+    4-row threshold relation cross-joins (broadcast) into the gap
+    stream, collapsing to 4 rows."""
+    o = spread(load(spark, sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    g = o.select(F.datediff(d, F.lag(d).over(w)).alias("gap_d")).filter(
+        F.col("gap_d").isNotNull()
+    )
+    t = spark.createDataFrame([(30,), (60,), (90,), (180,)], "threshold_d int")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("threshold_d")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_gaps"),
+            bigint(
+                F.sum(
+                    F.when(F.col("gap_d") <= F.col("threshold_d"), 1).otherwise(0)
+                )
+            ).alias("n_within"),
+            bigint(
+                F.expr(
+                    "1000000 * sum(CASE WHEN gap_d <= threshold_d"
+                    " THEN 1 ELSE 0 END) div count(1)"
+                )
+            ).alias("within_ppm"),
+        )
+        .select(
+            bigint(F.col("threshold_d")).alias("threshold_d"),
+            "n_gaps",
+            "n_within",
+            "within_ppm",
+        )
+    )
+
+
+@op(
+    "text_vocab_growth",
+    oracle=f"""
+WITH n AS (SELECT max(doc_id) AS max_id FROM documents),
+firstseen AS (
+  SELECT w, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_duck_words()}) AS w FROM documents)
+  GROUP BY w
+),
+cut(pct) AS (VALUES (10), (25), (50), (100))
+SELECT CAST(cut.pct AS BIGINT) AS corpus_pct,
+       CAST(sum(CASE WHEN firstseen.first_doc * 100 <= n.max_id * cut.pct
+                     THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
+FROM firstseen CROSS JOIN n CROSS JOIN cut
+GROUP BY cut.pct
+""",
+    category=CAT,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct words first seen
+    within the leading 10/25/50/100% of the corpus (doc_id order,
+    cross-multiplied percent test — no float cutoffs) — the curve that
+    says whether vocabulary is saturating or still growing, i.e.
+    whether more data buys new tokens or just repetition (the
+    flattening point feeds the TTR op's tokenizer-sizing call).
+
+    Scale: first-seen is one (word)-keyed min agg over the exploded
+    corpus — the only big shuffle; the 1-row max and 4-row cutoffs
+    broadcast-cross into the vocabulary."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    firstseen = d.select(
+        "doc_id", F.explode(_words()).alias("w")
+    ).groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    n = d.agg(F.max("doc_id").alias("max_id"))
+    cut = spark.createDataFrame([(10,), (25,), (50,), (100,)], "pct int")
+    return (
+        firstseen.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(cut))
+        .groupBy("pct")
+        .agg(
+            bigint(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") * 100 <= F.col("max_id") * F.col("pct"),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("vocab_size")
+        )
+        .select(bigint(F.col("pct")).alias("corpus_pct"), "vocab_size")
+    )
+
+
+@op(
+    "dq_volume_dod_change",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n
+  FROM d
+)
+SELECT CAST(epoch_us(CAST(day AS TIMESTAMP)) // 86400000000 AS BIGINT)
+         AS day_idx,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(prev_n AS BIGINT) AS prev_orders,
+       CAST(1000000 * abs(n - prev_n) // prev_n AS BIGINT) AS change_ppm,
+       CAST(CASE WHEN n >= prev_n THEN 1 ELSE -1 END AS BIGINT) AS sign,
+       CAST(CASE WHEN 10 * abs(n - prev_n) >= 5 * prev_n
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM c WHERE prev_n IS NOT NULL
+""",
+    category=CAT,
+)
+def dq_volume_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume anomaly feed: per day, order count vs the
+    previous day, absolute change in exact ppm with its sign, and a
+    cross-multiplied >= 50% flag (10*|delta| >= 5*prev — no float
+    threshold) — the pager alert for a collapsed or doubled ingest,
+    complementing the vs-global partition-drift audit with the
+    adjacent-day view that catches gradual drifts' step edges.
+
+    Scale: one day-keyed agg over the fact, then a lag over the tiny
+    daily series — the alert computation never touches fact rows
+    twice."""
+    o = spread(load(spark, sf_dir, "orders"))
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = d.select(
+        "day", "n", F.lag("n").over(Window.orderBy("day")).alias("prev_n")
+    ).filter(F.col("prev_n").isNotNull())
+    return c.select(
+        bigint(
+            F.expr("unix_micros(CAST(day AS TIMESTAMP)) div 86400000000")
+        ).alias("day_idx"),
+        bigint(F.col("n")).alias("n_orders"),
+        bigint(F.col("prev_n")).alias("prev_orders"),
+        bigint(F.expr("1000000 * abs(n - prev_n) div prev_n")).alias(
+            "change_ppm"
+        ),
+        bigint(F.when(F.col("n") >= F.col("prev_n"), 1).otherwise(-1)).alias(
+            "sign"
+        ),
+        bigint(
+            F.when(
+                10 * F.abs(F.col("n") - F.col("prev_n")) >= 5 * F.col("prev_n"),
+                1,
+            ).otherwise(0)
+        ).alias("flagged"),
+    )
