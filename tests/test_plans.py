@@ -51,6 +51,7 @@ PYTHON_OK = {
     "multimodal_image_histogram_stats",  # mapInPandas decode + histogram
     "multimodal_audio_clipping",  # mapInPandas WAV decode + clip gate
     "multimodal_tile_watermark_detect",  # consumes the tiles decode
+    "multimodal_aspect_buckets",  # mapInPandas dim decode is the op
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1622,3 +1623,35 @@ def test_dod_change_daily_series_only(spark):
     p = _exec_plan(spark, "dq_volume_dod_change")
     assert "Join" not in p, p
     assert p.count("Window [") == 1, p
+
+
+def test_inverted_index_two_level_agg(spark):
+    """Index build: (term, doc) count then term rollup — mergeable,
+    no join."""
+    p = _exec_plan(spark, "search_inverted_index_build")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_boolean_retrieval_map_only(spark):
+    """Boolean retrieval: array predicates evaluate in the scan stage —
+    zero shuffles."""
+    p = _exec_plan(spark, "text_boolean_retrieval")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Join" not in p, p
+
+
+def test_bm25_broadcast_stats_bounded_topk(spark):
+    """BM25: df + (N, S) broadcast; the top-20 compiles to
+    TakeOrderedAndProject, never a global sort."""
+    p = _exec_plan(spark, "text_bm25_rational_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2, p
+
+
+def test_aspect_buckets_constant_agg(spark):
+    """Aspect buckets: map-only decode then a constant-size bucket
+    agg."""
+    p = _exec_plan(spark, "multimodal_aspect_buckets")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p

@@ -4689,3 +4689,250 @@ def dq_volume_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("flagged"),
     )
+
+
+@op(
+    "search_inverted_index_build",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_duck_words()}) AS w FROM documents
+),
+tf AS (SELECT w, doc_id, count(*) AS tf FROM tok GROUP BY w, doc_id)
+SELECT w AS term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(max(tf) AS BIGINT) AS max_tf,
+       CAST(min(doc_id) AS BIGINT) AS first_posting
+FROM tf GROUP BY w
+""",
+    category=CAT,
+)
+def search_inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build statistics: per term, document frequency
+    (df — postings count), total and max term frequency, and the first
+    posting — the lexicon row a search engine writes next to each
+    posting list, and the df/tf split the BM25 op consumes.  Building
+    it as a query makes index construction just another aggregation.
+
+    Scale: (term, doc) partial/final count then a term-level rollup —
+    the posting lists themselves would be collect_list per term
+    (size-bounded by df); the stats here are the mergeable part."""
+    tok = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        "doc_id", F.explode(_words()).alias("w")
+    )
+    tf = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy(F.col("w").alias("term")).agg(
+        bigint(F.count(F.lit(1))).alias("df"),
+        bigint(F.sum("tf")).alias("total_tf"),
+        bigint(F.max("tf")).alias("max_tf"),
+        bigint(F.min("doc_id")).alias("first_posting"),
+    )
+
+
+@op(
+    "text_boolean_retrieval",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lang, {_duck_words()} AS ws FROM documents)
+SELECT doc_id, lang,
+       CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+       CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf_join
+FROM d
+WHERE list_contains(ws, 'spark') AND list_contains(ws, 'join')
+  AND NOT list_contains(ws, 'slow')
+""",
+    category=CAT,
+)
+def text_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval: documents matching (spark AND join AND NOT
+    slow), with per-term frequencies — the filter stage of every
+    search stack (candidate generation before ranking; the BM25 op is
+    the ranking stage).  Conjunction/negation evaluate map-side as
+    array predicates; on an indexed store the same query is posting-
+    list intersection, and the WHERE clause here is its algebraic
+    contract.
+
+    Scale: map-only scan with array predicates — no shuffle at all;
+    predicate order puts the rarest term first for short-circuit."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    ws = _words()
+    return d.select(
+        "doc_id",
+        "lang",
+        bigint(F.size(F.filter(ws, lambda x: x == "spark"))).alias("tf_spark"),
+        bigint(F.size(F.filter(ws, lambda x: x == "join"))).alias("tf_join"),
+        ws.alias("_ws"),
+    ).filter(
+        F.array_contains("_ws", "spark")
+        & F.array_contains("_ws", "join")
+        & ~F.array_contains("_ws", "slow")
+    ).drop("_ws")
+
+
+@op(
+    "text_bm25_rational_topk",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+consts AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+  WHERE w IN ('spark', 'join', 'fast')
+  GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           (1000000 * (consts.n - df.df) // df.df)
+           * (1000000 * 22 * consts.s * tf.tf
+              // (10 * consts.s * tf.tf + 3 * consts.s
+                  + 9 * consts.n * dl.dl))
+           // 1000000
+         ) AS score_ppm
+  FROM tf
+  JOIN df ON df.w = tf.w
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN consts
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY score_ppm DESC, doc_id
+LIMIT 20
+""",
+    category=CAT,
+)
+def text_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped relevance ranking in EXACT rational arithmetic:
+    query ('spark', 'join', 'fast'), per-term score = idf-odds
+    ((N-df)/df, the exponentiated IDF — orders identically to log-IDF)
+    times the k1=1.2 / b=0.75 tf-saturation term, with the rationals
+    cleared by multiplying through by 10*S (S = total corpus tokens):
+    sat_ppm = 10^6 * 22*S*tf / (10*S*tf + 3*S + 9*N*dl).  Every floor
+    happens at a declared ppm boundary, so the top-20 — the RANKING
+    stage over boolean retrieval's candidates — replays exactly.
+
+    Scale: tf for the 3 query terms only (the scan filter IS the
+    inverted-index probe), df and the (N, S) constants broadcast,
+    dl joins on the doc key; top-20 via TakeOrderedAndProject."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        "doc_id", _words().alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin("spark", "join", "fast"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * (n - df) div df)"
+                " * (1000000 * 22 * s * tf"
+                "    div (10 * s * tf + 3 * s + 9 * n * dl))"
+                " div 1000000"
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score_ppm"))
+    )
+    ranked = scored.select(
+        "doc_id",
+        bigint(F.col("score_ppm")).alias("score_ppm"),
+        bigint(
+            F.row_number().over(
+                Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+            )
+        ).alias("rank"),
+    )
+    return ranked.orderBy(F.col("score_ppm").desc(), "doc_id").limit(20)
+
+
+@op(
+    "multimodal_aspect_buckets",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 16 AS w, (doc_id % 13) + 1 AS h FROM documents
+),
+assigned AS (
+  SELECT doc_id, w, h,
+         CASE WHEN h <= 4 THEN 4 WHEN h <= 8 THEN 8 ELSE 13 END AS canon_h
+  FROM dims
+)
+SELECT CAST(canon_h AS BIGINT) AS canon_h,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(w * h) AS BIGINT) AS native_px,
+       CAST(sum(w * canon_h) AS BIGINT) AS padded_px,
+       CAST(1000000 * (sum(w * canon_h) - sum(w * h))
+            // sum(w * canon_h) AS BIGINT) AS waste_ppm
+FROM assigned GROUP BY canon_h
+""",
+    category=CAT,
+)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (the SDXL/NovelAI training technique):
+    assign each decoded image to the smallest canonical height bucket
+    that fits (4 / 8 / 13 here), and report per bucket the image
+    count, native vs padded pixel mass, and padding waste in exact
+    ppm — the number that tunes the bucket list (too few buckets
+    wastes compute on padding; too many starves batches).  The Spark
+    side reads REAL dimensions out of the PPM decode chain; the oracle
+    replays the deterministic size lattice.
+
+    Scale: map-only mapInPandas decode to (w, h), then a constant-size
+    bucket agg."""
+    from trip_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _encode_ppm,
+    )
+
+    def dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "w": [], "h": []}
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                img = _decode_ppm(_encode_ppm(int(d)))
+                out["doc_id"].append(int(d))
+                out["w"].append(img["width"])
+                out["h"].append(img["height"])
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    wh = d.mapInPandas(dims, schema="doc_id bigint, w bigint, h bigint")
+    assigned = wh.select(
+        "w",
+        "h",
+        F.when(F.col("h") <= 4, 4)
+        .when(F.col("h") <= 8, 8)
+        .otherwise(13)
+        .alias("canon_h"),
+    )
+    return assigned.groupBy("canon_h").agg(
+        bigint(F.count(F.lit(1))).alias("n_images"),
+        bigint(F.sum(F.col("w") * F.col("h"))).alias("native_px"),
+        bigint(F.sum(F.col("w") * F.col("canon_h"))).alias("padded_px"),
+        bigint(
+            F.expr(
+                "1000000 * (sum(w * canon_h) - sum(w * h))"
+                " div sum(w * canon_h)"
+            )
+        ).alias("waste_ppm"),
+    ).select(
+        bigint(F.col("canon_h")).alias("canon_h"),
+        "n_images",
+        "native_px",
+        "padded_px",
+        "waste_ppm",
+    )
