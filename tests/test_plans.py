@@ -1655,3 +1655,36 @@ def test_aspect_buckets_constant_agg(spark):
     p = _exec_plan(spark, "multimodal_aspect_buckets")
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_cohort_ltv_customer_keyed(spark):
+    """Cohort LTV: first-year agg + customer-keyed join + (cohort,
+    offset) agg; cumulative window on the tiny grid; no cartesian."""
+    p = _exec_plan(spark, "orders_cohort_ltv")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window [") == 1, p
+
+
+def test_query_expansion_filter_before_count(spark):
+    """Expansion: query-term filter lands in the pair stream before
+    the count agg; per-term top-5 gets rank pushdown."""
+    p = _exec_plan(spark, "search_query_expansion")
+    assert "WindowGroupLimit" in p, p
+    assert "Join" not in p, p
+
+
+def test_cluster_histogram_two_aggs(spark):
+    """Cluster-size histogram: content-hash agg then bucket rollup —
+    no join, constant output."""
+    p = _exec_plan(spark, "dedup_cluster_size_histogram")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_df_band_vocab_join_only(spark):
+    """DF bands: the df/tf join runs on the vocabulary, the 1-row doc
+    count broadcasts; the corpus shuffles only into the two token
+    aggs."""
+    p = _exec_plan(spark, "corpus_df_band_prune")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p

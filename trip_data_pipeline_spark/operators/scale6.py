@@ -4936,3 +4936,250 @@ def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "padded_px",
         "waste_ppm",
     )
+
+
+@op(
+    "orders_cohort_ltv",
+    oracle="""
+WITH first AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort,
+         year(o.o_orderdate) - f.cohort AS yr_offset,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+  GROUP BY f.cohort, year(o.o_orderdate) - f.cohort
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(yr_offset AS BIGINT) AS yr_offset,
+       CAST(cents AS BIGINT) AS rev_cents,
+       CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY yr_offset
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents
+FROM rev
+""",
+    category=CAT,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: customers grouped by first-order year, revenue
+    accumulated by years-since-first — the cumulative-value-per-cohort
+    view that answers 'do newer cohorts monetize faster', the revenue
+    companion to the count-based retention_cohort op.  Exact cents all
+    the way; the cumulative window runs over the tiny (cohort, offset)
+    grid.
+
+    Scale: first-order year is one customer agg; the cohort join keys
+    on the customer (broadcast-able — it is one int per customer);
+    then a (cohort, offset) agg and a constant-size window."""
+    o = spread(load(spark, sf_dir, "orders"))
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate") - F.col("cohort")).alias("yr_offset"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    cum = Window.partitionBy("cohort").orderBy("yr_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return rev.select(
+        bigint(F.col("cohort")).alias("cohort"),
+        bigint(F.col("yr_offset")).alias("yr_offset"),
+        bigint(F.col("cents")).alias("rev_cents"),
+        bigint(F.sum("cents").over(cum)).alias("cum_cents"),
+    )
+
+
+@op(
+    "search_query_expansion",
+    oracle=f"""
+WITH d AS (SELECT {_duck_words()} AS ws FROM documents),
+p AS (
+  SELECT unnest(ws[1:-2]) AS a, unnest(ws[2:-1]) AS b FROM d
+  WHERE len(ws) >= 2
+  UNION ALL
+  SELECT unnest(ws[2:-1]) AS a, unnest(ws[1:-2]) AS b FROM d
+  WHERE len(ws) >= 2
+),
+cnt AS (
+  SELECT a AS q, b AS cand, count(*) AS c
+  FROM p WHERE a IN ('spark', 'join') AND a <> b
+  GROUP BY a, b
+),
+rk AS (
+  SELECT q, cand, c,
+         row_number() OVER (PARTITION BY q ORDER BY c DESC, cand) AS rn
+  FROM cnt
+)
+SELECT q AS query_term, CAST(rn AS BIGINT) AS rank,
+       cand AS expansion, CAST(c AS BIGINT) AS cooc_count
+FROM rk WHERE rn <= 5
+""",
+    category=CAT,
+)
+def search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion by adjacency co-occurrence: for each query term
+    ('spark', 'join'), the top-5 neighboring terms by count (both
+    directions of the bigram stream, deterministic term tiebreak) —
+    the synonym/related-term suggestions a search stack mines offline
+    and serves next to results; the third member of the search family
+    (retrieve -> rank -> expand).
+
+    Scale: the query-term filter lands INSIDE the pair stream before
+    the count agg, so only candidate pairs shuffle; the top-5 gets
+    rank-limit pushdown on the per-term candidate lists."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        _words().alias("ws")
+    )
+
+    def adj(flip: bool):
+        a, b = ("ws2", "ws1") if flip else ("ws1", "ws2")
+        return d.filter(F.size("ws") >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda x, y: F.struct(x.alias("ws1"), y.alias("ws2")),
+                )
+            ).alias("p")
+        ).select(F.col(f"p.{a}").alias("q"), F.col(f"p.{b}").alias("cand"))
+
+    p = adj(False).unionAll(adj(True)).filter(
+        F.col("q").isin("spark", "join") & (F.col("q") != F.col("cand"))
+    )
+    cnt = p.groupBy("q", "cand").agg(F.count(F.lit(1)).alias("c"))
+    rk = cnt.select(
+        "q",
+        "cand",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("q").orderBy(F.col("c").desc(), F.col("cand"))
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    return rk.select(
+        F.col("q").alias("query_term"),
+        bigint(F.col("rn")).alias("rank"),
+        F.col("cand").alias("expansion"),
+        bigint(F.col("c")).alias("cooc_count"),
+    )
+
+
+@op(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH g AS (
+  SELECT md5({_duck_norm()}) AS h, count(*) AS sz
+  FROM documents GROUP BY md5({_duck_norm()})
+)
+SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+FROM g GROUP BY 1
+""",
+    category=CAT,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster shape report: exact-hash cluster sizes
+    histogrammed into log2 buckets with the removable-row mass
+    (size - 1 per cluster) — the planning table every dedup paper
+    opens with ('X% of the corpus sits in clusters of 2, Y% in mega-
+    clusters'), and the number that predicts the exact-dedup pass's
+    yield BEFORE running it.  Bucket arithmetic matches the degree-
+    distribution op (len(bin(n))-1).
+
+    Scale: one content-hash agg (map-side md5), then a constant-size
+    bucket rollup — strictly cheaper than the dedup itself."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    g = d.groupBy(F.md5(_norm()).alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bucket = (F.length(F.bin(F.col("sz"))) - 1).cast("bigint")
+    return g.groupBy(bucket.alias("log2_bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n_clusters"),
+        bigint(F.sum("sz")).alias("n_docs"),
+        bigint(F.sum(F.col("sz") - 1)).alias("n_removable"),
+    )
+
+
+@op(
+    "corpus_df_band_prune",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_duck_words()})) AS w FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+tf AS (
+  SELECT w, count(*) AS total_tf
+  FROM (SELECT unnest({_duck_words()}) AS w FROM documents) GROUP BY w
+),
+banded AS (
+  SELECT df.w, df.df, tf.total_tf,
+         CASE WHEN 2 * df.df > n.n_docs THEN 'stop'
+              WHEN df.df = 1 THEN 'hapax'
+              WHEN 100 * df.df < n.n_docs THEN 'rare'
+              ELSE 'core' END AS band
+  FROM df JOIN tf ON tf.w = df.w CROSS JOIN n
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(total_tf) AS BIGINT) AS token_mass,
+       CAST(min(df) AS BIGINT) AS min_df,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM banded GROUP BY band
+""",
+    category=CAT,
+)
+def corpus_df_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency band report — the min_df/max_df pruning
+    decision table: terms banded as stop (df > 50% of docs), core,
+    rare (df < 1%), and hapax (df = 1), with term counts and token
+    mass per band (all thresholds cross-multiplied, no float ratios).
+    Token mass is the column that matters: pruning stopwords kills few
+    TERMS but most TOKENS, and this table shows both before anyone
+    commits an index or vocab size.
+
+    Scale: df from the per-doc-distinct token stream, tf from the raw
+    stream — two word-keyed aggs joined on the (small) vocabulary,
+    with the 1-row doc count broadcast-crossed in."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    ws = _words()
+    tok = d.select("doc_id", F.explode(F.array_distinct(ws)).alias("w"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    tf = d.select(F.explode(ws).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("total_tf")
+    )
+    banded = (
+        df.join(tf, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w",
+            "df",
+            "total_tf",
+            F.when(2 * F.col("df") > F.col("n_docs"), "stop")
+            .when(F.col("df") == 1, "hapax")
+            .when(100 * F.col("df") < F.col("n_docs"), "rare")
+            .otherwise("core")
+            .alias("band"),
+        )
+    )
+    return banded.groupBy("band").agg(
+        bigint(F.count(F.lit(1))).alias("n_terms"),
+        bigint(F.sum("total_tf")).alias("token_mass"),
+        bigint(F.min("df")).alias("min_df"),
+        bigint(F.max("df")).alias("max_df"),
+    )
