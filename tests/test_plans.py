@@ -1688,3 +1688,19 @@ def test_df_band_vocab_join_only(spark):
     p = _exec_plan(spark, "corpus_df_band_prune")
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_waterfall_single_scan_all_components(spark):
+    """Waterfall: all four components in ONE year-keyed agg over one
+    fact scan — never a component-per-query re-scan."""
+    p = _exec_plan(spark, "orders_revenue_waterfall")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_stickiness_exact_distincts_week_join(spark):
+    """Stickiness: day- and week-level exact distinct aggs (Expand
+    plans, no global distinct), joined on the week key."""
+    p = _exec_plan(spark, "events_dau_wau_stickiness")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p

@@ -5183,3 +5183,118 @@ def corpus_df_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.min("df")).alias("min_df"),
         bigint(F.max("df")).alias("max_df"),
     )
+
+
+@op(
+    "orders_revenue_waterfall",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS gross_cents,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS discount_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax
+                           * 100) AS BIGINT)) AS BIGINT) AS tax_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          - sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS net_before_tax_cents
+FROM lineitem GROUP BY year(l_shipdate)
+""",
+    category=CAT,
+)
+def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall by ship year: gross, discount given, tax
+    collected, and net-before-tax, each summed from PER-LINE exact
+    cents (every component rounded at the line before aggregation, so
+    the waterfall's steps add up EXACTLY — the property finance
+    reconciliation demands and floating-point waterfalls never have).
+
+    Scale: single fact scan, one year-keyed partial/final agg
+    computing all four components together — a component-per-query
+    formulation would scan the fact four times."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    gross = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    disc = F.expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)")
+    tax = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)"
+        " AS BIGINT)"
+    )
+    return li.groupBy(F.year("l_shipdate").alias("year")).agg(
+        bigint(F.sum(gross)).alias("gross_cents"),
+        bigint(F.sum(disc)).alias("discount_cents"),
+        bigint(F.sum(tax)).alias("tax_cents"),
+        bigint(F.sum(gross) - F.sum(disc)).alias("net_before_tax_cents"),
+    ).select(
+        bigint(F.col("year")).alias("year"),
+        "gross_cents",
+        "discount_cents",
+        "tax_cents",
+        "net_before_tax_cents",
+    )
+
+
+@op(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+dau AS (
+  SELECT week, day, count(DISTINCT user_id) AS dau
+  FROM e GROUP BY week, day
+),
+wau AS (
+  SELECT week, count(DISTINCT user_id) AS wau FROM e GROUP BY week
+)
+SELECT CAST(dau.week AS BIGINT) AS week,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(dau.dau) AS BIGINT) AS sum_dau,
+       CAST(min(wau.wau) AS BIGINT) AS wau,
+       CAST(1000000 * sum(dau.dau) // (count(*) * min(wau.wau))
+            AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON wau.week = dau.week
+GROUP BY dau.week
+""",
+    category=CAT,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week: mean daily actives over weekly
+    actives in exact ppm (cross-multiplied — sum_dau over n_days*wau,
+    no float mean) — THE product-engagement ratio ('what fraction of
+    weekly users show up on a given day'), computed on epoch-derived
+    day/week buckets so both engines bucket identically.
+
+    Scale: two exact distinct-count aggs (day-level and week-level —
+    each a two-level exact agg, no global distinct), joined on the
+    week key; everything after the fact aggs is week-count-sized."""
+    ev = spread(load(spark, sf_dir, "events"))
+    e = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+    )
+    dau = e.groupBy("week", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = e.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "week")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").alias("sum_dau"),
+            F.min("wau").alias("wau"),
+        )
+        .select(
+            bigint(F.col("week")).alias("week"),
+            bigint(F.col("n_days")).alias("n_days"),
+            bigint(F.col("sum_dau")).alias("sum_dau"),
+            bigint(F.col("wau")).alias("wau"),
+            bigint(
+                F.expr("1000000 * sum_dau div (n_days * wau)")
+            ).alias("stickiness_ppm"),
+        )
+    )

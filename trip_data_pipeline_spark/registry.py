@@ -110,7 +110,7 @@ def _ensure_loaded() -> None:
 #   corpus_dedup_survivor_quality, corpus_type_token_ratio,
 #   timeseries_ewma_int, multimodal_video_scene_cut,
 #   corpus_semdedup_bucket, multimodal_audio_zcr) — 50 names.
-# ROUND 8 (63 — split r8/r9): sql_group_order_by_all,
+# ROUND 8 (65 — split r8/r9): sql_group_order_by_all,
 #   multimodal_image_histogram_stats, eval_langid_quality,
 #   graph_degree_distribution, sql_values_inline_table,
 #   agg_weighted_avg_exact, dedup_truncated_variants,
@@ -140,7 +140,8 @@ def _ensure_loaded() -> None:
 #   text_boolean_retrieval, text_bm25_rational_topk,
 #   multimodal_aspect_buckets, orders_cohort_ltv,
 #   search_query_expansion, dedup_cluster_size_histogram,
-#   corpus_df_band_prune — the ledger
+#   corpus_df_band_prune, orders_revenue_waterfall,
+#   events_dau_wau_stickiness — the ledger
 #   closes by r8-r9 (two slivers if a future tranche pauses).
 PRIORITY: tuple[str, ...] = (
     # 2.9 streaming — the full family (micro-batch fixed-input replays;
