@@ -110,7 +110,10 @@ def _ensure_loaded() -> None:
 #   corpus_dedup_survivor_quality, corpus_type_token_ratio,
 #   timeseries_ewma_int, multimodal_video_scene_cut,
 #   corpus_semdedup_bucket, multimodal_audio_zcr) — 50 names.
-# ROUND 8 (65 — split r8/r9): sql_group_order_by_all,
+# ROUNDS 8-9 (65 names; r8 takes the first 50 in this listed order,
+# r9 the remaining 15 — after r5's window the cumulative ledger is
+# 234/400, and r6(50) + r7(50) + r8(50) + r9(15) closes it, the last
+# window with room for r6-r8 stragglers): sql_group_order_by_all,
 #   multimodal_image_histogram_stats, eval_langid_quality,
 #   graph_degree_distribution, sql_values_inline_table,
 #   agg_weighted_avg_exact, dedup_truncated_variants,
