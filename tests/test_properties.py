@@ -493,3 +493,52 @@ def test_cep_pathological_user_100k_events(spark, tmp_path):
             scale5.events_pattern_match_cep(spark, str(tmp_path))
     finally:
         scale5.CEP_MAX_EVENTS_PER_USER = orig
+
+
+def test_peak_concurrency_tie_order_stable(spark, tmp_path):
+    """events_peak_concurrency docstring claim: the partition MAX of
+    the running sum is tie-order-independent.  Build a pathological
+    fixture where MANY intervals share identical boundary timestamps
+    (16 users x 8 duplicated instants), run the op over several
+    physical orderings (1, 3, 32 input partitions), and pin that the
+    peak is identical — and equal to the brute-force exact peak."""
+    from trip_data_pipeline_spark.operators import scale6
+
+    rows = []
+    eid = 0
+    for u in range(16):
+        for k in range(8):
+            # 4 events per user at the SAME microsecond -> tie runs
+            for _ in range(4):
+                rows.append((eid, (k * 60_000_000), u))
+                eid += 1
+    df = spark.createDataFrame(
+        [(e, t, u) for (e, t, u) in rows], "event_id long, us long, user_id long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+    # brute-force exact peak for the single event_type, via sorted sweep
+    pts = sorted(
+        [(t, 1) for (_, t, _) in rows] + [(t + 300_000_000, -1) for (_, t, _) in rows]
+    )
+    live = peak = 0
+    for _, d in pts:
+        live += d
+        peak = max(peak, live)
+
+    outs = set()
+    for parts in (1, 3, 32):
+        # distinct dir per ordering: io.load memoizes scans per
+        # (session, dir, table), so an overwrite would break the plan
+        d = f"{tmp_path}/p{parts}"
+        df.repartition(parts).write.parquet(f"{d}/events.parquet")
+        got = scale6.events_peak_concurrency(spark, d).collect()
+        assert len(got) == 1
+        outs.add((got[0]["n_intervals"], got[0]["peak_concurrent"]))
+    assert outs == {(len(rows), peak)}, outs
