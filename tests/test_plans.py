@@ -1704,3 +1704,35 @@ def test_stickiness_exact_distincts_week_join(spark):
     p = _exec_plan(spark, "events_dau_wau_stickiness")
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_ra_index_center_weight_before_pair_agg(spark):
+    """RA index: the degree weight joins on the wedge CENTER (broadcast)
+    before the pair agg — per-pair state is one integer sum."""
+    p = _exec_plan(spark, "graph_resource_allocation_index")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_theil_sen_pairs_on_aggregate(spark):
+    """Theil-Sen: the O(days^2) pair join runs on the daily AGGREGATE;
+    the fact shuffles once into the day counts."""
+    p = _exec_plan(spark, "timeseries_theil_sen_int")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Scan parquet") <= 2, p
+
+
+def test_abc_key_only_global_sort(spark):
+    """ABC: part-keyed agg then a global sort of part rows — payload
+    columns never reach the sort."""
+    p = _exec_plan(spark, "orders_abc_classification")
+    assert "l_shipdate" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_kwic_mapside_frames_one_shuffle(spark):
+    """KWIC: context frames extract via array HOFs map-side; one
+    (left, right) agg is the only shuffle."""
+    p = _exec_plan(spark, "text_kwic_contexts")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p

@@ -5298,3 +5298,281 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_ppm"),
         )
     )
+
+
+@op(
+    "graph_resource_allocation_index",
+    oracle=f"""
+WITH {_DEG_EDGES_DUCK},
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+wedge AS (
+  SELECT l.src AS a, r.src AS b, l.dst AS z
+  FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src
+),
+scored AS (
+  SELECT w.a, w.b,
+         count(*) AS common,
+         sum(1000000 // dz.d) AS ra_ppm
+  FROM wedge w JOIN deg dz ON dz.src = w.z
+  GROUP BY w.a, w.b
+  HAVING count(*) >= 2
+)
+SELECT s.a, s.b,
+       CAST(s.common AS BIGINT) AS n_common,
+       CAST(s.ra_ppm AS BIGINT) AS ra_ppm
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.a AND e.dst = s.b)
+""",
+    category=CAT,
+)
+def graph_resource_allocation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction index (Zhou, Lu & Zhang
+    2009): for non-adjacent pairs with >= 2 common neighbors, sum
+    1/deg(z) over the SHARED neighbors z, in exact ppm (integer floor
+    per neighbor) — unlike Jaccard, RA down-weights hub-mediated
+    evidence (a shared neighbor with degree 1000 says little), and
+    the rational form makes it hash-exact where Adamic-Adar's log
+    cannot be.
+
+    Scale: the same wedge self-join as the Jaccard op, but the degree
+    weight joins on the WEDGE CENTER (broadcast, node-sized) BEFORE
+    the pair agg — per-pair state stays one integer sum."""
+    from trip_data_pipeline_spark.operators.graph import _copart_edges
+
+    e = _copart_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    l = e.select(F.col("src").alias("a"), F.col("dst").alias("z"))
+    r = e.select(F.col("src").alias("b"), F.col("dst").alias("z"))
+    wedge = l.join(r, "z").filter(F.col("a") < F.col("b"))
+    dz = deg.select(F.col("src").alias("z"), F.col("d").alias("dz"))
+    scored = (
+        wedge.join(F.broadcast(dz), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.expr("1000000 div dz")).alias("ra_ppm"),
+        )
+        .filter(F.col("common") >= 2)
+    )
+    cand = scored.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return cand.select(
+        "a",
+        "b",
+        bigint(F.col("common")).alias("n_common"),
+        bigint(F.col("ra_ppm")).alias("ra_ppm"),
+    )
+
+
+@op(
+    "timeseries_theil_sen_int",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))
+           // 86400000000 AS x,
+         count(*) AS y
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT (b.y - a.y) * 1000000 // (b.x - a.x) AS slope_micro
+  FROM d a JOIN d b ON b.x > a.x
+),
+ranked AS (
+  SELECT slope_micro,
+         row_number() OVER (ORDER BY slope_micro) AS rn,
+         count(*) OVER () AS n
+  FROM pairs
+)
+SELECT CAST(min(n) AS BIGINT) AS n_pairs,
+       CAST(min(slope_micro) AS BIGINT) AS theil_sen_micro
+FROM ranked WHERE 2 * rn >= n + 1
+""",
+    category=CAT,
+)
+def timeseries_theil_sen_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily order-count
+    series: the MEDIAN of all pairwise slopes, each slope floored to
+    integer micro-units/day — the trend line outliers cannot drag
+    (one crazy ingest day moves an OLS slope but not this), computed
+    exactly: median = first slope whose rank reaches the ceiling
+    half, deterministic because the rank order is total.
+
+    Scale: the day series is an aggregate (one fact shuffle); the
+    O(days^2) pair join runs on aggregate rows — for decade-long
+    series the standard move is Theil-Sen on a coarse (weekly) series
+    or the repeated-median variant, both the same shape."""
+    o = spread(load(spark, sf_dir, "orders"))
+    d = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.expr("(yb - ya) * 1000000 div (xb - xa)").alias("slope_micro")
+    )
+    ranked = pairs.select(
+        "slope_micro",
+        F.row_number().over(Window.orderBy("slope_micro")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(2 * F.col("rn") >= F.col("n") + 1).agg(
+        bigint(F.min("n")).alias("n_pairs"),
+        bigint(F.min("slope_micro")).alias("theil_sen_micro"),
+    )
+
+
+@op(
+    "orders_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT pk, cents,
+         sum(cents) OVER (ORDER BY cents DESC, pk
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cents) OVER () AS total
+  FROM rev
+),
+classed AS (
+  SELECT pk, cents,
+         CASE WHEN 10 * cum <= 8 * total THEN 'A'
+              WHEN 100 * cum <= 95 * total THEN 'B'
+              ELSE 'C' END AS cls
+  FROM ranked
+)
+SELECT cls,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(1000000 * sum(cents) // sum(sum(cents)) OVER () AS BIGINT)
+         AS revenue_share_ppm
+FROM classed GROUP BY cls
+""",
+    category=CAT,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    while cumulative share <= 80%, B to 95%, C beyond (thresholds
+    cross-multiplied — 10*cum <= 8*total — so the class boundary is
+    exact), reported as part counts and revenue mass per class — the
+    named supply-chain op behind cycle-count frequency and stocking
+    policy, the CLASSIFICATION over the Pareto op's curve.
+
+    Scale: part-keyed agg over the fact, then one global sort of part
+    rows for the cumulative share — same key-only-sort discipline as
+    the Pareto and gap ops."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("cents")
+    )
+    order = [F.col("cents").desc(), F.col("pk")]
+    ranked = rev.select(
+        "pk",
+        "cents",
+        F.sum("cents")
+        .over(
+            Window.orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    classed = ranked.select(
+        "cents",
+        F.when(10 * F.col("cum") <= 8 * F.col("total"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    per = classed.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    return per.select(
+        "cls",
+        bigint(F.col("n_parts")).alias("n_parts"),
+        bigint(F.col("revenue_cents")).alias("revenue_cents"),
+        F.sum("revenue_cents").over(Window.partitionBy()).alias("_tot"),
+    ).select(
+        "cls",
+        "n_parts",
+        "revenue_cents",
+        bigint(F.expr("1000000 * revenue_cents div _tot")).alias(
+            "revenue_share_ppm"
+        ),
+    )
+
+
+@op(
+    "text_kwic_contexts",
+    oracle=f"""
+WITH d AS (SELECT {_duck_words()} AS ws FROM documents),
+hits AS (
+  SELECT ws[i - 1] AS left_w, ws[i + 1] AS right_w
+  FROM d, unnest(range(2, len(ws))) AS t(i)
+  WHERE len(ws) >= 3 AND ws[i] = 'spark'
+)
+SELECT left_w, right_w,
+       CAST(count(*) AS BIGINT) AS n_contexts
+FROM hits GROUP BY left_w, right_w
+HAVING count(*) >= 3
+""",
+    category=CAT,
+)
+def text_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance for 'spark': the
+    (left word, right word) context frames around every interior
+    occurrence, counted (>= 3) — the corpus-linguistics view that
+    shows HOW a term is used (collocational frames), feeding sense
+    disambiguation and phrase-template discovery; boundary
+    occurrences (first/last token) have no full frame and are
+    excluded identically in both engines.
+
+    Scale: map-side position scan via array HOFs (filter on the
+    keyword, slice neighbors) — one (left, right) agg is the only
+    shuffle."""
+    d = (
+        spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+        .select(_words().alias("ws"))
+        # guard BEFORE sequence(): Spark's sequence(2, n) DESCENDS when
+        # n < 2, which would probe wrong positions on 1-2 word docs
+        .filter(F.size("ws") >= 3)
+    )
+    # interior positions i (1-based, 2..len-1) where ws[i] == keyword
+    hits = d.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i - 1).alias("left_w"),
+                        F.element_at(F.col("ws"), i).alias("kw"),
+                        F.element_at(F.col("ws"), i + 1).alias("right_w"),
+                    ),
+                ),
+                lambda s: s["kw"] == "spark",
+            )
+        ).alias("h")
+    )
+    return (
+        hits.select("h.left_w", "h.right_w")
+        .groupBy("left_w", "right_w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("left_w", "right_w", bigint(F.col("n")).alias("n_contexts"))
+    )
