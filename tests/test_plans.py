@@ -52,6 +52,7 @@ PYTHON_OK = {
     "multimodal_audio_clipping",  # mapInPandas WAV decode + clip gate
     "multimodal_tile_watermark_detect",  # consumes the tiles decode
     "multimodal_aspect_buckets",  # mapInPandas dim decode is the op
+    "multimodal_image_symmetry_score",  # mapInPandas decode + flip
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1736,3 +1737,33 @@ def test_kwic_mapside_frames_one_shuffle(spark):
     p = _exec_plan(spark, "text_kwic_contexts")
     assert "Join" not in p, p
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_growth_accounting_shared_user_partitioning(spark):
+    """Growth accounting: min + lag share the user partitioning over
+    the distinct (user, week) set; one week rollup; no fact rescan."""
+    p = _exec_plan(spark, "events_growth_accounting")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """<=> must plan as a (broadcast) hash join with a null-safe key —
+    never a BNLJ/cartesian."""
+    p = _exec_plan(spark, "join_null_safe_equi")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_symmetry_score_map_only(spark):
+    """Symmetry score: map-only mapInPandas — zero exchanges."""
+    p = _exec_plan(spark, "multimodal_image_symmetry_score")
+    assert "Exchange" not in p, p
+
+
+def test_single_source_risk_one_fact_pass(spark):
+    """Single-source risk: distinct-supplier count + revenue sum in ONE
+    part-keyed pass, then a 3-row band rollup."""
+    p = _exec_plan(spark, "parts_single_source_risk")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p

@@ -5576,3 +5576,287 @@ def text_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 3)
         .select("left_w", "right_w", bigint(F.col("n")).alias("n_contexts"))
     )
+
+
+@op(
+    "events_growth_accounting",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+fw AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY user_id),
+lagw AS (
+  SELECT uw.user_id, uw.week, fw.first_week,
+         lag(uw.week) OVER (PARTITION BY uw.user_id ORDER BY uw.week)
+           AS prev_active_week
+  FROM uw JOIN fw ON fw.user_id = uw.user_id
+)
+SELECT CAST(week AS BIGINT) AS week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN prev_active_week = week - 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN week > first_week
+                      AND (prev_active_week IS NULL
+                           OR prev_active_week < week - 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+FROM lagw GROUP BY week
+""",
+    category=CAT,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social-Capital MAU-accounting
+    framework, weekly form): every active (user, week) classified as
+    NEW (first week ever), RETAINED (also active the previous week),
+    or RESURRECTED (active before, but not last week) — the
+    decomposition that tells a product team whether growth is
+    acquisition or reactivation, and the engagement mirror of the
+    dedup survivorship reports.  new + retained + resurrected =
+    active, by construction, every week.
+
+    Scale: one distinct (user, week) projection, a user-keyed min
+    (first week) and lag (previous active week) sharing the user
+    partitioning, then a week rollup — no fact re-scan."""
+    ev = spread(load(spark, sf_dir, "events"))
+    uw = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagw = uw.select(
+        "user_id",
+        "week",
+        F.min("week").over(Window.partitionBy("user_id")).alias("first_week"),
+        F.lag("week").over(w).alias("prev_active_week"),
+    )
+    return lagw.groupBy("week").agg(
+        bigint(F.count(F.lit(1))).alias("n_active"),
+        bigint(
+            F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+        ).alias("n_new"),
+        bigint(
+            F.sum(
+                F.when(
+                    F.col("prev_active_week") == F.col("week") - 1, 1
+                ).otherwise(0)
+            )
+        ).alias("n_retained"),
+        bigint(
+            F.sum(
+                F.when(
+                    (F.col("week") > F.col("first_week"))
+                    & (
+                        F.col("prev_active_week").isNull()
+                        | (F.col("prev_active_week") < F.col("week") - 1)
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("n_resurrected"),
+    ).select(
+        bigint(F.col("week")).alias("week"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+    )
+
+
+@op(
+    "join_null_safe_equi",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+  FROM customer
+),
+s AS (
+  SELECT nullif(seg, 'BUILDING') AS seg, count(*) AS seg_n
+  FROM (SELECT c_mktsegment AS seg FROM customer) GROUP BY 1
+)
+SELECT c.c_custkey, coalesce(c.seg, '<null>') AS seg_key,
+       CAST(s.seg_n AS BIGINT) AS seg_population
+FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+WHERE c.c_custkey < 300
+""",
+    category="2.3 joins",
+)
+def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (IS NOT DISTINCT FROM / <=>): NULL keys
+    match NULL keys — the join SQL users reach for when a dimension
+    key is legitimately absent on both sides (here the 'BUILDING'
+    segment is nulled on both sides to exercise it; a plain equi-join
+    would silently DROP every such row).  The §2.3 surface row plain
+    equi/outer joins cannot express.
+
+    Scale: Spark plans <=> as a hash join on a null-safe key wrapper
+    (still an equi-join — no BNLJ penalty); the probe side is bounded
+    per the as-of ops' contract."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"),
+    ).filter(F.col("c_custkey") < 300)
+    s = (
+        load(spark, sf_dir, "customer")
+        .select(F.expr("nullif(c_mktsegment, 'BUILDING')").alias("sseg"))
+        .groupBy("sseg")
+        .agg(F.count(F.lit(1)).alias("seg_n"))
+    )
+    return (
+        c.join(F.broadcast(s), c.seg.eqNullSafe(s.sseg))
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("seg"), F.lit("<null>")).alias("seg_key"),
+            bigint(F.col("seg_n")).alias("seg_population"),
+        )
+    )
+
+
+@op(
+    "multimodal_image_symmetry_score",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, (doc_id % 13) + 1 AS h, y.y AS y, x.x AS x
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 13)) AS y) y
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+  WHERE y.y < (doc_id % 13) + 1
+),
+d AS (
+  SELECT doc_id, h,
+         abs(
+           ((doc_id * 31 + ((y * 16 + x) * 3 + 0)) % 256)
+           - ((doc_id * 31 + ((y * 16 + (15 - x)) * 3 + 0)) % 256)
+         ) AS dr
+  FROM px
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(dr) AS BIGINT) AS abs_diff_sum,
+       CAST(1000000 * sum(dr) // (count(*) * 255) AS BIGINT)
+         AS asymmetry_ppm
+FROM d GROUP BY doc_id
+""",
+    category=CAT,
+)
+def multimodal_image_symmetry_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal-mirror symmetry score over the REAL PPM decode: mean
+    absolute red-channel difference between each pixel and its
+    mirrored column (left half vs flipped right half), normalized to
+    exact ppm of full scale — near-zero marks mirrored/symmetric
+    content (logos, borders, flipped-augmentation dupes the pHash op
+    can miss because aHash is mirror-sensitive).  The oracle replays
+    the deterministic pixel lattice; the Spark side flips actual
+    decoded pixel arrays with numpy.
+
+    Scale: map-only mapInPandas, constant state per image."""
+    import numpy as np
+
+    from trip_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _encode_ppm,
+    )
+
+    def sym(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n_pairs", "abs_diff_sum", "asymmetry_ppm"]
+        out = {k: [] for k in cols}
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                img = _decode_ppm(_encode_ppm(int(d)))
+                w, h = img["width"], img["height"]
+                px = (np.frombuffer(bytes(img["px"]), dtype=np.uint8)
+                      .astype(np.int64).reshape(h, w, 3))
+                red = px[:, :, 0]
+                half = w // 2
+                left = red[:, :half]
+                right = np.flip(red[:, w - half:], axis=1)
+                diff = np.abs(left - right)
+                s = int(diff.sum())
+                n = int(diff.size)
+                out["doc_id"].append(int(d))
+                out["n_pairs"].append(n)
+                out["abs_diff_sum"].append(s)
+                out["asymmetry_ppm"].append(1_000_000 * s // (n * 255))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in cols}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        sym,
+        schema=(
+            "doc_id bigint, n_pairs bigint, abs_diff_sum bigint,"
+            " asymmetry_ppm bigint"
+        ),
+    )
+
+
+@op(
+    "parts_single_source_risk",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS pk,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+banded AS (
+  SELECT CASE WHEN n_suppliers = 1 THEN 1
+              WHEN n_suppliers = 2 THEN 2 ELSE 3 END AS supplier_band,
+         cents
+  FROM ps
+)
+SELECT CAST(supplier_band AS BIGINT) AS supplier_band,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(1000000 * sum(cents) // sum(sum(cents)) OVER () AS BIGINT)
+         AS revenue_share_ppm
+FROM banded GROUP BY supplier_band
+""",
+    category=CAT,
+)
+def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk: parts banded by how many distinct
+    suppliers actually shipped them (1 / 2 / 3+), with the revenue
+    mass riding each band — the concentration-risk table procurement
+    reads before a resilience push ('X% of revenue moves through
+    single-sourced parts'), the supply-side mirror of the HHI demand
+    view.
+
+    Scale: one part-keyed agg with an exact distinct-supplier count
+    (two-level, no global distinct) + the revenue sum in the same
+    pass, then a 3-row band rollup."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    ps = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("cents"),
+    )
+    banded = ps.select(
+        F.when(F.col("n_suppliers") == 1, 1)
+        .when(F.col("n_suppliers") == 2, 2)
+        .otherwise(3)
+        .alias("supplier_band"),
+        "cents",
+    )
+    per = banded.groupBy("supplier_band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    return per.select(
+        bigint(F.col("supplier_band")).alias("supplier_band"),
+        bigint(F.col("n_parts")).alias("n_parts"),
+        bigint(F.col("revenue_cents")).alias("revenue_cents"),
+        F.sum("revenue_cents").over(Window.partitionBy()).alias("_tot"),
+    ).select(
+        "supplier_band",
+        "n_parts",
+        "revenue_cents",
+        bigint(F.expr("1000000 * revenue_cents div _tot")).alias(
+            "revenue_share_ppm"
+        ),
+    )
