@@ -1767,3 +1767,34 @@ def test_single_source_risk_one_fact_pass(spark):
     p = _exec_plan(spark, "parts_single_source_risk")
     assert "Join" not in p, p
     assert p.count("Scan parquet") == 1, p
+
+
+def test_local_clustering_oriented_wedge(spark):
+    """Local clustering: the same oriented equi-join cascade as the
+    triangle op — no cartesian; constant band output."""
+    p = _exec_plan(spark, "graph_local_clustering")
+    assert "CartesianProduct" not in p, p
+
+
+def test_winsorize_keyonly_bounds_broadcast_back(spark):
+    """Winsorize: bounds come from a key-only sort; the 1-row bounds
+    broadcast back; the clamp is map-side."""
+    p = _exec_plan(spark, "events_winsorize_int")
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p or "BroadcastHashJoin" in p, p
+    assert p.count("Window [") <= 2, p
+
+
+def test_duplicate_invoices_blocked_pairs(spark):
+    """Duplicate invoices: pairs form only inside the (custkey, cents)
+    equi-join block — never a cartesian; the date window is residual."""
+    p = _exec_plan(spark, "dq_duplicate_invoices")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_offset_fetch_bounded_take(spark):
+    """OFFSET/FETCH must compile to a bounded global take, never a
+    full-sort materialization."""
+    p = _exec_plan(spark, "sql_offset_fetch")
+    assert "TakeOrderedAndProject" in p or "CollectLimit" in p, p
+    assert "Exchange rangepartitioning" not in p, p

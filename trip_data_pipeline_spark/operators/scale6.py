@@ -5860,3 +5860,273 @@ def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share_ppm"
         ),
     )
+
+
+@op(
+    "graph_local_clustering",
+    oracle=f"""
+WITH op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+o AS (SELECT e.src AS u, e.dst AS v
+      FROM e JOIN deg du ON du.node = e.src JOIN deg dv ON dv.node = e.dst
+      WHERE du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM o e1
+        JOIN o e2 ON e2.u = e1.v
+        JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri),
+ntri AS (SELECT node, count(*) AS n_tri FROM nodes GROUP BY node),
+cc AS (
+  SELECT deg.node, deg.d,
+         1000000 * 2 * coalesce(ntri.n_tri, 0) // (deg.d * (deg.d - 1))
+           AS cc_ppm
+  FROM deg LEFT JOIN ntri ON ntri.node = deg.node
+  WHERE deg.d >= 2
+)
+SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(cc_ppm) // count(*) AS BIGINT) AS mean_cc_ppm,
+       CAST(max(cc_ppm) AS BIGINT) AS max_cc_ppm
+FROM cc GROUP BY 1
+""",
+    category=CAT,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient by degree band: per node,
+    cc = 2*triangles / (deg*(deg-1)) in exact ppm, summarized as
+    mean/max per log2-degree bucket — the clustering-vs-degree plot
+    every graph paper shows (flat = random graph, falling = hierarchy),
+    using the SAME degree-ordered triangle orientation as
+    graph_triangle_count so each triangle counts once per member node.
+
+    Scale: the oriented wedge join bounds work at O(m^1.5) exactly as
+    the triangle op argues; everything after the per-node triangle
+    count runs on node-sized rows, and the report is <= 64 bands."""
+    from trip_data_pipeline_spark.operators.graph import _copart_edges
+
+    e = _copart_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("src").alias("u_"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v_"), F.col("d").alias("dv"))
+    o = (
+        e.join(du, e.src == du.u_)
+        .join(dv, e.dst == dv.v_)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    ntri = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    cc = (
+        deg.filter(F.col("d") >= 2)
+        .join(ntri, deg.src == ntri.node, "left")
+        .select(
+            "d",
+            F.expr(
+                "1000000 * 2 * coalesce(n_tri, 0) div (d * (d - 1))"
+            ).alias("cc_ppm"),
+        )
+    )
+    bucket = (F.length(F.bin(F.col("d"))) - 1).cast("bigint")
+    return cc.groupBy(bucket.alias("log2_degree")).agg(
+        bigint(F.count(F.lit(1))).alias("n_nodes"),
+        bigint(F.expr("sum(cc_ppm) div count(1)")).alias("mean_cc_ppm"),
+        bigint(F.max("cc_ppm")).alias("max_cc_ppm"),
+    )
+
+
+@op(
+    "events_winsorize_int",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (ORDER BY cents, event_type) AS rn,
+         count(*) OVER () AS n
+  FROM v
+),
+bounds AS (
+  SELECT min(CASE WHEN 20 * rn >= n THEN cents END) AS p05,
+         min(CASE WHEN 20 * rn >= 19 * n THEN cents END) AS p95
+  FROM ranked
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_raw_cents,
+       CAST(sum(greatest(least(cents, p95), p05)) AS BIGINT)
+         AS sum_winsorized_cents,
+       CAST(sum(CASE WHEN cents < p05 OR cents > p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped
+FROM v CROSS JOIN bounds
+GROUP BY event_type
+""",
+    category=CAT,
+)
+def events_winsorize_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization with EXACT percentile bounds: global p05/p95 of
+    the value column picked by cross-multiplied rank (20*rn >= n —
+    percentile_disc semantics, no interpolation), values clamped into
+    [p05, p95], reported per event type as raw vs winsorized sums and
+    the clamp count — the robust-preprocessing step before any
+    mean-based metric, with bounds that replay exactly (a float
+    quantile sketch would not).
+
+    Scale: one key-only global sort picks the bounds (the Pareto/gap
+    discipline), the 1-row bounds broadcast back over the stream, and
+    the clamp is map-side."""
+    ev = spread(load(spark, sf_dir, "events"))
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    ranked = v.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "event_type")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bounds = ranked.agg(
+        F.min(F.when(20 * F.col("rn") >= F.col("n"), F.col("cents"))).alias(
+            "p05"
+        ),
+        F.min(
+            F.when(20 * F.col("rn") >= 19 * F.col("n"), F.col("cents"))
+        ).alias("p95"),
+    )
+    clamped = F.greatest(F.least(F.col("cents"), F.col("p95")), F.col("p05"))
+    return (
+        v.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_events"),
+            bigint(F.sum("cents")).alias("sum_raw_cents"),
+            bigint(F.sum(clamped)).alias("sum_winsorized_cents"),
+            bigint(
+                F.sum(
+                    F.when(
+                        (F.col("cents") < F.col("p05"))
+                        | (F.col("cents") > F.col("p95")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("n_clamped"),
+        )
+    )
+
+
+@op(
+    "dq_duplicate_invoices",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+)
+SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       a.o_custkey AS custkey,
+       CAST(a.cents AS BIGINT) AS cents,
+       CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS days_apart
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+ AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', a.d, b.d)) <= 7
+""",
+    category=CAT,
+)
+def dq_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice audit: order pairs from the SAME customer
+    with the IDENTICAL total (exact cents) within 7 days — the
+    double-billing / double-submission pattern finance reconciliation
+    hunts (exact-amount coincidence within a window is the standard
+    heuristic).  Pair formation blocks on (customer, cents) — the
+    dedup band-join discipline — so only same-key groups ever meet;
+    the date window is a residual filter.
+
+    Scale: self-join keyed on (custkey, cents): group sizes are tiny
+    (amount collisions within one customer), identical in shape to
+    the URL-canonical and truncated-variant dedup blocks."""
+    o = spread(load(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_custkey").alias("custkey"),
+        "cents",
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_custkey").alias("custkey"),
+        "cents",
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, ["custkey", "cents"])
+        .filter(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.abs(F.datediff(F.col("da"), F.col("db"))) <= 7)
+        )
+        .select(
+            "order_a",
+            "order_b",
+            "custkey",
+            bigint(F.col("cents")).alias("cents"),
+            bigint(F.abs(F.datediff(F.col("db"), F.col("da")))).alias(
+                "days_apart"
+            ),
+        )
+    )
+
+
+@op(
+    "sql_offset_fetch",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 30
+""",
+    category="2.8 scalar functions",
+)
+def sql_offset_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-less pagination surface: ORDER BY ... LIMIT 15 OFFSET 30
+    (page 3 of a 15-row listing, deterministic orderkey tiebreak) —
+    the SQL pagination every BI tool emits.  The docstring carries the
+    scale caveat the op exists to teach: OFFSET n scans and discards n
+    rows per page, so deep pagination at 100 TB belongs to keyset
+    (WHERE key > last_seen) pagination; this op is the surface, the
+    limit_topk family is the plan discipline.
+
+    Scale: Spark compiles limit+offset to a bounded global take
+    (CollectLimit with offset), not a full sort materialization."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pg")
+    return spark.sql(
+        """
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS total
+FROM orders_pg
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 30
+"""
+    )
