@@ -53,6 +53,7 @@ PYTHON_OK = {
     "multimodal_tile_watermark_detect",  # consumes the tiles decode
     "multimodal_aspect_buckets",  # mapInPandas dim decode is the op
     "multimodal_image_symmetry_score",  # mapInPandas decode + flip
+    "dedup_phash_banded",  # mapInPandas phash feeds the band join
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1798,3 +1799,25 @@ def test_offset_fetch_bounded_take(spark):
     p = _exec_plan(spark, "sql_offset_fetch")
     assert "TakeOrderedAndProject" in p or "CollectLimit" in p, p
     assert "Exchange rangepartitioning" not in p, p
+
+
+def test_phash_banded_lsh_equijoin(spark):
+    """pHash near-dup: band equi-join on 16-bit keys, never cartesian;
+    exact verify only on candidates."""
+    p = _exec_plan(spark, "dedup_phash_banded")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_burstiness_mergeable_rollup(spark):
+    """Burstiness: (term, doc) count then term rollup — no join."""
+    p = _exec_plan(spark, "text_term_burstiness")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_gap_histogram_one_sort_constant_output(spark):
+    """Gap histogram: one user window, <= 64-bucket rollup."""
+    p = _exec_plan(spark, "events_gap_log2_histogram")
+    assert "Join" not in p, p
+    assert p.count("Window [") == 1, p

@@ -6130,3 +6130,240 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 15 OFFSET 30
 """
     )
+
+
+@op(
+    "dedup_phash_banded",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, t.i AS i,
+         ((t.i // 8) * ((doc_id % 13) + 1)) // 8 AS gy,
+         (t.i % 8) * 2 AS gx
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+  WHERE doc_id % 10 = 0
+),
+cells AS (
+  SELECT doc_id, i,
+         (doc_id * 31 + (gy * 16 + gx) * 3) % 256
+         + (doc_id * 31 + (gy * 16 + gx) * 3 + 1) % 256
+         + (doc_id * 31 + (gy * 16 + gx) * 3 + 2) % 256 AS cell
+  FROM g
+),
+b AS (SELECT doc_id, i, cell,
+             sum(cell) OVER (PARTITION BY doc_id) AS total FROM cells),
+ph AS (SELECT doc_id,
+              string_agg(CASE WHEN 64 * cell > total THEN '1' ELSE '0' END,
+                         '' ORDER BY i) AS bits
+       FROM b GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, substr(bits, bi.b * 16 + 1, 16) AS band,
+         bi.b AS band_idx, bits
+  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.bits AS ba, y.bits AS bb
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band = y.band AND x.doc_id < y.doc_id
+),
+ham AS (
+  SELECT a, b,
+         (SELECT count(*) FROM unnest(range(1, 65)) t(i)
+          WHERE substr(ba, i, 1) <> substr(bb, i, 1)) AS ham
+  FROM cand
+)
+SELECT a, b, CAST(ham AS BIGINT) AS hamming
+FROM ham WHERE ham <= 6
+""",
+    category=CAT,
+)
+def dedup_phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by pHash banding — the image
+    analog of the SimHash text dedup: each 64-bit aHash (same real-
+    decode derivation as multimodal_image_phash) splits into 4x16-bit
+    bands, candidates collide on any band (16 surviving bits bound the
+    false-candidate rate), pairs dedupe across bands, and exact
+    Hamming <= 6 confirms.  Runs on the doc_id % 10 == 0 sample with
+    the sample predicate applied BEFORE the decode (pushdown a
+    post-mapInPandas filter could never get).
+
+    Scale: band equi-join on 16-bit keys — the LSH blocking shape
+    shared with MinHash/SimHash; the exact-verify compares 64-char
+    strings only for candidates."""
+    import numpy as np
+
+    from trip_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _encode_ppm,
+    )
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "bits": []}
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                f = _decode_ppm(_encode_ppm(int(d)))
+                w, h = f["width"], f["height"]
+                px = (
+                    np.frombuffer(bytes(f["px"]), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                gy = (np.arange(8)[:, None] * h) // 8
+                gx = np.arange(8)[None, :] * 2
+                cell = px[gy, gx, :].sum(axis=2).ravel()
+                bits = "".join(
+                    "1" if 64 * c > cell.sum() else "0" for c in cell
+                )
+                out["doc_id"].append(int(d))
+                out["bits"].append(bits)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    ph = docs.mapInPandas(phash, schema="doc_id bigint, bits string")
+    bands = ph.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(4)])
+        ).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "bits",
+        "band_idx",
+        F.expr("substr(bits, band_idx * 16 + 1, 16)").alias("band"),
+    )
+    x = bands.select(
+        F.col("doc_id").alias("a"),
+        F.col("bits").alias("ba"),
+        "band_idx",
+        "band",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("b"),
+        F.col("bits").alias("bb"),
+        "band_idx",
+        "band",
+    )
+    cand = (
+        x.join(y, ["band_idx", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ba", "bb")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("ba", ""),
+                F.split("bb", ""),
+                lambda p, q: p != q,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .select("a", "b", bigint(F.col("hamming")).alias("hamming"))
+    )
+
+
+@op(
+    "text_term_burstiness",
+    oracle=f"""
+WITH tf AS (
+  SELECT w, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_duck_words()}) AS w FROM documents)
+  GROUP BY w, doc_id
+)
+SELECT w AS term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(1000000 * sum(tf) // count(*) AS BIGINT) AS mean_tf_ppm,
+       CAST(1000000 * max(tf) // sum(tf) AS BIGINT) AS max_doc_share_ppm
+FROM tf GROUP BY w
+HAVING sum(tf) >= 50
+""",
+    category=CAT,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995's dispersion question in
+    exact integers): per term with >= 50 occurrences, document
+    frequency, total frequency, mean occurrences-per-containing-doc
+    (ppm), and the share of the term's mass sitting in its single
+    heaviest doc — a high max-doc share marks bursty/topical terms
+    (and template artifacts) that df alone scores like evenly-spread
+    function words; the signal behind burst-aware TF weighting.
+
+    Scale: the same (term, doc) partial/final count as the index
+    build, then a term rollup — mergeable max/sum/count state."""
+    tok = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        "doc_id", F.explode(_words()).alias("w")
+    )
+    tf = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .filter(F.col("total_tf") >= 50)
+        .select(
+            "term",
+            bigint(F.col("df")).alias("df"),
+            bigint(F.col("total_tf")).alias("total_tf"),
+            bigint(F.expr("1000000 * total_tf div df")).alias("mean_tf_ppm"),
+            bigint(F.expr("1000000 * max_tf div total_tf")).alias(
+                "max_doc_share_ppm"
+            ),
+        )
+    )
+
+
+@op(
+    "events_gap_log2_histogram",
+    oracle="""
+WITH g AS (
+  SELECT epoch_us(ts)
+         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+           AS gap_us
+  FROM events
+)
+SELECT CAST(length(bin(gap_us // 1000000 + 1)) - 1 AS BIGINT)
+         AS log2_gap_s,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY 1
+""",
+    category=CAT,
+)
+def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution: per-user consecutive-event gaps
+    histogrammed into log2 whole-second buckets — the
+    exponentiality check behind every sessionization threshold (the
+    30-minute gap the session ops hard-code is defensible exactly when
+    this histogram shows a valley there) and the empirical input to
+    retry/timeout tuning.
+
+    Scale: one user-keyed window sort for the gap stream, then a
+    constant <= 64-bucket rollup."""
+    ev = spread(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .select((F.col("us") - F.lag("us").over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    )
+    bucket = (
+        F.length(F.bin(F.expr("gap_us div 1000000 + 1"))) - 1
+    ).cast("bigint")
+    return g.groupBy(bucket.alias("log2_gap_s")).agg(
+        bigint(F.count(F.lit(1))).alias("n_gaps"),
+        bigint(F.min("gap_us")).alias("min_gap_us"),
+        bigint(F.max("gap_us")).alias("max_gap_us"),
+    )
