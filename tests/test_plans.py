@@ -1821,3 +1821,25 @@ def test_gap_histogram_one_sort_constant_output(spark):
     p = _exec_plan(spark, "events_gap_log2_histogram")
     assert "Join" not in p, p
     assert p.count("Window [") == 1, p
+
+
+def test_trigram_profile_rank_pushdown(spark):
+    """Char-trigram profile: map-side trigram explosion, (lang, gram)
+    count, per-lang top-10 with rank pushdown."""
+    p = _exec_plan(spark, "text_char_trigram_profile")
+    assert "Join" not in p, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_explode_outer_is_generator(spark):
+    """explode_outer: a generator node (outer), no shuffle."""
+    p = _exec_plan(spark, "array_explode_outer")
+    assert "Generate explode" in p and "true" in p.lower(), p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_order_size_constant_rollup(spark):
+    """Order-size distribution: orderkey agg then <= 7-row rollup."""
+    p = _exec_plan(spark, "orders_order_size_distribution")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p

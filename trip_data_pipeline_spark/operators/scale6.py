@@ -6367,3 +6367,163 @@ def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.min("gap_us")).alias("min_gap_us"),
         bigint(F.max("gap_us")).alias("max_gap_us"),
     )
+
+
+@op(
+    "text_char_trigram_profile",
+    oracle=f"""
+WITH n AS (SELECT lang, {_duck_norm()} AS t FROM documents),
+tri AS (
+  SELECT lang, substr(t, i.i, 3) AS g
+  FROM n CROSS JOIN (SELECT unnest(range(1, 4001)) AS i) i
+  WHERE i.i + 2 <= length(t) AND substr(t, i.i, 3) NOT LIKE '% %'
+),
+c AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
+rk AS (
+  SELECT lang, g, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+  FROM c
+)
+SELECT lang, CAST(rn AS BIGINT) AS rank, g AS trigram,
+       CAST(c AS BIGINT) AS n_occurrences
+FROM rk WHERE rn <= 10
+""",
+    category=CAT,
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language signature (the TextCat / n-gram-
+    profile method, Cavnar & Trenkle 1994): top-10 space-free char
+    trigrams per language by count — the classifier feature table the
+    marker-word lang-ID op approximates, built at the CHARACTER level
+    where the word ops cannot see (diacritic and orthography patterns
+    live here on real corpora).  Position cap 4000 bounds the
+    per-doc work identically in both engines.
+
+    Scale: map-side trigram explosion (position HOF), one (lang,
+    gram) partial/final count, rank-pushdown top-10 per language."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).select(
+        "lang", _norm().alias("t")
+    )
+    tri = d.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.length("t") - 2, F.lit(4000)),
+                    ),
+                    lambda i: F.col("t").substr(i, F.lit(3)),
+                ),
+                lambda g: ~g.contains(" "),
+            )
+        ).alias("g"),
+    ).filter(F.length("t") >= 3)
+    c = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    rk = c.select(
+        "lang",
+        "g",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.col("c").desc(), "g"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 10)
+    return rk.select(
+        "lang",
+        bigint(F.col("rn")).alias("rank"),
+        F.col("g").alias("trigram"),
+        bigint(F.col("c")).alias("n_occurrences"),
+    )
+
+
+@op(
+    "array_explode_outer",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter({_duck_words()}, x -> x = 'nonexistent_zz') AS hits
+  FROM documents WHERE doc_id < 50
+),
+x AS (
+  SELECT doc_id, unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END)
+           AS hit
+  FROM d
+)
+SELECT doc_id, coalesce(hit, '<none>') AS hit,
+       CAST(CASE WHEN hit IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+FROM x
+""",
+    category="2.8 scalar functions",
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer NULL semantics: rows whose array is EMPTY survive
+    the explode as a single NULL row — the LEFT-JOIN-like flattening
+    every "find matches but keep non-matching parents" query needs
+    (plain explode silently drops empty-array parents, the classic
+    row-loss bug).  The filter here matches nothing, so every parent
+    row exercises the outer path; DuckDB lacks unnest-outer and
+    emulates with a CASE-to-[NULL] wrap, which is exactly the
+    documented rewrite for engines without it.
+
+    Scale: map-side — explode_outer is a generator, no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.filter(_words(), lambda x: x == "nonexistent_zz").alias("hits"),
+    )
+    x = d.select("doc_id", F.explode_outer("hits").alias("hit"))
+    return x.select(
+        "doc_id",
+        F.coalesce(F.col("hit"), F.lit("<none>")).alias("hit"),
+        bigint(F.when(F.col("hit").isNull(), 0).otherwise(1)).alias("matched"),
+    )
+
+
+@op(
+    "orders_order_size_distribution",
+    oracle="""
+WITH sz AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       CAST(1000000 * count(*) // sum(count(*)) OVER () AS BIGINT)
+         AS order_share_ppm
+FROM sz GROUP BY n_lines
+""",
+    category=CAT,
+)
+def orders_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders histogrammed by line count
+    (TPC-H caps at 7, so the output is constant-size) with quantity
+    mass and exact order-share ppm per size — the order-profile table
+    behind picking/packing capacity models and the fan-out estimate
+    for any order-keyed join (expected lines per order is read
+    straight off it).
+
+    Scale: orderkey agg then a constant-size rollup; the share window
+    runs on <= 7 rows."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    sz = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("qty"),
+    )
+    per = sz.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("qty").alias("total_qty"),
+    )
+    return per.select(
+        bigint(F.col("n_lines")).alias("n_lines"),
+        bigint(F.col("n_orders")).alias("n_orders"),
+        bigint(F.col("total_qty")).alias("total_qty"),
+        F.sum("n_orders").over(Window.partitionBy()).alias("_tot"),
+    ).select(
+        "n_lines",
+        "n_orders",
+        "total_qty",
+        bigint(F.expr("1000000 * n_orders div _tot")).alias(
+            "order_share_ppm"
+        ),
+    )
