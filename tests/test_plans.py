@@ -54,6 +54,7 @@ PYTHON_OK = {
     "multimodal_aspect_buckets",  # mapInPandas dim decode is the op
     "multimodal_image_symmetry_score",  # mapInPandas decode + flip
     "dedup_phash_banded",  # mapInPandas phash feeds the band join
+    "multimodal_grayscale_detect",  # mapInPandas moment sums
     # numpy MinHash/SimHash folds: interpreted HOF lambdas measured
     # 17 s (64-perm min-fold) / ~25 s (56-bit vote fold) vs ~2 s Arrow
     # at 10x (docs/SCALE.md crossover note)
@@ -1843,3 +1844,25 @@ def test_order_size_constant_rollup(spark):
     p = _exec_plan(spark, "orders_order_size_distribution")
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_metronome_copartitioned_aggregates(spark):
+    """Metronome: (user, gap) count, top-1 rank pushdown, and the
+    user-keyed join of two aggregates of the same keyed data."""
+    p = _exec_plan(spark, "events_metronome_score")
+    assert "CartesianProduct" not in p, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_grayscale_detect_map_only(spark):
+    """Grayscale detection: map-only mapInPandas — zero exchanges."""
+    p = _exec_plan(spark, "multimodal_grayscale_detect")
+    assert "Exchange" not in p, p
+
+
+def test_existence_flags_one_fact_shuffle(spark):
+    """Existence flags: ONE orderkey join + agg answers three EXISTS
+    questions — not three semi-joins (1 fact scan, <= 3 exchanges)."""
+    p = _exec_plan(spark, "join_existence_flags")
+    assert p.count("Scan parquet") == 2, p  # orders + lineitem, once each
+    assert "LeftSemi" not in p, p

@@ -6527,3 +6527,251 @@ def orders_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             "order_share_ppm"
         ),
     )
+
+
+@op(
+    "events_metronome_score",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap_s
+  FROM events
+),
+c AS (
+  SELECT user_id, gap_s, count(*) AS c
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id, gap_s
+),
+tot AS (SELECT user_id, sum(c) AS n_gaps FROM c GROUP BY user_id),
+rk AS (
+  SELECT user_id, gap_s, c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, gap_s) AS rn
+  FROM c
+)
+SELECT rk.user_id,
+       CAST(tot.n_gaps AS BIGINT) AS n_gaps,
+       CAST(rk.gap_s AS BIGINT) AS top_gap_s,
+       CAST(rk.c AS BIGINT) AS top_gap_count,
+       CAST(1000000 * rk.c // tot.n_gaps AS BIGINT) AS top_gap_share_ppm
+FROM rk JOIN tot ON tot.user_id = rk.user_id
+WHERE rk.rn = 1
+""",
+    category=CAT,
+)
+def events_metronome_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metronome (periodicity) score: each user's modal whole-second
+    inter-event gap and the share of all their gaps it accounts for,
+    in exact ppm — humans are bursty, cron jobs are metronomic, and a
+    top-gap share near 10^6 is the cadence signal the burst/night/
+    diversity rules in events_bot_score cannot see (a slow, perfectly
+    regular scraper never bursts).  Modal gap picks deterministically
+    by (count desc, gap asc).
+
+    Scale: one user-keyed window for the gap stream, a (user, gap)
+    count, a rank-pushdown top-1 per user, and a user-keyed join of
+    two aggregates of the SAME keyed data (co-partitioned)."""
+    ev = spread(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .select(
+            "user_id",
+            F.expr(
+                "(us - lag(us) over (partition by user_id"
+                " order by us, event_id)) div 1000000"
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    c = g.groupBy("user_id", "gap_s").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.groupBy("user_id").agg(F.sum("c").alias("n_gaps"))
+    rk = c.select(
+        "user_id",
+        "gap_s",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(F.col("c").desc(), "gap_s")
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return rk.join(tot, "user_id").select(
+        "user_id",
+        bigint(F.col("n_gaps")).alias("n_gaps"),
+        bigint(F.col("gap_s")).alias("top_gap_s"),
+        bigint(F.col("c")).alias("top_gap_count"),
+        bigint(F.expr("1000000 * c div n_gaps")).alias("top_gap_share_ppm"),
+    )
+
+
+@op(
+    "multimodal_grayscale_detect",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, (doc_id % 13) + 1 AS h, y.y AS y, x.x AS x,
+         (doc_id * 31 + ((y.y * 16 + x.x) * 3 + 0)) % 256 AS r,
+         (doc_id * 31 + ((y.y * 16 + x.x) * 3 + 1)) % 256 AS g
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 13)) AS y) y
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+  WHERE y.y < (doc_id % 13) + 1
+),
+m AS (
+  SELECT doc_id,
+         count(*) AS n,
+         sum(r) AS sr, sum(g) AS sg,
+         sum(r * r) AS srr, sum(g * g) AS sgg, sum(r * g) AS srg
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_px,
+       CAST(floor(1000000.0 * (n * srg - sr * sg)
+            / sqrt(CAST((n * srr - sr * sr) AS DOUBLE)
+                   * (n * sgg - sg * sg))) AS BIGINT) AS rg_corr_ppm,
+       CAST(CASE WHEN 1000000.0 * (n * srg - sr * sg)
+                      / sqrt(CAST((n * srr - sr * sr) AS DOUBLE)
+                             * (n * sgg - sg * sg)) > 990000
+                 THEN 1 ELSE 0 END AS BIGINT) AS grayscale_like
+FROM m
+""",
+    category=CAT,
+)
+def multimodal_grayscale_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale-stored-as-RGB detection over the real PPM decode:
+    Pearson correlation between the R and G channel samples (exact
+    integer moment sums; the single sqrt runs on integers well below
+    2^53, so the double is the same in both engines), floored to ppm —
+    corr near 10^6 means the three channels carry one channel's
+    information and the image can be stored/processed at a third the
+    cost.  The left-half sample of the channel-stats op's discipline,
+    extended to a second moment.
+
+    Scale: map-only mapInPandas computing the six moment sums,
+    constant state per image."""
+    import numpy as np
+
+    from trip_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _encode_ppm,
+    )
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n_px", "rg_corr_ppm", "grayscale_like"]
+        out = {k: [] for k in cols}
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                f = _decode_ppm(_encode_ppm(int(d)))
+                w, h = f["width"], f["height"]
+                px = (
+                    np.frombuffer(bytes(f["px"]), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                r = px[:, :, 0].ravel()
+                g = px[:, :, 1].ravel()
+                n = len(r)
+                num = n * int((r * g).sum()) - int(r.sum()) * int(g.sum())
+                d1 = n * int((r * r).sum()) - int(r.sum()) ** 2
+                d2 = n * int((g * g).sum()) - int(g.sum()) ** 2
+                import math
+
+                corr = math.floor(1000000.0 * num / math.sqrt(float(d1) * d2))
+                out["doc_id"].append(int(d))
+                out["n_px"].append(n)
+                out["rg_corr_ppm"].append(corr)
+                out["grayscale_like"].append(
+                    1 if 1000000.0 * num / math.sqrt(float(d1) * d2) > 990000
+                    else 0
+                )
+            yield pd.DataFrame(out)
+            out = {k: [] for k in cols}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        moments,
+        schema=(
+            "doc_id bigint, n_px bigint, rg_corr_ppm bigint,"
+            " grayscale_like bigint"
+        ),
+    )
+
+
+@op(
+    "join_existence_flags",
+    oracle="""
+WITH flags AS (
+  SELECT o.o_orderkey,
+         year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+         max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return,
+         max(CASE WHEN l.l_quantity >= 45 THEN 1 ELSE 0 END) AS has_bulk,
+         max(CASE WHEN l.l_discount >= 0.08 THEN 1 ELSE 0 END)
+           AS has_deep_discount
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, year(o.o_orderdate) * 100 + month(o.o_orderdate)
+)
+SELECT CAST(ym AS BIGINT) AS ym,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(has_return) AS BIGINT) AS n_with_return,
+       CAST(sum(has_bulk) AS BIGINT) AS n_with_bulk,
+       CAST(sum(has_deep_discount) AS BIGINT) AS n_with_deep_discount,
+       CAST(sum(has_return * has_bulk * has_deep_discount) AS BIGINT)
+         AS n_all_three
+FROM flags GROUP BY ym
+""",
+    category="2.3 joins",
+)
+def join_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-existence flags in ONE pass: three EXISTS-style questions
+    (any returned line? any bulk line? any deeply discounted line?)
+    answered as max(CASE) flags over a single fact join + group-by —
+    where the naive formulation runs three separate semi-joins
+    (3 fact shuffles); the flag form also yields the conjunction
+    (orders hitting all three) for free, which semi-joins cannot
+    compose without a fourth pass.
+
+    Scale: one orderkey-keyed join + agg (both sides keyed on the
+    join key), then a month rollup — 1 fact shuffle instead of 3."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+    )
+    li = spread(load(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_discount"
+    )
+    flags = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "ym")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_return"),
+            F.max(
+                F.when(F.col("l_quantity") >= 45, 1).otherwise(0)
+            ).alias("has_bulk"),
+            F.max(
+                F.when(F.col("l_discount") >= 0.08, 1).otherwise(0)
+            ).alias("has_deep_discount"),
+        )
+    )
+    return flags.groupBy("ym").agg(
+        bigint(F.count(F.lit(1))).alias("n_orders"),
+        bigint(F.sum("has_return")).alias("n_with_return"),
+        bigint(F.sum("has_bulk")).alias("n_with_bulk"),
+        bigint(F.sum("has_deep_discount")).alias("n_with_deep_discount"),
+        bigint(
+            F.sum(
+                F.col("has_return")
+                * F.col("has_bulk")
+                * F.col("has_deep_discount")
+            )
+        ).alias("n_all_three"),
+    ).select(
+        bigint(F.col("ym")).alias("ym"),
+        "n_orders",
+        "n_with_return",
+        "n_with_bulk",
+        "n_with_deep_discount",
+        "n_all_three",
+    )
