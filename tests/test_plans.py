@@ -1866,3 +1866,19 @@ def test_existence_flags_one_fact_shuffle(spark):
     p = _exec_plan(spark, "join_existence_flags")
     assert p.count("Scan parquet") == 2, p  # orders + lineitem, once each
     assert "LeftSemi" not in p, p
+
+
+def test_dow_hour_heatmap_constant_windows(spark):
+    """Heatmap: one (dow, hod) agg; share/rank windows run on the 7x24
+    grid; no join."""
+    p = _exec_plan(spark, "events_demand_dow_hour")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_unit_price_outliers_copartitioned_rejoin(spark):
+    """Unit-price audit: median from a part-keyed window, deviation
+    count from a re-join of the SAME part-keyed data; no cartesian."""
+    p = _exec_plan(spark, "dq_unit_price_outliers")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window [") >= 1, p

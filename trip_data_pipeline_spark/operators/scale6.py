@@ -6775,3 +6775,141 @@ def join_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_with_deep_discount",
         "n_all_three",
     )
+
+
+@op(
+    "events_demand_dow_hour",
+    oracle="""
+WITH e AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         epoch_us(ts) // 3600000000 % 24 AS hod
+  FROM events
+),
+c AS (SELECT dow, hod, count(*) AS n FROM e GROUP BY dow, hod)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(1000000 * n // sum(n) OVER () AS BIGINT) AS share_ppm,
+       CAST(rank() OVER (ORDER BY n DESC, dow, hod) AS BIGINT)
+         AS demand_rank
+FROM c
+""",
+    category=CAT,
+)
+def events_demand_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-of-week x hour-of-day demand heatmap (THE canonical
+    taxi-demand figure): per (dow, hod) cell, count, exact corpus
+    share ppm, and global demand rank — dow derived arithmetically
+    from the epoch day (1970-01-01 + 4 ≡ Thursday-anchored, identical
+    in both engines; no locale-dependent dayofweek()), which is the
+    portability trick the op exists to record.
+
+    Scale: one (dow, hod) partial/final agg; the share/rank windows
+    run on the constant 7x24 grid."""
+    ev = spread(load(spark, sf_dir, "events"))
+    c = ev.select(
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+        F.expr("unix_micros(ts) div 3600000000 % 24").alias("hod"),
+    ).groupBy("dow", "hod").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        bigint(F.col("dow")).alias("dow"),
+        bigint(F.col("hod")).alias("hod"),
+        bigint(F.col("n")).alias("n_events"),
+        F.sum("n").over(Window.partitionBy()).alias("_tot"),
+        F.rank()
+        .over(Window.orderBy(F.col("n").desc(), "dow", "hod"))
+        .alias("_rk"),
+    ).select(
+        "dow",
+        "hod",
+        "n_events",
+        bigint(F.expr("1000000 * n_events div _tot")).alias("share_ppm"),
+        bigint(F.col("_rk")).alias("demand_rank"),
+    )
+
+
+@op(
+    "dq_unit_price_outliers",
+    oracle="""
+WITH u AS (
+  SELECT l_partkey AS pk,
+         CAST(round(100 * l_extendedprice / l_quantity) AS BIGINT)
+           AS unit_cents
+  FROM lineitem WHERE l_quantity > 0
+),
+ranked AS (
+  SELECT pk, unit_cents,
+         row_number() OVER (PARTITION BY pk ORDER BY unit_cents) AS rn,
+         count(*) OVER (PARTITION BY pk) AS n
+  FROM u
+),
+med AS (
+  SELECT pk, min(n) AS n_lines,
+         min(CASE WHEN 2 * rn >= n + 1 THEN unit_cents END) AS median_cents
+  FROM ranked GROUP BY pk
+  HAVING min(n) >= 8
+)
+SELECT med.pk AS partkey,
+       CAST(med.n_lines AS BIGINT) AS n_lines,
+       CAST(med.median_cents AS BIGINT) AS median_unit_cents,
+       CAST(sum(CASE WHEN u.unit_cents > 2 * med.median_cents
+                       OR 2 * u.unit_cents < med.median_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM med JOIN u ON u.pk = med.pk
+GROUP BY med.pk, med.n_lines, med.median_cents
+HAVING sum(CASE WHEN u.unit_cents > 2 * med.median_cents
+                  OR 2 * u.unit_cents < med.median_cents
+                THEN 1 ELSE 0 END) > 0
+""",
+    category=CAT,
+)
+def dq_unit_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part unit-price anomaly audit: exact per-part MEDIAN unit
+    price (rank pick, no sketch) and the count of lines priced more
+    than 2x off it (cross-multiplied comparisons) — the pricing-feed
+    corruption detector (decimal shifts, currency mixups) that a
+    GLOBAL outlier gate misses because every part has its own price
+    level; only parts with >= 8 lines and >= 1 outlier report.
+
+    Scale: one part-keyed window sort for the median (key + one
+    metric column), then a re-join of the same part-keyed data
+    (co-partitioned) for the deviation count."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    u = li.filter(F.col("l_quantity") > 0).select(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(round(100 * l_extendedprice / l_quantity) AS BIGINT)"
+        ).alias("unit_cents"),
+    )
+    wr = Window.partitionBy("pk").orderBy("unit_cents")
+    ranked = u.select(
+        "pk",
+        "unit_cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pk")).alias("n"),
+    )
+    med = (
+        ranked.groupBy("pk")
+        .agg(
+            F.min("n").alias("n_lines"),
+            F.min(
+                F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("unit_cents"))
+            ).alias("median_cents"),
+        )
+        .filter(F.col("n_lines") >= 8)
+    )
+    j = u.join(med, "pk")
+    out = j.groupBy("pk", "n_lines", "median_cents").agg(
+        F.sum(
+            F.when(
+                (F.col("unit_cents") > 2 * F.col("median_cents"))
+                | (2 * F.col("unit_cents") < F.col("median_cents")),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers")
+    ).filter(F.col("n_outliers") > 0)
+    return out.select(
+        F.col("pk").alias("partkey"),
+        bigint(F.col("n_lines")).alias("n_lines"),
+        bigint(F.col("median_cents")).alias("median_unit_cents"),
+        bigint(F.col("n_outliers")).alias("n_outliers"),
+    )
