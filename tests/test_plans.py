@@ -1882,3 +1882,19 @@ def test_unit_price_outliers_copartitioned_rejoin(spark):
     p = _exec_plan(spark, "dq_unit_price_outliers")
     assert "CartesianProduct" not in p, p
     assert p.count("Window [") >= 1, p
+
+
+def test_quadkey_mapside_key_bounded_output(spark):
+    """Quadkey index: map-side bit-extraction key, one agg, output
+    bounded by 4^level — no join."""
+    p = _exec_plan(spark, "geo_quadkey_index")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_tier_migration_fact_touched_once(spark):
+    """Tier migration: (customer, year) agg, ntile + lead on the
+    aggregate — one fact scan, no self-join."""
+    p = _exec_plan(spark, "orders_tier_migration")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p

@@ -6913,3 +6913,146 @@ def dq_unit_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.col("median_cents")).alias("median_unit_cents"),
         bigint(F.col("n_outliers")).alias("n_outliers"),
     )
+
+
+@op(
+    "geo_quadkey_index",
+    oracle="""
+WITH pts AS (
+  SELECT ((user_id * 7919 + event_id * 13) % 17000) AS latc,
+         ((user_id * 104729 + event_id * 31) % 36000) AS lonc
+  FROM events
+),
+q AS (
+  SELECT (latc * 256) // 17000 AS qy, (lonc * 256) // 36000 AS qx
+  FROM pts
+),
+keyed AS (
+  SELECT
+    CAST(2 * ((qy // 128) % 2) + ((qx // 128) % 2) AS VARCHAR) ||
+    CAST(2 * ((qy // 64) % 2) + ((qx // 64) % 2) AS VARCHAR) ||
+    CAST(2 * ((qy // 32) % 2) + ((qx // 32) % 2) AS VARCHAR) ||
+    CAST(2 * ((qy // 16) % 2) + ((qx // 16) % 2) AS VARCHAR) AS quadkey4
+  FROM q
+)
+SELECT quadkey4,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(1000000 * count(*) // sum(count(*)) OVER () AS BIGINT)
+         AS share_ppm
+FROM keyed GROUP BY quadkey4
+HAVING count(*) >= 5
+""",
+    category="2.13 geo trip analytics",
+)
+def geo_quadkey_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey spatial indexing (the Bing-Maps tile scheme): points
+    quantized to a 256x256 grid, the y/x bits interleaved into a
+    base-4 quadkey, truncated to level 4 — quadkey PREFIX = spatial
+    containment, which is what makes it the partition/sort key for
+    spatial data at scale (prefix range scan = region query; the
+    z-order layout op is the write side of this exact trick).  All
+    arithmetic is integer div/mod bit extraction, engine-exact.
+
+    Scale: map-side key construction, one quadkey partial/final agg;
+    the level is a constant so output is bounded by 4^level."""
+    ev = load(spark, sf_dir, "events")
+    from trip_data_pipeline_spark.operators.geo import _LAT_CENTI, _LON_CENTI
+
+    q = ev.select(
+        F.expr(f"({_LAT_CENTI}) * 256 div 17000").alias("qy"),
+        F.expr(f"({_LON_CENTI}) * 256 div 36000").alias("qx"),
+    )
+    digit = lambda s: F.expr(
+        f"CAST(2 * ((qy div {s}) % 2) + ((qx div {s}) % 2) AS STRING)"
+    )
+    keyed = q.select(
+        F.concat(digit(128), digit(64), digit(32), digit(16)).alias("quadkey4")
+    )
+    c = keyed.groupBy("quadkey4").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.filter(F.col("n") >= 5)
+        .select(
+            "quadkey4",
+            bigint(F.col("n")).alias("n_points"),
+            F.sum("n").over(Window.partitionBy()).alias("_tot"),
+        )
+        .select(
+            "quadkey4",
+            "n_points",
+            bigint(F.expr("1000000 * n_points div _tot")).alias("share_ppm"),
+        )
+    )
+
+
+@op(
+    "orders_tier_migration",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, year(o_orderdate) AS y,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey, year(o_orderdate)
+),
+tiered AS (
+  SELECT o_custkey, y,
+         ntile(3) OVER (PARTITION BY y ORDER BY cents DESC, o_custkey)
+           AS tier
+  FROM rev
+),
+paired AS (
+  SELECT tier AS tier_from,
+         lead(tier) OVER w AS tier_to,
+         lead(y) OVER w AS ny, y
+  FROM tiered WINDOW w AS (PARTITION BY o_custkey ORDER BY y)
+)
+SELECT CAST(tier_from AS BIGINT) AS tier_from,
+       CAST(tier_to AS BIGINT) AS tier_to,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM paired WHERE ny = y + 1
+GROUP BY tier_from, tier_to
+""",
+    category=CAT,
+)
+def orders_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tier-migration matrix: revenue terciles per year
+    (ntile over a deterministic (cents desc, custkey) order), adjacent
+    years paired by lead() over each customer's timeline, counted into
+    the 3x3 from->to matrix — the CRM upgrade/downgrade flow view
+    (diagonal = stable, below = churn risk), the categorical
+    counterpart of the rank-movers op.
+
+    Scale: (customer, year) agg, year-keyed ntile on the aggregate,
+    customer-keyed lead — the fact is touched once; output is 9
+    cells."""
+    o = spread(load(spark, sf_dir, "orders"))
+    rev = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    tiered = rev.select(
+        "o_custkey",
+        "y",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("y").orderBy(
+                F.col("cents").desc(), F.col("o_custkey")
+            )
+        )
+        .alias("tier"),
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("y")
+    paired = tiered.select(
+        F.col("tier").alias("tier_from"),
+        F.lead("tier").over(wc).alias("tier_to"),
+        F.lead("y").over(wc).alias("ny"),
+        "y",
+    ).filter(F.col("ny") == F.col("y") + 1)
+    return paired.groupBy("tier_from", "tier_to").agg(
+        bigint(F.count(F.lit(1))).alias("n_customers")
+    ).select(
+        bigint(F.col("tier_from")).alias("tier_from"),
+        bigint(F.col("tier_to")).alias("tier_to"),
+        "n_customers",
+    )
