@@ -1898,3 +1898,19 @@ def test_tier_migration_fact_touched_once(spark):
     p = _exec_plan(spark, "orders_tier_migration")
     assert "Join" not in p, p
     assert p.count("Scan parquet") == 1, p
+
+
+def test_wordset_dedup_mapside_sort(spark):
+    """Word-set dedup: the sort happens inside each doc's own array
+    (map-side) — no corpus sort, one hash-keyed agg."""
+    p = _exec_plan(spark, "dedup_wordset_exact")
+    assert "Join" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_assortativity_broadcast_degrees_one_scan(spark):
+    """Assortativity: two broadcast degree lookups + one global moment
+    agg over the edge list."""
+    p = _exec_plan(spark, "graph_degree_assortativity")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p, p

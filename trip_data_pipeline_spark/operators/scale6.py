@@ -7056,3 +7056,126 @@ def orders_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.col("tier_to")).alias("tier_to"),
         "n_customers",
     )
+
+
+@op(
+    "dedup_wordset_exact",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         md5({_duck_norm()}) AS text_h,
+         md5(array_to_string(list_sort(list_distinct({_duck_words()})),
+                             ' ')) AS set_h
+  FROM documents
+)
+SELECT set_h AS wordset_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text_h) AS BIGINT) AS n_distinct_texts,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM d
+GROUP BY set_h
+HAVING count(DISTINCT text_h) > 1
+""",
+    category=CAT,
+)
+def dedup_wordset_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-invariant exact dedup: documents grouped by the hash
+    of their SORTED DISTINCT word set, keeping groups that contain
+    MORE THAN ONE distinct literal text — these are reordered/
+    shuffled template variants that byte-exact dedup calls unique and
+    MinHash only catches probabilistically (identical sets collide
+    with certainty here).  The canonical survivor is the min doc_id,
+    the same survivorship convention as the exact-hash op.
+
+    Scale: map-side set-hash (sort within the doc's own array — no
+    corpus sort), one hash-keyed partial/final agg with an exact
+    distinct-text count."""
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    ws = _words()
+    h = d.select(
+        "doc_id",
+        F.md5(_norm()).alias("text_h"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))
+        ).alias("set_h"),
+    )
+    return (
+        h.groupBy(F.col("set_h").alias("wordset_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text_h").alias("n_distinct_texts"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_distinct_texts") > 1)
+        .select(
+            "wordset_hash",
+            bigint(F.col("n_docs")).alias("n_docs"),
+            bigint(F.col("n_distinct_texts")).alias("n_distinct_texts"),
+            bigint(F.col("canonical_doc")).alias("canonical_doc"),
+        )
+    )
+
+
+@op(
+    "graph_degree_assortativity",
+    oracle=f"""
+WITH {_DEG_EDGES_DUCK},
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+ed AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM e JOIN deg du ON du.src = e.src JOIN deg dv ON dv.src = e.dst
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+  FROM ed
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy)
+            / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                   * (n * syy - sy * sy))) AS BIGINT)
+         AS assortativity_ppm
+FROM m
+""",
+    category=CAT,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over all directed edges, floored to ppm — the
+    one-number answer to 'do hubs connect to hubs' (positive: social
+    networks; negative: hub-and-spoke/technological graphs), which
+    picks between the skew strategies the degree-distribution op's
+    histogram motivates.  Exact integer moment sums; the single sqrt
+    runs on integers below 2^53 so the double is engine-identical
+    (same argument as the grayscale correlation op).
+
+    Scale: two broadcast degree lookups onto the edge list, one
+    global moment agg — the edge list is scanned once."""
+    from trip_data_pipeline_spark.operators.graph import _copart_edges
+
+    e = _copart_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("src").alias("u_"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("src").alias("v_"), F.col("d").alias("dy"))
+    ed = e.join(F.broadcast(du), e.src == du.u_).join(
+        F.broadcast(dv), e.dst == dv.v_
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.expr("dx * dx")).alias("sxx"),
+        F.sum(F.expr("dy * dy")).alias("syy"),
+        F.sum(F.expr("dx * dy")).alias("sxy"),
+    )
+    return m.select(
+        bigint(F.col("n")).alias("n_directed_edges"),
+        bigint(
+            F.expr(
+                "floor(1000000.0 * (n * sxy - sx * sy)"
+                " / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)"
+                "        * (n * syy - sy * sy)))"
+            )
+        ).alias("assortativity_ppm"),
+    )
