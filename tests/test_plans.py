@@ -1914,3 +1914,19 @@ def test_assortativity_broadcast_degrees_one_scan(spark):
     p = _exec_plan(spark, "graph_degree_assortativity")
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "CartesianProduct" not in p, p
+
+
+def test_named_window_single_operator(spark):
+    """WINDOW clause: both functions share one named window -> exactly
+    one Window operator over one sort."""
+    p = _exec_plan(spark, "sql_named_window_clause")
+    assert p.count("Window [") == 1, p
+    assert "Join" not in p, p
+
+
+def test_cluster_by_one_declared_exchange(spark):
+    """CLUSTER BY: one declared output Exchange beyond the agg's own;
+    semantics identical to the plain GROUP BY."""
+    p = _exec_plan(spark, "sql_cluster_by_surface")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Join" not in p, p

@@ -7179,3 +7179,81 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity_ppm"),
     )
+
+
+@op(
+    "sql_named_window_clause",
+    oracle="""
+SELECT o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    category="2.8 scalar functions",
+)
+def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL WINDOW clause: one NAMED window definition shared by
+    several window functions (row_number + a running sum; the
+    (orderdate, orderkey) ordering is total, so the default RANGE
+    frame equals ROWS and both engines agree row-exactly) — the
+    define-once-use-many surface that keeps analyst SQL maintainable,
+    and the declaration that lets the planner prove both functions
+    share ONE sort.  Identical syntax in Spark and DuckDB.
+
+    Scale: both functions evaluate in a single Window operator over
+    one user-keyed sort — the named clause is the textual form of the
+    shared-window discipline the DataFrame ops in this repo apply via
+    reused Window specs."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_nw")
+    return spark.sql(
+        """
+SELECT o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents
+FROM orders_nw
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+    )
+
+
+@op(
+    "sql_cluster_by_surface",
+    oracle="""
+SELECT event_type,
+       epoch_us(ts) // 3600000000 % 24 AS hod,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, epoch_us(ts) // 3600000000 % 24
+""",
+    category="2.8 scalar functions",
+)
+def sql_cluster_by_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-specific DISTRIBUTE BY / CLUSTER BY SQL surface:
+    declaratively requests the output be hash-partitioned (and
+    within-partition sorted) on a key — the SQL-text way to
+    pre-partition ahead of a downstream co-partitioned consumer
+    (bucketed writes, repeated self-joins), where DataFrame code
+    would call repartition+sortWithinPartitions.  The RESULT SET is
+    identical to the plain GROUP BY (the oracle), which is the point:
+    CLUSTER BY changes layout, never semantics.
+
+    Scale: adds exactly one declared Exchange (the one the consumer
+    would otherwise trigger implicitly); no extra data movement."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_cb")
+    return spark.sql(
+        """
+SELECT event_type,
+       unix_micros(ts) div 3600000000 % 24 AS hod,
+       CAST(count(*) AS BIGINT) AS n
+FROM events_cb
+GROUP BY event_type, unix_micros(ts) div 3600000000 % 24
+CLUSTER BY event_type
+"""
+    )

@@ -110,9 +110,9 @@ def _ensure_loaded() -> None:
 #   corpus_dedup_survivor_quality, corpus_type_token_ratio,
 #   timeseries_ewma_int, multimodal_video_scene_cut,
 #   corpus_semdedup_bucket, multimodal_audio_zcr) — 50 names.
-# ROUNDS 8-10 (92 names; r8 takes the first 50 in this listed order,
+# ROUNDS 8-10 (94 names; r8 takes the first 50 in this listed order,
 # r9 the remaining 15 — after r5's window the cumulative ledger is
-# 234/427, and r6(50) + r7(50) + r8(50) + r9(43) closes it, the last
+# 234/429, and r6(50) + r7(50) + r8(50) + r9(45) closes it, the last
 # window with room for r6-r8 stragglers): sql_group_order_by_all,
 #   multimodal_image_histogram_stats, eval_langid_quality,
 #   graph_degree_distribution, sql_values_inline_table,
@@ -157,7 +157,8 @@ def _ensure_loaded() -> None:
 #   join_existence_flags, events_demand_dow_hour,
 #   dq_unit_price_outliers, geo_quadkey_index,
 #   orders_tier_migration, dedup_wordset_exact,
-#   graph_degree_assortativity — the ledger
+#   graph_degree_assortativity, sql_named_window_clause,
+#   sql_cluster_by_surface — the ledger
 #   closes by r8-r10 (slivers; r9-r10 split the tail).
 PRIORITY: tuple[str, ...] = (
     # 2.9 streaming — the full family (micro-batch fixed-input replays;
