@@ -36,12 +36,14 @@ _DF_SRC: "weakref.WeakKeyDictionary[DataFrame, str]" = weakref.WeakKeyDictionary
 # — measured ~75-90 ms per table, so a 5-table star join paid ~450 ms
 # of pure plan-construction per execution.  Fixture tables are
 # immutable and DataFrames are immutable logical plans, so reusing
-# one scan object per (session, dir, table) is semantics-free; the
-# session key is weak (a stopped session's cache dies with it, and a
-# recycled object id can never alias a live one).
-_SESSION_LOADS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+# one scan object per (session, dir, table) is semantics-free.  The
+# memo lives as an attribute ON the session object itself (not in a
+# module-level WeakKeyDictionary): cached DataFrames hold strong refs
+# back to their session, so a weak-keyed global would never release
+# an entry (value->key cycle pins it — ADVICE r5 item 1); an instance
+# attribute has exactly the session's own lifetime, with no global
+# root, so the cache truly dies when the session object does.
+_LOAD_CACHE_ATTR = "_tdp_spark_load_cache"
 
 TABLES = (
     "region",
@@ -222,10 +224,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is naive-UTC, so pin it regardless of how the caller's session was
     # built (the driver constructs its own SparkSession).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        cache = _SESSION_LOADS.setdefault(spark, {})
-    except TypeError:  # non-weak-referenceable session impl
+    cache = getattr(spark, _LOAD_CACHE_ATTR, None)
+    if cache is None:
         cache = {}
+        try:
+            setattr(spark, _LOAD_CACHE_ATTR, cache)
+        except AttributeError:  # __slots__-style session impl: no memo
+            pass
     df = cache.get((sf_dir, name))
     if df is not None:
         return df

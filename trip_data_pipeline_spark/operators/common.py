@@ -124,10 +124,14 @@ def spread(df, min_fraction: float = 1.0):
     lru-cached) — df.rdd.getNumPartitions() forces a second full
     physical plan + RDD conversion and measured ~70 ms of driver time
     per op construction.  Non-scan inputs keep the exact RDD probe.
-    The guard floor is max(1, ...) so a defaultParallelism==1 session
-    never gets a pointless repartition(1) Exchange (ADVICE r4 item 3)."""
+    The guard floor is 1 only when target==1 (a defaultParallelism==1
+    session never gets a pointless repartition(1) Exchange — ADVICE r4
+    item 3) and stays 2 otherwise, so a 1-partition scan on a small
+    multi-core session (parallelism 4-7, where int(target*0.25) would
+    round to 1) is still widened (ADVICE r5 item 3)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if _scan_partitions(df) >= max(1, int(target * min_fraction)):
+    floor = 1 if target == 1 else 2
+    if _scan_partitions(df) >= max(floor, int(target * min_fraction)):
         return df
     return df.repartition(target)
 

@@ -568,7 +568,11 @@ def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = orders.select(
         F.min(F.year("o_orderdate")), F.max(F.year("o_orderdate"))
     ).first()
-    assert lo is not None and hi - lo < 100, f"orders year span corrupt: {lo}..{hi}"
+    # Explicit raise, not assert: the guard must survive `python -O`
+    # (ADVICE r5 item 4) — it is the only thing preventing an unbounded
+    # (or None-year) PIVOT IN-list on corrupt dates.
+    if lo is None or hi - lo >= 100:
+        raise ValueError(f"sql_pivot_unpivot: orders year span corrupt: {lo}..{hi}")
     years = range(lo, hi + 1)
     years_in = ", ".join(f"{y} AS y{y}" for y in years)
     years_out = ", ".join(f"y{y}" for y in years)
@@ -872,7 +876,9 @@ def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures' ~10^3) and raises with the observed count instead of
     letting a pathological key OOM an executor mid-shuffle.  Verified
     by a property test at a synthetic 10^5-event user
-    (tests/test_scale5.py).  Past the cap the right formulation is
+    (tests/test_properties.py::test_cep_pathological_user_100k_events).
+    Past the cap the
+    right formulation is
     windowed sub-sequences (chunk the per-user history by time bucket,
     scan chunks + the overlap seams), which changes the output
     contract — hence the guard, not silent chunking."""
