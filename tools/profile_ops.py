@@ -31,7 +31,7 @@ def main() -> int:
     tenx = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_x10"
     if not os.path.exists(f"{tenx}/_DONE"):
         raise SystemExit(f"10x layout missing at {tenx} — run tools/scale_probe.py")
-    spark = get_session(app="profile-ops")
+    spark = get_session(app_name="profile-ops")
     qs = queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
