@@ -12,13 +12,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trip_data_pipeline_spark.io import load
+from trip_data_pipeline_spark.io import load, table_path
 from trip_data_pipeline_spark.operators.common import as_date, bigint, epoch_s, r2
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.3 joins"
 
 _BIG_ORDER = 350000  # threshold making outer/semi/anti joins selective
+
+# join_star_5way strategy switch: broadcast the reduced (2-column,
+# ~6%-of-orders) join sides while the orders scan is below this;
+# 1 GiB of orders parquet ≈ 65M orders ≈ 4M reduced rows ≈ 190 MB of
+# broadcast hash map — the edge of a comfortable executor broadcast.
+# Past it the same plan flips to SHUFFLE_HASH builds (value-identical).
+_STAR_BROADCAST_CAP = 1 << 30
+
+
+def _path_bytes(path: str) -> int:
+    """Total on-disk bytes of a fixture file or directory (plan-time
+    scan-stat for strategy switches; fixture files are immutable)."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 @op(
@@ -192,35 +214,51 @@ GROUP BY n_name
 def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style 5-way star join — SURVEY.md §2.3 row 8.
 
-    Join order is hand-set smallest-dim-outward (region->nation
-    broadcast into customer, then orders, then lineitem) so the big
-    fact table joins last against already-reduced sides; the region
-    filter prunes before any shuffle of facts.
+    Reduce-first formulation (round 6): the dim chain collapses to a
+    2-column (c_custkey, n_name) relation BEFORE touching any fact
+    (region filter -> broadcast into nation -> into customer), the
+    date filter cuts orders to ~30% at the scan, and the dims join
+    then reduces orders to a 2-column (o_orderkey, n_name) relation —
+    so lineitem, the 100x-bigger table, joins exactly once against
+    the smallest possible side and never carries customer/nation
+    columns through a shuffle.
 
-    The lineitem<->orders join carries a SHUFFLE_HASH hint: the
-    date-filtered orders side is far smaller than lineitem but far
-    above any broadcast threshold, and sort-merge would SORT the 100x
-    fact side for nothing — building a hash map from the filtered
-    orders partition and streaming lineitem through it halved the
-    measured 100x wall-clock (6-11s SMJ -> ~3.5s SHJ; the sort
-    dominated).  At cluster scale the per-partition build side is
-    bounded by shuffle.partitions, which scales with the data.
+    The two reduced sides both grow linearly with SF, so the join
+    strategy is a file-stat switch (same plan-time stats pattern as
+    common.spread): while the orders scan is under
+    ``_STAR_BROADCAST_CAP`` the reduced sides broadcast (no fact
+    shuffle at all — partial agg on the scan, 25-group final); past
+    it they flip to SHUFFLE_HASH builds, bounding every per-partition
+    hash map by shuffle.partitions, which scales with the data.  Both
+    shapes are value-identical (verified vs the same oracle).
+    Measured at 100x (60M lineitem, orders scan 234 MB, broadcast
+    branch): 1.3-1.5 s vs 3.0-5.1 s for the round-5 SHUFFLE_HASH
+    shape; hint-free AQE picks a sort-merge and lands at ~4.7-5.0 s
+    (AQE only sees sizes after a shuffle exists — the whole point
+    here is not to create one).
     """
+    small = _path_bytes(table_path(sf_dir, "orders")) <= _STAR_BROADCAST_CAP
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(
         (as_date(F.col("o_orderdate")) >= F.lit("1996-01-01").cast("date"))
         & (as_date(F.col("o_orderdate")) < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
     )
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     dims = c.join(
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    dim_side = F.broadcast(dims) if small else dims.hint("SHUFFLE_HASH")
+    o_red = o.join(dim_side, o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_name"
     )
+    fact_side = F.broadcast(o_red) if small else o_red.hint("SHUFFLE_HASH")
     return (
-        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
-        .join(dims, o.o_custkey == dims.c_custkey)
+        li.join(fact_side, li.l_orderkey == o_red.o_orderkey)
         .groupBy("n_name")
         .agg(
             r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
