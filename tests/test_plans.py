@@ -109,6 +109,27 @@ def test_star_join_broadcasts_dims(spark):
     assert rs and "l_quantity" not in rs[0]  # fact scan pruned to 3 cols
 
 
+def test_star_join_strategy_switch(spark):
+    """The file-stat switch in join_star_5way: under the cap the fact
+    join is a map-side broadcast (no Exchange feeding the lineitem
+    join); over it (cap forced to 1 byte) the same query compiles to
+    SHUFFLE_HASH builds, and both branches return identical rows."""
+    from trip_data_pipeline_spark.operators import joins as J
+
+    p_small = _plan(spark, "join_star_5way")
+    assert "BroadcastHashJoin" in p_small
+    a = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
+    old = J._STAR_BROADCAST_CAP
+    J._STAR_BROADCAST_CAP = 1
+    try:
+        p_big = _plan(spark, "join_star_5way")
+        assert "ShuffledHashJoin" in p_big
+        b = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
+    finally:
+        J._STAR_BROADCAST_CAP = old
+    assert a == b
+
+
 def test_topk_compiles_bounded(spark):
     assert "TakeOrderedAndProject" in _plan(spark, "limit_topk")
     assert "WindowGroupLimit" in _plan(spark, "win_topk_per_group")
