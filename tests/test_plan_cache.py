@@ -1,0 +1,88 @@
+"""Plan-memo behavior (registry.py ``pure=True``).
+
+The memo must be identity-level (same DataFrame object back for the
+same (session, sf_dir)), partitioned by sf_dir, value-identical to the
+unwrapped constructor, and must not touch non-pure ops.  Execution on
+a memoized DataFrame re-runs the physical plan — nothing result-level
+is cached — which test_memo_values_match_unwrapped exercises by
+collecting the same memoized plan twice.
+"""
+
+from __future__ import annotations
+
+from trip_data_pipeline_spark.registry import _PLAN_CACHE_ATTR, OPS, queries
+
+SMALL = "/root/testdata/sf0.001"
+
+BENCH_QUERIES = [
+    "agg_pricing_summary",
+    "join_star_5way",
+    "join_theta_band",
+    "win_topk_per_group",
+    "agg_grouping_sets",
+    "sessionize_batch",
+    "text_term_freq",
+    "sim_cosine_pairwise_topk",
+    "dedup_exact_hash",
+    "limit_topk",
+]
+
+
+def test_bench_queries_all_declared_pure():
+    queries()
+    for name in BENCH_QUERIES:
+        assert OPS[name].pure, f"{name} should be plan-memo eligible"
+
+
+def test_pure_op_memoizes_per_sf_dir(spark, sf_dir):
+    queries()
+    fn = OPS["limit_topk"].fn
+    a = fn(spark, SMALL)
+    b = fn(spark, SMALL)
+    assert a is b, "same (session, sf_dir) must return the memoized plan"
+    c = fn(spark, sf_dir)
+    assert c is not a, "different sf_dir must build its own plan"
+    cache = getattr(spark, _PLAN_CACHE_ATTR)
+    assert ("limit_topk", SMALL) in cache and ("limit_topk", sf_dir) in cache
+
+
+def test_memo_values_match_unwrapped(spark):
+    queries()
+    op_ = OPS["agg_pricing_summary"]
+    raw = op_.fn.__wrapped__  # functools.wraps keeps the original
+    cached_1 = sorted(map(tuple, op_.fn(spark, SMALL).collect()))
+    cached_2 = sorted(map(tuple, op_.fn(spark, SMALL).collect()))
+    fresh = sorted(map(tuple, raw(spark, SMALL).collect()))
+    assert cached_1 == cached_2 == fresh and len(fresh) > 0
+
+
+def test_non_pure_ops_not_wrapped(spark):
+    queries()
+    impure = [o for o in OPS.values() if not o.pure]
+    assert impure, "registry should still have non-pure ops"
+    for o in impure[:5]:
+        assert not hasattr(o.fn, "__wrapped__") or o.fn.__wrapped__ is not o.fn
+
+
+def test_evict_plan(spark):
+    from trip_data_pipeline_spark.registry import evict_plan
+
+    queries()
+    OPS["limit_topk"].fn(spark, SMALL)
+    OPS["win_topk_per_group"].fn(spark, SMALL)
+    cache = getattr(spark, _PLAN_CACHE_ATTR)
+    evict_plan(spark, "limit_topk")
+    assert ("limit_topk", SMALL) not in cache
+    assert ("win_topk_per_group", SMALL) in cache
+    evict_plan(spark)
+    assert not cache
+
+
+def test_pure_count_is_exactly_the_audited_set():
+    queries()
+    pure = sorted(o.name for o in OPS.values() if o.pure)
+    assert pure == sorted(BENCH_QUERIES), (
+        "pure=True is an audited per-op claim (no scratch writes, no "
+        "RNG, no eager side effects) — extend this list only with an "
+        "accompanying audit"
+    )

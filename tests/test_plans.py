@@ -115,18 +115,23 @@ def test_star_join_strategy_switch(spark):
     join); over it (cap forced to 1 byte) the same query compiles to
     SHUFFLE_HASH builds, and both branches return identical rows."""
     from trip_data_pipeline_spark.operators import joins as J
+    from trip_data_pipeline_spark.registry import evict_plan
 
     p_small = _plan(spark, "join_star_5way")
     assert "BroadcastHashJoin" in p_small
     a = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
     old = J._STAR_BROADCAST_CAP
+    # The cap is a construction input, so flipping it out-of-band
+    # requires evicting the plan memo (registry.evict_plan contract).
     J._STAR_BROADCAST_CAP = 1
+    evict_plan(spark, "join_star_5way")
     try:
         p_big = _plan(spark, "join_star_5way")
         assert "ShuffledHashJoin" in p_big
         b = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
     finally:
         J._STAR_BROADCAST_CAP = old
+        evict_plan(spark, "join_star_5way")
     assert a == b
 
 

@@ -37,6 +37,7 @@ WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
 """,
     category=CAT,
+    pure=True,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (TPC-H-Q1-style) pricing summary — SURVEY.md §2.4 row 1.
@@ -183,6 +184,7 @@ FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """,
     category=CAT,
+    pure=True,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with grouping_id — SURVEY.md §2.4 row 7."""

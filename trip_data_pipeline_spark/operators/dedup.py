@@ -44,6 +44,7 @@ FROM documents
 GROUP BY 1
 """,
     category=CAT,
+    pure=True,
 )
 def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text md5, deterministic survivor —

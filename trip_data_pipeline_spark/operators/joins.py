@@ -210,6 +210,7 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """,
     category=CAT,
+    pure=True,
 )
 def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style 5-way star join — SURVEY.md §2.3 row 8.
@@ -281,6 +282,7 @@ FROM e e1 JOIN e e2
  AND e2.s <= e1.s + 21600
 """,
     category=CAT,
+    pure=True,
 )
 def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi band θ-join (events within 6 h per user) — SURVEY.md

@@ -40,6 +40,7 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid
 """,
     category="2.9 streaming (batch form)",
+    pure=True,
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization; result equals

@@ -93,6 +93,7 @@ WITH q AS (SELECT vec_id AS q_id, {_DUCK_QEMB} AS qe, {_DUCK_QNORM} AS qn
 SELECT q_id, c_id AS neighbor_id, cos, rn FROM r WHERE rn <= 5
 """,
     category=CAT,
+    pure=True,
 )
 def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector — SURVEY.md §2.11

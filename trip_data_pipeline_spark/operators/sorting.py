@@ -64,6 +64,7 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 10
 """,
     category=CAT,
+    pure=True,
 )
 def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 with total tie-break — SURVEY.md §2.6 row 2.

@@ -97,6 +97,7 @@ ORDER BY n DESC, word ASC
 LIMIT 20
 """,
     category=CAT,
+    pure=True,
 )
 def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top-20 with total tie-break — SURVEY.md

@@ -59,6 +59,7 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
 WHERE rn <= 3
 """,
     category=CAT,
+    pure=True,
 )
 def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer — SURVEY.md §2.5 row 2.

@@ -13,6 +13,7 @@ the driver's weaker rows-only check plus our own property tests
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -27,16 +28,71 @@ class Op:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB 1.0, or None -> rows-only
     category: str  # SURVEY.md §2 subsection, e.g. "2.4 aggregation"
+    pure: bool = False  # referentially transparent -> plan-memo eligible
 
 
 OPS: dict[str, Op] = {}
 
+# Per-session logical-plan memo for ops declared pure=True — the same
+# semantics-free pattern as io.load's fixture-scan memo, one level up.
+# A pure op's fn is referentially transparent for a fixed
+# (session, sf_dir): it only composes immutable logical plans over
+# immutable fixture files (no scratch writes, no per-call RNG), so the
+# DataFrame it returns IS a value and re-building it per execution
+# only re-pays the Python->JVM expression-tree construction (measured
+# 0.1-0.3 s for the wide agg/join plans — py4j round-trips DuckDB's
+# in-process SQL parse never pays).  Execution stays fully honest:
+# every .write/.collect on the memoized DataFrame re-runs the whole
+# physical plan; nothing result-level is cached.  The memo lives as an
+# attribute ON the session object (exact io.py reasoning: entries die
+# with the session; a weak-keyed global would be pinned by the
+# value->key cycle).
+_PLAN_CACHE_ATTR = "_tdp_spark_plan_cache"
 
-def op(name: str, oracle: str | None, category: str) -> Callable[[QueryFn], QueryFn]:
+
+def _plan_memo(name: str, fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cache: dict[tuple[str, str], DataFrame] | None
+        cache = getattr(spark, _PLAN_CACHE_ATTR, None)
+        if cache is None:
+            cache = {}
+            setattr(spark, _PLAN_CACHE_ATTR, cache)
+        key = (name, sf_dir)
+        df = cache.get(key)
+        if df is None:
+            df = cache[key] = fn(spark, sf_dir)
+        return df
+
+    return wrapper
+
+
+def evict_plan(spark: SparkSession, name: str | None = None) -> None:
+    """Drop memoized plans for ``name`` (every sf_dir), or all of them.
+
+    The memo is correct only while an op's construction inputs are
+    fixed; anything that changes them out-of-band (tests flipping a
+    strategy cap, a caller re-pointing a fixture dir at new files)
+    must evict first — the same contract as any prepared-plan cache.
+    """
+    cache = getattr(spark, _PLAN_CACHE_ATTR, None)
+    if cache is None:
+        return
+    if name is None:
+        cache.clear()
+    else:
+        for key in [k for k in cache if k[0] == name]:
+            del cache[key]
+
+
+def op(
+    name: str, oracle: str | None, category: str, pure: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in OPS:
             raise ValueError(f"duplicate operator name: {name}")
-        OPS[name] = Op(name=name, fn=fn, oracle=oracle, category=category)
+        reg_fn = _plan_memo(name, fn) if pure else fn
+        OPS[name] = Op(name=name, fn=reg_fn, oracle=oracle, category=category, pure=pure)
         return fn
 
     return deco
