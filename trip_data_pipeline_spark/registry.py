@@ -122,6 +122,15 @@ def _ensure_loaded() -> None:
 # the ROUNDS 8-9 list, r9 the remaining 44 — r6(50) + r7(50) + r8(50)
 # + r9(44) = 194 closes the ledger, with r9's 6 spare slots (50-44)
 # absorbing any r6-r8 stragglers.
+# ROUND-6 close status: the 50-name window below (plus the reworked
+# join_star_5way) passed the builder's driver sim 51/51 HASH-OK at
+# sf0.01, and the full-registry sweep after the round-6 engine
+# changes (star rework + plan memo) was 429/429 — the window is
+# staged for the driver's CORRECTNESS_r06 stamp.  Net-new ops this
+# round: 0 (the freeze VERDICT r5 item 2 asked for, strongest form),
+# so the r7-r9 lists below are unchanged and still cover exactly the
+# 144 post-r6 remainder (machine-checked against CORRECTNESS_r01-r05
+# this round).
 # ROUND 7 (50): dedup_blocked_editdist, dedup_chunk_exact,
 #   dedup_shingle_containment; multimodal_frame_sample,
 #   multimodal_ppm_resize_nn, multimodal_wav_decimate,
