@@ -24,7 +24,7 @@ def main() -> None:
     queries()
     rows = []
     for name, o in sorted(OPS.items(), key=lambda kv: (kv[1].category, kv[0])):
-        fn = o.fn
+        fn = inspect.unwrap(o.fn)  # pure=True ops are plan-memo wrappers
         src = inspect.getsourcefile(fn) or "?"
         src = os.path.relpath(src, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         line = inspect.getsourcelines(fn)[1]
