@@ -62,6 +62,59 @@ PYTHON_OK = {
     "dedup_minhash_recall_eval",
     "dedup_simhash",
     "dedup_simhash_incremental",
+    "corpus_decontam_fuzzy",  # shares the Arrow MinHash signature path
+}
+
+# Ops whose plans legitimately contain CartesianProduct /
+# BroadcastNestedLoopJoin nodes.  Every entry is bounded by
+# construction — verified per-op (tools/plan_audit.py surfaced the
+# set; each cross/inequality site was read): either a 1-row global
+# aggregate / tiny threshold relation broadcast back over the stream,
+# or a declared-bounded brute-force baseline whose scale path is a
+# separate bucketed op.  Anything NOT listed here must compile
+# cartesian-free — enforced by test_plan_shape_sweep below.
+CARTESIAN_OK = {
+    # the §2.3 contract op: the bounded cross join IS the operator
+    "join_cross_small",
+    # declared brute-force baselines (bounded probe/id range; scale
+    # path = sim_ann_ivf_bucket / LSH band joins)
+    "sim_cosine_pairwise_topk",
+    "sim_knn_label_vote",
+    "sim_ann_recall_eval",
+    "knn_eval_confusion",
+    "dedup_embedding_cosine",
+    # bounded centroid/codebook broadcast (crossJoin + local argmin)
+    "embed_pq_assign",
+    "corpus_semdedup_bucket",
+    "embed_ivf_balance_report",
+    # 1-row global aggregate / tiny threshold relation broadcast back
+    # over the stream (count totals, percentile bounds, cut ranks,
+    # BM25 constants, pareto thresholds, merge winners, ...)
+    "agg_pareto_coverage",
+    "alloc_largest_remainder",
+    "bpe_apply_merge_recount",
+    "conversion_time_bounded",
+    "corpus_df_band_prune",
+    "dedup_minhash_recall_eval",
+    "events_winsorize_int",
+    "freq_heavy_hitters_exact",
+    "funnel_conversion",
+    "orders_repurchase_curve",
+    "q11_important_stock",
+    "q22_idle_customer_balance",
+    "sample_negatives_hash_ring",
+    "scan_csv_malformed_permissive",
+    "supplier_pareto_8020",
+    "text_bigram_pmi_lift",
+    "text_bm25_rational_topk",
+    "text_vocab_growth",
+    "timeseries_gap_fill_locf",
+    "vocab_topk_coverage",
+    # bounded brand-frequency relations broadcast into the pair probe
+    "basket_pair_affinity",
+    # O(days^2) pair join over PRE-AGGREGATED daily rows (bounded by
+    # the calendar, not the data; docstring has the decade math)
+    "timeseries_theil_sen_int",
 }
 
 # streaming + side-effecting ops execute work at build time; plan
@@ -145,16 +198,31 @@ def test_predicate_pushdown_compound(spark):
     assert "PushedFilters: [Or(And(" in p
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(OPS) - PYTHON_OK - SKIP_PLAN_SWEEP)
+PY_PLAN_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "PythonMapInArrow",
 )
-def test_no_python_eval_in_plan(spark, name):
-    """Every non-UDF operator must stay fully JVM-side: no row-at-a-time
-    or Arrow Python evaluation nodes anywhere in its plan."""
+
+
+@pytest.mark.parametrize("name", sorted(set(OPS) - SKIP_PLAN_SWEEP))
+def test_plan_shape_sweep(spark, name):
+    """Global plan-shape gate over every buildable operator (the
+    report twin is tools/plan_audit.py, which shares these lists):
+    (a) non-UDF operators stay fully JVM-side — no Python evaluation
+    node of any kind; (b) operators outside the audited CARTESIAN_OK
+    set compile without CartesianProduct / BroadcastNestedLoopJoin —
+    unbounded pairing is the one plan shape that cannot be allowed to
+    regress silently at 100 TB."""
     p = _plan(spark, name)
-    assert "BatchEvalPython" not in p, f"{name} fell back to Python rows"
-    assert "ArrowEvalPython" not in p, f"{name} fell back to Python batches"
-    assert "FlatMapGroupsInPandas" not in p, f"{name} uses pandas groups"
+    if name not in PYTHON_OK:
+        for node in PY_PLAN_NODES:
+            assert node not in p, f"{name} fell back to Python ({node})"
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in p, f"{name}: unbounded cartesian"
+        assert "BroadcastNestedLoopJoin" not in p, f"{name}: unbounded BNLJ"
 
 
 def test_q5_broadcasts_all_dims(spark):
