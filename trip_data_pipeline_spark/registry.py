@@ -156,7 +156,10 @@ def _ensure_loaded() -> None:
 #   corpus_semdedup_bucket, multimodal_audio_zcr) — 50 names.
 #   (Pre-verified at round-6 close: this exact 50-name list ran
 #   50/50 HASH-OK through tests/driver_sim.py at sf0.01 on the final
-#   round-6 engine — rotate it in at round-7 open with confidence.)
+#   round-6 engine — rotate it in at round-7 open with confidence.
+#   The ROUNDS 8-9 split below was pre-verified the same way and the
+#   same session: r8's first-50 ran 50/50, r9's remaining-44 ran
+#   44/44 — the whole 144-op certification tail is staged.)
 # ROUNDS 8-9 (94 names; r8 takes the first 50 in this listed order,
 # r9 the remaining 44 plus any stragglers): sql_group_order_by_all,
 #   multimodal_image_histogram_stats, eval_langid_quality,
