@@ -57,11 +57,15 @@ def test_memo_values_match_unwrapped(spark):
 
 
 def test_non_pure_ops_not_wrapped(spark):
+    # ADVICE r6 item 2: the old `or __wrapped__ is not fn` disjunct was
+    # unfalsifiable (true for every functools.wraps wrapper).  Non-pure
+    # ops register the raw module-level function, which carries no
+    # __wrapped__ at all — assert exactly that, for every impure op.
     queries()
     impure = [o for o in OPS.values() if not o.pure]
     assert impure, "registry should still have non-pure ops"
-    for o in impure[:5]:
-        assert not hasattr(o.fn, "__wrapped__") or o.fn.__wrapped__ is not o.fn
+    wrapped = [o.name for o in impure if hasattr(o.fn, "__wrapped__")]
+    assert not wrapped, f"non-pure ops must not be memo-wrapped: {wrapped}"
 
 
 def test_evict_plan(spark):

@@ -188,6 +188,37 @@ def test_star_join_strategy_switch(spark):
     assert a == b
 
 
+def test_star_join_unstatable_path_fails_closed(spark, tmp_path, monkeypatch):
+    """ADVICE r6 item 1: a path os cannot stat (remote URI — s3a://,
+    hdfs:// — that Spark reads fine) must NOT select the broadcast
+    branch.  _path_bytes returns 0 for such paths and the call-site
+    guard treats 0 as over-cap, so the plan compiles to the
+    SHUFFLE_HASH shape — never a blind broadcast of an unknown-size
+    relation."""
+    from trip_data_pipeline_spark.operators import joins as J
+    from trip_data_pipeline_spark.registry import evict_plan
+
+    assert J._path_bytes("s3a://some-bucket/warehouse/orders") == 0
+    assert J._path_bytes(str(tmp_path / "does-not-exist")) == 0
+
+    # Simulate "orders lives at an unstatable URI" without needing a
+    # real remote store: stat the orders path as 0 while Spark still
+    # reads the local fixture.
+    real = J._path_bytes
+    monkeypatch.setattr(
+        J,
+        "_path_bytes",
+        lambda p: 0 if "orders" in p else real(p),
+    )
+    evict_plan(spark, "join_star_5way")
+    try:
+        p = _plan(spark, "join_star_5way")
+        assert "ShuffledHashJoin" in p, "unstatable orders path must fail closed"
+    finally:
+        monkeypatch.undo()
+        evict_plan(spark, "join_star_5way")
+
+
 def test_topk_compiles_bounded(spark):
     assert "TakeOrderedAndProject" in _plan(spark, "limit_topk")
     assert "WindowGroupLimit" in _plan(spark, "win_topk_per_group")

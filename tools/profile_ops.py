@@ -27,6 +27,10 @@ from trip_data_pipeline_spark.registry import queries
 
 
 def main() -> int:
+    if len(sys.argv) < 2 or not sys.argv[1].strip():
+        print(__doc__.strip(), file=sys.stderr)
+        print("\nerror: missing op list (comma-separated)", file=sys.stderr)
+        return 2
     names = [n for n in sys.argv[1].split(",") if n]
     tenx = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_x10"
     if not os.path.exists(f"{tenx}/_DONE"):

@@ -182,7 +182,11 @@ def _estimate_file_scan_partitions(
     maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore));
     files split into <= maxSplitBytes chunks, sorted desc, greedily
     packed with openCost added per split.  Exact enough for the guard —
-    the decision is 'scan already wide vs single-digit splits'."""
+    the decision is 'scan already wide vs single-digit splits'.
+    An unstatable path (remote URI) yields no sizes and returns 1, so
+    the caller widens via repartition — the safe direction here (an
+    extra shuffle, never an OOM; contrast joins._path_bytes where 0
+    must fail closed away from broadcast)."""
     sizes: list[int] = []
     if os.path.isfile(path):
         sizes.append(os.path.getsize(path))

@@ -30,7 +30,13 @@ _STAR_BROADCAST_CAP = 1 << 30
 
 def _path_bytes(path: str) -> int:
     """Total on-disk bytes of a fixture file or directory (plan-time
-    scan-stat for strategy switches; fixture files are immutable)."""
+    scan-stat for strategy switches; fixture files are immutable).
+
+    Returns 0 for anything os cannot stat — remote URIs (s3a://,
+    hdfs://) that Spark reads fine but the local filesystem cannot.
+    Callers MUST treat 0 as over-cap (fail CLOSED): picking the
+    broadcast branch for a relation of unknown size is exactly the
+    executor-OOM the cap exists to prevent (ADVICE r6 item 1)."""
     import os
 
     if os.path.isfile(path):
@@ -238,7 +244,11 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE only sees sizes after a shuffle exists — the whole point
     here is not to create one).
     """
-    small = _path_bytes(table_path(sf_dir, "orders")) <= _STAR_BROADCAST_CAP
+    # 0 bytes means "could not stat" (remote URI) — fail CLOSED to the
+    # shuffle branch; broadcasting a relation of unknown size is the OOM
+    # the cap guards against.
+    _orders_bytes = _path_bytes(table_path(sf_dir, "orders"))
+    small = 0 < _orders_bytes <= _STAR_BROADCAST_CAP
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(
         (as_date(F.col("o_orderdate")) >= F.lit("1996-01-01").cast("date"))
