@@ -114,7 +114,11 @@ def main() -> int:
             + " — the iterative/combinatorial graph family, whose plans "
             "unroll a bounded number of supersteps / wedge joins by design "
             "(per-op scale rationale in docs/SCALE.md; each superstep is "
-            "its own bounded shuffle, exactly what Pregel-style systems do)."
+            "its own bounded shuffle, exactly what Pregel-style systems do). "
+            "The tail is plan-RENDERING, not runtime work: AQE resolves the "
+            "duplicated subtrees to ReusedExchange over 21-31 materialized "
+            "stages, locked by tests/test_graph_exchange_reuse.py "
+            "(docs/SCALE.md round-7 notes, measured at 10x)."
         )
     out.append("")
     if violations:
