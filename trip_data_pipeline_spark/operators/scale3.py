@@ -586,7 +586,14 @@ def freq_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "word",
             bigint(F.col("n")).alias("cnt"),
-            bigint(F.expr("n * 1000000 div t")).alias("freq_ppm"),
+            # DECIMAL(38,0): a stopword's corpus-wide count at 100 TB
+            # is ~1e13; 1e6x overflows int64 (round-7 ppm audit).
+            bigint(
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * n)"
+                    " div t AS BIGINT)"
+                )
+            ).alias("freq_ppm"),
         )
     )
 

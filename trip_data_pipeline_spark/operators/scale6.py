@@ -3088,8 +3088,17 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum"),
         F.sum("cents").over(Window.partitionBy()).alias("total"),
     )
+    # ppm share via DECIMAL(38,0): `1000000 * cum` on bigint cents
+    # overflows int64 once cumulative revenue passes ~9.2e12 cents
+    # (caught by the 10x profile sweep, round 7 — sf0.01 never
+    # triggers it, 100 TB always would).  Decimal widening keeps the
+    # arithmetic exact and `div` keeps DuckDB's `//` floor semantics;
+    # values are unchanged wherever the old expression didn't overflow.
     share = ranked.select(
-        "rn", F.expr("1000000 * cum div total").alias("share_ppm")
+        "rn",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum) div total AS BIGINT)"
+        ).alias("share_ppm"),
     )
     thr = spark.createDataFrame(
         [(500000,), (800000,), (900000,)], "threshold_ppm int"
@@ -4323,10 +4332,14 @@ def geo_fleet_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count(F.lit(1))).alias("n_gaps"),
         bigint(active).alias("active_us"),
         bigint(F.sum("gap_us")).alias("span_us"),
+        # DECIMAL(38,0) widening: per-user microsecond sums reach
+        # ~3e14 over a multi-year span; 1e6x that overflows int64
+        # (same defect class as agg_pareto_coverage, round-7 audit).
         bigint(
             F.expr(
-                "1000000 * sum(CASE WHEN gap_us < 1800000000 THEN gap_us"
-                " ELSE 0 END) div sum(gap_us)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * sum(CASE WHEN gap_us < 1800000000 THEN gap_us"
+                " ELSE 0 END)) div sum(gap_us) AS BIGINT)"
             )
         ).alias("util_ppm"),
     )
@@ -5512,9 +5525,14 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cls",
         "n_parts",
         "revenue_cents",
-        bigint(F.expr("1000000 * revenue_cents div _tot")).alias(
-            "revenue_share_ppm"
-        ),
+        # DECIMAL(38,0): class revenue reaches ~1e16 cents at 100 TB;
+        # 1e6x overflows int64 (round-7 ppm-overflow audit).
+        bigint(
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * revenue_cents)"
+                " div _tot AS BIGINT)"
+            )
+        ).alias("revenue_share_ppm"),
     )
 
 
@@ -5856,9 +5874,14 @@ def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supplier_band",
         "n_parts",
         "revenue_cents",
-        bigint(F.expr("1000000 * revenue_cents div _tot")).alias(
-            "revenue_share_ppm"
-        ),
+        # DECIMAL(38,0): band revenue 1e6x overflows int64 at 100 TB
+        # (round-7 ppm-overflow audit).
+        bigint(
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * revenue_cents)"
+                " div _tot AS BIGINT)"
+            )
+        ).alias("revenue_share_ppm"),
     )
 
 
@@ -6314,7 +6337,14 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             bigint(F.col("df")).alias("df"),
             bigint(F.col("total_tf")).alias("total_tf"),
-            bigint(F.expr("1000000 * total_tf div df")).alias("mean_tf_ppm"),
+            # DECIMAL(38,0): a stopword's corpus-wide tf at 100 TB is
+            # ~1e13+; 1e6x overflows int64 (round-7 ppm-overflow audit).
+            bigint(
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * total_tf)"
+                    " div df AS BIGINT)"
+                )
+            ).alias("mean_tf_ppm"),
             bigint(F.expr("1000000 * max_tf div total_tf")).alias(
                 "max_doc_share_ppm"
             ),
