@@ -606,7 +606,12 @@ def embed_covariance_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE aggregation keyed by the fixed 2,080-cell grid — partial aggs
     reduce each partition to at most 2,080 rows before the shuffle, so
     network cost is constant in corpus size (the textbook
-    sufficient-statistics pattern for distributed PCA)."""
+    sufficient-statistics pattern for distributed PCA).
+
+    Overflow bound (round-7 ppm audit): |vi*vj| <= 1e6 per vector, so
+    int64 sum_ij holds to ~9.2e12 vectors (~2 PB of 64-dim float32) —
+    an order of magnitude past the 100 TB target; past that, widen the
+    accumulator to DECIMAL(38,0) exactly as the ppm ops do."""
     # floor(x*1000 + 0.5): engine-independent rounding — DuckDB round()
     # and Spark round() disagree at exact .5 boundaries (hit at sf0.1)
     q = spread(load(spark, sf_dir, "embeddings")).select(
