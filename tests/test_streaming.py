@@ -116,3 +116,34 @@ def test_foreachbatch_sink_preserves_rows(spark):
 
     res = stream_foreachbatch_sink(spark, SF)
     assert res.agg(F.sum("n")).collect()[0][0] == load(spark, SF, "events").count()
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """Round-7 regression: a production events table is a DIRECTORY of
+    part files; the old glob-only reader matched zero files on that
+    shape and every stream silently drained 0 batches.  Build a 2-file
+    directory layout and assert the stream sees every row."""
+    from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory
+
+    src = load(spark, SF, "events").limit(200)
+    base = tmp_path / "sfdir"
+    base.mkdir()
+    # directory named events.parquet with >1 part file
+    src.repartition(2).write.parquet(str(base / "events.parquet"))
+    out = run_to_memory(
+        read_events_stream(spark, str(base)).groupBy().count(), "complete"
+    )
+    assert out.collect()[0][0] == 200
+
+
+def test_events_stream_empty_source_fails_loudly(spark, tmp_path):
+    """The silent-zero failure mode must now raise at construction."""
+    import pytest as _pytest
+
+    from trip_data_pipeline_spark.streaming import read_events_stream
+
+    base = tmp_path / "sfempty"
+    base.mkdir()
+    (base / "events.parquet").mkdir()  # empty table directory
+    with _pytest.raises(Exception, match="premise broken|no rows|empty|PATH_NOT_FOUND|Unable to infer|[Ee]mpty"):
+        read_events_stream(spark, str(base))

@@ -14,6 +14,7 @@ not global.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,14 +24,38 @@ from trip_data_pipeline_spark.io import EVENTS_NTZ_SCHEMA, ns_to_ts
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (NTZ->µs ts conversion as in
-    batch io.load)."""
+    batch io.load).
+
+    Layout-robust since round 7: a production events table is a
+    DIRECTORY of part files, which the streaming file source loads
+    directly; the sf fixtures ship events.parquet as a single FILE,
+    which `readStream.load(<file>)` rejects ("basePath must be a
+    directory") — that shape needs the parent-dir + pathGlobFilter
+    form instead.  The old glob-only form matched ZERO files on a
+    directory layout and every downstream stream silently drained 0
+    batches (caught by the round-7 whole-registry 10x profile:
+    stream_foreachbatch_sink's re-read failed loudly, thirteen
+    siblings returned empty results).  An unstatable path (remote
+    URI) takes the directory branch — the only shape a remote table
+    has.  The empty-source guard below turns the silent-zero failure
+    mode into a loud one: the premise check costs one file listing,
+    and the streaming ops already execute at construction
+    (AvailableNow-to-completion), so it adds no new execution
+    semantics."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_NTZ_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.format("parquet").schema(EVENTS_NTZ_SCHEMA)
+    if os.path.isfile(path):
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    else:
+        raw = reader.load(path)
+    if spark.read.format("parquet").schema(EVENTS_NTZ_SCHEMA).load(
+        path
+    ).isEmpty():
+        raise AssertionError(
+            f"read_events_stream premise broken: {path} matched no rows — "
+            "a stream over it would silently drain zero batches"
+        )
     return ns_to_ts(raw)
 
 
