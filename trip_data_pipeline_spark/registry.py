@@ -131,10 +131,15 @@ def _ensure_loaded() -> None:
 #   corpus remainders, udf_pandas_iter_scalar, alloc_largest_remainder,
 #   the 13-op extras remainder, and 13 of the 16 round-5 §2.20
 #   additions.  Pre-verified at round-6 close (50/50 HASH-OK through
-#   tests/driver_sim.py at sf0.01) and re-verified at round-7 open on
-#   the current engine.  The ROUNDS 8-9 split below was pre-verified
-#   the same way: r8's first-50 ran 50/50, r9's remaining-44 ran
-#   44/44 — the whole 144-op certification tail is staged.
+#   tests/driver_sim.py at sf0.01), re-verified at round-7 open, and
+#   covered again by the round-7 CLOSE full-registry sim (429/429 at
+#   sf0.01 on the final engine, after the ppm DECIMAL widening and
+#   the streaming directory-layout fix).  The ROUNDS 8-9 split below
+#   was pre-verified the same way at r6 close (50/50 and 44/44), was
+#   re-run 50/50 + 44/44 at round-7 open, and is covered by the same
+#   round-7-close 429/429 sweep — the whole certification tail is
+#   staged on the shipping engine.  Rotation invariants are now
+#   machine-enforced by tests/test_ledger.py.
 # ROUNDS 8-9 (94 names; r8 takes the first 50 in this listed order,
 # r9 the remaining 44 plus any stragglers): sql_group_order_by_all,
 #   multimodal_image_histogram_stats, eval_langid_quality,
