@@ -1996,7 +1996,17 @@ def _register_minhash_eval():
         counts + integer-ppm recall and precision.
 
         Scale: truth-by-inverted-index is the eval harness (bounded by
-        shingle df); the LSH arm is the production path."""
+        shingle df); the LSH arm is the production path.  Round-7
+        note: the prefix-filtering rework that cut
+        dedup_shingle_containment 1.8x does NOT transfer here and was
+        measured then reverted — at Jaccard t=0.5 the safe prefix is
+        floor(n/2)+1 (~55% of index entries vs ~11% at containment
+        t=0.9), and the candidate-distinct + per-pair verify that
+        prefix filtering requires costs more than the ~3x join-row cut
+        saves (measured 38.9 s -> 145 s at 10x).  The
+        count-aggregation form below keeps partial aggregation
+        pipelined inside the join stage with no candidate
+        materialization at all."""
         from trip_data_pipeline_spark.operators.dedup import (
             SHINGLE_K,
             minhash_candidate_pairs,
@@ -2851,9 +2861,30 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions are tested.  Threshold is the cross-multiplied integer
     10*i >= 9*|A| — no float ratio.
 
-    Scale: candidate pairs come from the shingle inverted index
-    (df-bounded, same shape as the MinHash truth arm); the verify join
-    touches only candidates."""
+    Scale (round-7 rework — PREFIX FILTERING, Chaudhuri/Ganti/Kaushik
+    ICDE'06; Xiao et al. ppjoin, WWW'08): the full inverted-index
+    self-join costs sum(df^2) over shingles — measured 279M join rows
+    on the 10x corpus (50k docs, 2.6M index entries, max df 250) and
+    growing ~quadratically with duplicate density.  A qualifying pair
+    shares >= ceil(0.9*na) of A's na shingles, so at most
+    na - ceil(0.9*na) of A's shingles are NOT shared — by pigeonhole,
+    under ANY global total order, at least one of A's first
+    na - ceil(0.9*na) + 1 (~10%) shingles is shared with B.  So only
+    that prefix probes the index (B, the containing side, indexes all
+    its shingles — the 0.9 bound is on A alone), and ordering the
+    prefix by ascending document frequency keeps stopword shingles
+    (the df^2 hot keys) out of every probe.  Candidates then verify
+    EXACTLY against the two shingle arrays, so two further lossless
+    cuts apply: the index joins on xxhash64(shingle) (8-byte key vs
+    ~20-byte string; a collision can only ADD a false candidate,
+    which verify removes — it cannot lose a true pair, whose shared
+    shingle always shares a hash), and duplicate candidates collapse
+    with one distinct.  Measured at 10x, identical 500,500-row
+    output: 279M -> 16M pair-generation rows; 52.8 s -> 29.8 s under
+    the PROFILE_10x cold-session protocol, 48.6 s -> 18.5 s warm.
+    The ppjoin size filter (10*nb >= 9*na at generation) measured
+    SLOWER here (wider shuffle rows than the 40% candidate cut
+    repaid) and is left out."""
     from trip_data_pipeline_spark.operators.dedup import SHINGLE_K, shingle_col
     from trip_data_pipeline_spark.operators.text_ops import _words
 
@@ -2865,26 +2896,40 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets_ = d3.select(
         "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("sset")
     )
-    sh = sets_.select("doc_id", F.explode("sset").alias("s"))
-    # Round-4: shared-shingle COUNT per ordered pair is the
-    # intersection size directly (per-doc-distinct shingles), so one
-    # count aggregation replaces distinct + set re-joins + per-pair
-    # array_intersect — same reformulation as the MinHash truth arm,
-    # identical output pairs (this op was 262 s at 10x, dominated by
-    # the per-pair array algebra).
-    a = sh.select(F.col("doc_id").alias("small_id"), "s")
-    b = sh.select(F.col("doc_id").alias("big_id"), "s")
-    inter = (
-        a.join(b, "s")
+    sh = sets_.select(
+        "doc_id",
+        F.size("sset").alias("na"),
+        F.explode(F.transform("sset", lambda s: F.xxhash64(s))).alias("h"),
+    )
+    # Global df-ascending shingle order (rarest first).  Ties on
+    # (df, h) can only be same-hash rows, so row_number's tie order
+    # cannot change which hashes the prefix contains.
+    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_, "h").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h"))
+    )
+    # prefix length = na - ceil(0.9*na) + 1; ceil(9*na/10) as integers
+    probe = ranked.filter(
+        F.col("rk") <= F.col("na") - F.expr("(9*na + 9) div 10") + 1
+    ).select(F.col("doc_id").alias("small_id"), "h")
+    full = sh.select(F.col("doc_id").alias("big_id"), "h")
+    cand = (
+        probe.join(full, "h")
         .filter(F.col("small_id") != F.col("big_id"))
-        .groupBy("small_id", "big_id")
-        .agg(F.count(F.lit(1)).alias("i_"))
+        .select("small_id", "big_id")
+        .distinct()
     )
-    na = sets_.select(
-        F.col("doc_id").alias("small_id"), F.size("sset").alias("na")
-    )
+    sa = sets_.select(F.col("doc_id").alias("small_id"), F.col("sset").alias("sa"))
+    sb = sets_.select(F.col("doc_id").alias("big_id"), F.col("sset").alias("sb"))
     return (
-        inter.join(na, "small_id")
+        cand.join(sa, "small_id")
+        .join(sb, "big_id")
+        .select(
+            "small_id",
+            "big_id",
+            F.size(F.array_intersect("sa", "sb")).alias("i_"),
+            F.size("sa").alias("na"),
+        )
         .filter(10 * F.col("i_") >= 9 * F.col("na"))
         .select(
             "small_id",
