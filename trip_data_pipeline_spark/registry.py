@@ -134,7 +134,11 @@ def _ensure_loaded() -> None:
 #   tests/driver_sim.py at sf0.01), re-verified at round-7 open, and
 #   covered again by the round-7 CLOSE full-registry sim (429/429 at
 #   sf0.01 on the final engine, after the ppm DECIMAL widening and
-#   the streaming directory-layout fix).  The ROUNDS 8-9 split below
+#   the streaming directory-layout fix), and re-run 50/50 HASH-OK at
+#   sf0.01 once more after the dedup_shingle_containment
+#   prefix-filtering rework (the one engine change since that sweep;
+#   the same session also re-ran the full 429-op sim at sf0.001,
+#   429/429).  The ROUNDS 8-9 split below
 #   was pre-verified the same way at r6 close (50/50 and 44/44), was
 #   re-run 50/50 + 44/44 at round-7 open, and is covered by the same
 #   round-7-close 429/429 sweep — the whole certification tail is
