@@ -188,6 +188,31 @@ def test_star_join_strategy_switch(spark):
     assert a == b
 
 
+def test_star_join_probe_tier_broadcasts_small_reduced_side(spark):
+    """Round-7 middle tier: when the orders scan is over the bytes cap
+    but the count probe finds the REDUCED relation small (rows *
+    _STAR_ROW_BYTES under the cap), the plan must still be the
+    broadcast shape — the scan-bytes proxy alone mis-sent a ~440 MB
+    reduced side to the 2.4x-slower shuffle branch at 1000x.  At
+    sf0.01: orders scan 281,398 B > 100,000 B cap, probe 891 rows *
+    48 B = 42,768 B <= cap -> broadcast."""
+    from trip_data_pipeline_spark.operators import joins as J
+    from trip_data_pipeline_spark.registry import evict_plan
+
+    a = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
+    old = J._STAR_BROADCAST_CAP
+    J._STAR_BROADCAST_CAP = 100_000
+    evict_plan(spark, "join_star_5way")
+    try:
+        p = _plan(spark, "join_star_5way")
+        assert "BroadcastHashJoin" in p and "ShuffledHashJoin" not in p
+        b = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
+    finally:
+        J._STAR_BROADCAST_CAP = old
+        evict_plan(spark, "join_star_5way")
+    assert a == b
+
+
 def test_star_join_unstatable_path_fails_closed(spark, tmp_path, monkeypatch):
     """ADVICE r6 item 1: a path os cannot stat (remote URI — s3a://,
     hdfs:// — that Spark reads fine) must NOT select the broadcast

@@ -92,8 +92,19 @@ def build(spark) -> None:
         return
     os.makedirs(DST, exist_ok=True)
     copies = F.explode(F.array(*[F.lit(i) for i in range(COPIES)])).alias("cp")
+    # The sf0.1 source tables are single parquet files = single scan
+    # splits, so without a pre-split the COPIES-x explode (and the
+    # map side of the repartition(NFILES) shuffle behind the write)
+    # runs in ONE task — fine at 10x, a single-core wall at 1000x
+    # (1B exploded events through one mapper).  Widening the source
+    # BEFORE the explode keeps the replication embarrassingly
+    # parallel; a round-robin repartition does not change content.
+    pre = spark.sparkContext.defaultParallelism
 
-    o = load(spark, SRC, "orders")
+    def wide(df):
+        return df.repartition(pre)
+
+    o = wide(load(spark, SRC, "orders"))
     n_orders = o.count()
     (
         o.select("*", copies)
@@ -109,7 +120,7 @@ def build(spark) -> None:
         .write.mode("overwrite")
         .parquet(f"{DST}/orders.parquet")
     )
-    li = load(spark, SRC, "lineitem")
+    li = wide(load(spark, SRC, "lineitem"))
     (
         li.select("*", copies)
         .select(
@@ -120,7 +131,7 @@ def build(spark) -> None:
         .write.mode("overwrite")
         .parquet(f"{DST}/lineitem.parquet")
     )
-    ev = load(spark, SRC, "events")
+    ev = wide(load(spark, SRC, "events"))
     n_events = ev.count()
     (
         ev.select("*", copies)
@@ -140,7 +151,7 @@ def build(spark) -> None:
     )
     # documents/embeddings are "facts" for the text/dedup/sim ops —
     # scale them too (ids shifted per copy, text/vec payloads repeat)
-    docs = load(spark, SRC, "documents")
+    docs = wide(load(spark, SRC, "documents"))
     n_docs = docs.count()
     (
         docs.select("*", copies)
@@ -152,7 +163,7 @@ def build(spark) -> None:
         .write.mode("overwrite")
         .parquet(f"{DST}/documents.parquet")
     )
-    emb = load(spark, SRC, "embeddings")
+    emb = wide(load(spark, SRC, "embeddings"))
     n_emb = emb.count()
     (
         emb.select("*", copies)

@@ -24,8 +24,17 @@ _BIG_ORDER = 350000  # threshold making outer/semi/anti joins selective
 # ~6%-of-orders) join sides while the orders scan is below this;
 # 1 GiB of orders parquet ≈ 65M orders ≈ 4M reduced rows ≈ 190 MB of
 # broadcast hash map — the edge of a comfortable executor broadcast.
-# Past it the same plan flips to SHUFFLE_HASH builds (value-identical).
+# Past it the op first PROBES the reduced relation's actual
+# cardinality with one count job (round-7: the scan-bytes proxy
+# ignores the date/region filters, so at 1000x it chose the 25 s
+# shuffle branch while the truly-broadcastable 9.2M-row reduced side
+# ran in 10 s) and broadcasts if rows * _STAR_ROW_BYTES fits the cap;
+# only past THAT does the plan flip to SHUFFLE_HASH (value-identical).
 _STAR_BROADCAST_CAP = 1 << 30
+# Conservative in-memory bytes per broadcast row for the reduced
+# (bigint key, short string) relation: 8 key + ~16 string + hash-map
+# entry overhead.  9.2M rows -> ~440 MB, under the cap with margin.
+_STAR_ROW_BYTES = 48
 
 
 def _path_bytes(path: str) -> int:
@@ -231,18 +240,26 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns through a shuffle.
 
     The two reduced sides both grow linearly with SF, so the join
-    strategy is a file-stat switch (same plan-time stats pattern as
-    common.spread): while the orders scan is under
-    ``_STAR_BROADCAST_CAP`` the reduced sides broadcast (no fact
-    shuffle at all — partial agg on the scan, 25-group final); past
-    it they flip to SHUFFLE_HASH builds, bounding every per-partition
-    hash map by shuffle.partitions, which scales with the data.  Both
+    strategy is a three-tier switch: while the orders scan is under
+    ``_STAR_BROADCAST_CAP`` (a file-stat check, same plan-time stats
+    pattern as common.spread) the reduced sides broadcast with no
+    probe (no fact shuffle at all — partial agg on the scan, 25-group
+    final); over the cap, one count job measures the reduced side's
+    REAL cardinality (round-7: the scan-bytes proxy ignores the
+    date/region filters — at 1000x it mis-sent a 9.2M-row, ~440 MB
+    reduced relation to the shuffle branch) and broadcasts while
+    rows * ``_STAR_ROW_BYTES`` fits the cap; only past that do the
+    builds flip to SHUFFLE_HASH, bounding every per-partition hash
+    map by shuffle.partitions, which scales with the data.  All
     shapes are value-identical (verified vs the same oracle).
     Measured at 100x (60M lineitem, orders scan 234 MB, broadcast
-    branch): 1.3-1.5 s vs 3.0-5.1 s for the round-5 SHUFFLE_HASH
-    shape; hint-free AQE picks a sort-merge and lands at ~4.7-5.0 s
-    (AQE only sees sizes after a shuffle exists — the whole point
-    here is not to create one).
+    branch, no probe): 1.3-1.5 s vs 3.0-5.1 s for the round-5
+    SHUFFLE_HASH shape; hint-free AQE picks a sort-merge and lands at
+    ~4.7-5.0 s (AQE only sees sizes after a shuffle exists — the
+    whole point here is not to create one).  Measured at 1000x (600M
+    lineitem, orders scan 2.3 GiB, probe fires): broadcast 10.3 s vs
+    25.2 s SHUFFLE_HASH; the probe itself is one filtered 2-column
+    scan + broadcast join (~3 s, memoized with the plan).
     """
     # 0 bytes means "could not stat" (remote URI) — fail CLOSED to the
     # shuffle branch; broadcasting a relation of unknown size is the OOM
@@ -263,6 +280,18 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         c.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "n_name")
+    if not small and _orders_bytes > 0:
+        # Over the scan-bytes cap: one count job measures the REAL
+        # reduced-side cardinality (filtered orders x broadcast dims —
+        # strictly cheaper than either full branch, and the shuffle
+        # branch would re-do this work inside the join anyway).  The
+        # plan memo makes this a once-per-session cost; at the scales
+        # where the scan-bytes proxy already answers (sf0.01-100x
+        # here), the probe never runs.
+        o_red_rows = o.join(
+            F.broadcast(dims), o.o_custkey == dims.c_custkey
+        ).count()
+        small = o_red_rows * _STAR_ROW_BYTES <= _STAR_BROADCAST_CAP
     dim_side = F.broadcast(dims) if small else dims.hint("SHUFFLE_HASH")
     o_red = o.join(dim_side, o.o_custkey == dims.c_custkey).select(
         "o_orderkey", "n_name"
