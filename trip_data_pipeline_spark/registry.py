@@ -136,9 +136,12 @@ def _ensure_loaded() -> None:
 #   sf0.01 on the final engine, after the ppm DECIMAL widening and
 #   the streaming directory-layout fix), and re-run 50/50 HASH-OK at
 #   sf0.01 once more after the dedup_shingle_containment
-#   prefix-filtering rework (the one engine change since that sweep;
-#   the same session also re-ran the full 429-op sim at sf0.001,
-#   429/429).  The ROUNDS 8-9 split below
+#   prefix-filtering rework (the same session also re-ran the full
+#   429-op sim at sf0.001, 429/429).  After the final late-round
+#   engine change (the join_star_5way probe tier), the FULL 429-op
+#   sim re-ran once more at sf0.01 on the shipping engine: 429/429 —
+#   the close-state gate holds on exactly the code the driver will
+#   stamp.  The ROUNDS 8-9 split below
 #   was pre-verified the same way at r6 close (50/50 and 44/44), was
 #   re-run 50/50 + 44/44 at round-7 open, and is covered by the same
 #   round-7-close 429/429 sweep — the whole certification tail is
