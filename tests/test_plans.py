@@ -214,12 +214,12 @@ def test_star_join_probe_tier_broadcasts_small_reduced_side(spark):
 
 
 def test_star_join_unstatable_path_fails_closed(spark, tmp_path, monkeypatch):
-    """ADVICE r6 item 1: a path os cannot stat (remote URI — s3a://,
-    hdfs:// — that Spark reads fine) must NOT select the broadcast
-    branch.  _path_bytes returns 0 for such paths and the call-site
-    guard treats 0 as over-cap, so the plan compiles to the
-    SHUFFLE_HASH shape — never a blind broadcast of an unknown-size
-    relation."""
+    """ADVICE r6 item 1, sharpened in round 7: the broadcast branch is
+    NEVER taken on an UNMEASURED relation.  A path os cannot stat
+    (remote URI — s3a://, hdfs:// — that Spark reads fine) skips the
+    scan-bytes fast path and falls through to the count probe; when
+    the MEASURED reduced side is over the cap, the plan must compile
+    to the SHUFFLE_HASH shape — never a blind broadcast."""
     from trip_data_pipeline_spark.operators import joins as J
     from trip_data_pipeline_spark.registry import evict_plan
 
@@ -228,7 +228,33 @@ def test_star_join_unstatable_path_fails_closed(spark, tmp_path, monkeypatch):
 
     # Simulate "orders lives at an unstatable URI" without needing a
     # real remote store: stat the orders path as 0 while Spark still
-    # reads the local fixture.
+    # reads the local fixture, and pin the probe to a big answer.
+    real = J._path_bytes
+    monkeypatch.setattr(
+        J,
+        "_path_bytes",
+        lambda p: 0 if "orders" in p else real(p),
+    )
+    monkeypatch.setattr(J, "_star_reduced_rows", lambda o, dims: 10**9)
+    evict_plan(spark, "join_star_5way")
+    try:
+        p = _plan(spark, "join_star_5way")
+        assert "ShuffledHashJoin" in p, "big measured relation must not broadcast"
+    finally:
+        monkeypatch.undo()
+        evict_plan(spark, "join_star_5way")
+
+
+def test_star_join_unstatable_path_probes_then_broadcasts(spark, monkeypatch):
+    """The flip side of fail-closed (round 7): an unstatable (remote)
+    path must not PIN the deployment to the slow branch either — the
+    count probe measures the reduced side for real, and a measured
+    small relation broadcasts.  A counted cardinality is exactly as
+    safe as a measured file size; at sf0.01 the real probe finds 891
+    rows * 48 B, far under the cap."""
+    from trip_data_pipeline_spark.operators import joins as J
+    from trip_data_pipeline_spark.registry import evict_plan
+
     real = J._path_bytes
     monkeypatch.setattr(
         J,
@@ -236,12 +262,15 @@ def test_star_join_unstatable_path_fails_closed(spark, tmp_path, monkeypatch):
         lambda p: 0 if "orders" in p else real(p),
     )
     evict_plan(spark, "join_star_5way")
+    a = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
     try:
         p = _plan(spark, "join_star_5way")
-        assert "ShuffledHashJoin" in p, "unstatable orders path must fail closed"
+        assert "BroadcastHashJoin" in p and "ShuffledHashJoin" not in p
     finally:
         monkeypatch.undo()
         evict_plan(spark, "join_star_5way")
+    b = sorted(map(tuple, OPS["join_star_5way"].fn(spark, SF).collect()))
+    assert a == b
 
 
 def test_topk_compiles_bounded(spark):

@@ -37,6 +37,14 @@ _STAR_BROADCAST_CAP = 1 << 30
 _STAR_ROW_BYTES = 48
 
 
+def _star_reduced_rows(o, dims) -> int:
+    """Count the reduced star-join side (filtered orders x broadcast
+    dims) — the runtime cardinality probe behind join_star_5way's
+    broadcast decision.  Module-level so tests can monkeypatch the
+    measurement and pin both probe outcomes (tests/test_plans.py)."""
+    return o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).count()
+
+
 def _path_bytes(path: str) -> int:
     """Total on-disk bytes of a fixture file or directory (plan-time
     scan-stat for strategy switches; fixture files are immutable).
@@ -261,9 +269,12 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     25.2 s SHUFFLE_HASH; the probe itself is one filtered 2-column
     scan + broadcast join (~3 s, memoized with the plan).
     """
-    # 0 bytes means "could not stat" (remote URI) — fail CLOSED to the
-    # shuffle branch; broadcasting a relation of unknown size is the OOM
-    # the cap guards against.
+    # 0 bytes means "could not stat" (remote URI — the production
+    # deployment shape): the cheap scan-bytes fast path cannot answer,
+    # so the decision falls through to the count probe below.  The
+    # ADVICE-r6 invariant is preserved in its sharp form: the
+    # broadcast branch is NEVER taken on an UNMEASURED relation —
+    # either the scan bytes or a counted cardinality vouch for it.
     _orders_bytes = _path_bytes(table_path(sf_dir, "orders"))
     small = 0 < _orders_bytes <= _STAR_BROADCAST_CAP
     li = load(spark, sf_dir, "lineitem")
@@ -280,18 +291,22 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         c.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "n_name")
-    if not small and _orders_bytes > 0:
-        # Over the scan-bytes cap: one count job measures the REAL
-        # reduced-side cardinality (filtered orders x broadcast dims —
-        # strictly cheaper than either full branch, and the shuffle
-        # branch would re-do this work inside the join anyway).  The
-        # plan memo makes this a once-per-session cost; at the scales
-        # where the scan-bytes proxy already answers (sf0.01-100x
-        # here), the probe never runs.
-        o_red_rows = o.join(
-            F.broadcast(dims), o.o_custkey == dims.c_custkey
-        ).count()
-        small = o_red_rows * _STAR_ROW_BYTES <= _STAR_BROADCAST_CAP
+    if not small:
+        # Over the scan-bytes cap, or the path was unstatable: one
+        # count job measures the REAL reduced-side cardinality
+        # (filtered orders x broadcast dims — strictly cheaper than
+        # either full branch, and the shuffle branch would re-do this
+        # work inside the join anyway).  The plan memo makes this a
+        # once-per-session cost; at the scales where the scan-bytes
+        # proxy already answers (sf0.01-100x here), the probe never
+        # runs.  Unstatable (remote) paths always probe — a measured
+        # count is exactly as safe as a measured file size, and it
+        # keeps s3a://-resident tables on the fast branch instead of
+        # pinning the whole production deployment to SHUFFLE_HASH.
+        small = (
+            _star_reduced_rows(o, dims) * _STAR_ROW_BYTES
+            <= _STAR_BROADCAST_CAP
+        )
     dim_side = F.broadcast(dims) if small else dims.hint("SHUFFLE_HASH")
     o_red = o.join(dim_side, o.o_custkey == dims.c_custkey).select(
         "o_orderkey", "n_name"
