@@ -3489,17 +3489,34 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise).  TPC-H orderkeys are deliberately sparse, so the fixture
     exercises real gaps.
 
-    Scale: one global ordering of the KEY COLUMN ONLY (range-partition
-    sort on 8 bytes/row; the payload never moves) + a lag — the same
-    key-only-sort discipline as the Pareto curve; per-partition lag
-    with boundary exchange is the constant-memory formulation."""
+    Scale (round-7 rework): the naive ``lag() OVER (ORDER BY k)`` is a
+    partitionless window — Spark moves EVERY key into one task
+    (WindowExec's own warning), a single-partition sort of the whole
+    key column at 100 TB.  This is the ids_global_contiguous two-pass
+    shape instead: range-partition the key, lag WITHIN each partition
+    (every group bounded by rows/partition), then close the seams
+    with a #partitions-row boundary pass (per-partition min/max, lag
+    over that tiny relation).  A gap is either interior to one range
+    or spans two adjacent ranges, so the union is exactly the global
+    lag's output wherever the boundaries land."""
     o = spread(load(spark, sf_dir, "orders")).select(
         F.col("o_orderkey").alias("k")
     )
-    w = Window.orderBy("k")
-    g = o.select("k", F.lag("k").over(w).alias("pk")).filter(
+    p = o.repartitionByRange(32, "k").withColumn("pid", F.spark_partition_id())
+    w_in = Window.partitionBy("pid").orderBy("k")
+    interior = p.select("pid", "k", F.lag("k").over(w_in).alias("pk")).filter(
         F.col("pk").isNotNull() & (F.col("k") - F.col("pk") > 1)
     )
+    seams = (
+        p.groupBy("pid")
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .select(
+            F.col("mn").alias("k"),
+            F.lag("mx").over(Window.orderBy("pid")).alias("pk"),
+        )
+        .filter(F.col("pk").isNotNull() & (F.col("k") - F.col("pk") > 1))
+    )
+    g = interior.select("k", "pk").unionByName(seams)
     return g.select(
         bigint(F.col("pk") + 1).alias("gap_start"),
         bigint(F.col("k") - 1).alias("gap_end"),
@@ -6012,24 +6029,41 @@ def events_winsorize_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-based metric, with bounds that replay exactly (a float
     quantile sketch would not).
 
-    Scale: one key-only global sort picks the bounds (the Pareto/gap
-    discipline), the 1-row bounds broadcast back over the stream, and
+    Scale (round-7 rework): the naive ``row_number() OVER (ORDER BY
+    cents)`` is a partitionless window — ALL rows into one task at
+    100 TB.  The bounds only depend on the VALUE HISTOGRAM, so the
+    rework partial-aggregates to distinct cents values first (domain-
+    bounded: integer cents, not row count) and takes the cumulative
+    count over that histogram; a value c has a qualifying row in the
+    old row-ranking exactly when its last row's rank cum(c) clears
+    the threshold, so min-qualifying-cents is identical (the
+    event_type tiebreak only ordered equal-cents rows and never
+    changed which VALUE qualified).  The remaining single-partition
+    window runs over the histogram — the Benford/digit discipline,
+    bounded by the value domain; the 1-row bounds broadcast back and
     the clamp is map-side."""
     ev = spread(load(spark, sf_dir, "events"))
     v = ev.select(
         "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
-    ranked = v.select(
+    hist = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    ranked = hist.select(
         "cents",
-        F.row_number().over(Window.orderBy("cents", "event_type")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("c")
+        .over(
+            Window.orderBy("cents").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
     )
     bounds = ranked.agg(
-        F.min(F.when(20 * F.col("rn") >= F.col("n"), F.col("cents"))).alias(
+        F.min(F.when(20 * F.col("cum") >= F.col("n"), F.col("cents"))).alias(
             "p05"
         ),
         F.min(
-            F.when(20 * F.col("rn") >= 19 * F.col("n"), F.col("cents"))
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("cents"))
         ).alias("p95"),
     )
     clamped = F.greatest(F.least(F.col("cents"), F.col("p95")), F.col("p05"))
