@@ -117,6 +117,19 @@ CARTESIAN_OK = {
     "timeseries_theil_sen_int",
 }
 
+# Partitionless windows / global sorts that compile to an
+# `Exchange SinglePartition` with NO aggregation below it — every row
+# through one task — are only allowed where the input is bounded by
+# construction and the docstring says so.  (Everywhere else a
+# SinglePartition exchange must sit over an aggregate: digit/threshold
+# relations, partition summaries, value histograms.)
+SINGLE_PARTITION_OK = {
+    # §2.6 / §2.8 contract ops: global rank IS the semantics, and the
+    # probe side is bounded by the fixed o_orderkey < 3000 filter.
+    "sort_multikey_nulls",
+    "struct_nested",
+}
+
 # streaming + side-effecting ops execute work at build time; plan
 # inspection of the returned (already materialized / sink-reading)
 # DataFrame would not show the interesting pipeline, and building them
@@ -144,6 +157,40 @@ def _plan(spark, name: str) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+              "TakeOrdered")
+
+
+def _single_partition_over_raw(tree: str) -> list[str]:
+    """Lines of `tree` (a physical-plan tree string) that are an
+    Exchange SinglePartition with NO aggregation anywhere below it —
+    i.e. a global sort/window over raw rows.  Shared by the sweep
+    gate below and tools/plan_audit.py."""
+    import re
+
+    lines = tree.split("== Initial Plan ==")[0].splitlines()
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[\s:+-]*", line).group(0))
+
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if depth(nxt) <= d and ("+-" in nxt or ":-" in nxt):
+                break
+            sub.append(nxt)
+        subtree = "\n".join(sub)
+        if not any(a in subtree for a in _AGG_NODES):
+            hits.append(line.strip()[:100])
+    return hits
 
 
 def test_flagship_pushdown_and_pruning(spark):
@@ -300,14 +347,31 @@ def test_plan_shape_sweep(spark, name):
     node of any kind; (b) operators outside the audited CARTESIAN_OK
     set compile without CartesianProduct / BroadcastNestedLoopJoin —
     unbounded pairing is the one plan shape that cannot be allowed to
-    regress silently at 100 TB."""
-    p = _plan(spark, name)
+    regress silently at 100 TB; (c) operators outside
+    SINGLE_PARTITION_OK never put an Exchange SinglePartition over
+    unaggregated input — a partitionless window / global sort over
+    raw rows is a one-task collapse at scale (the round-7 sweep that
+    caught dq_sequence_gaps and events_winsorize_int)."""
+    df = OPS[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     if name not in PYTHON_OK:
         for node in PY_PLAN_NODES:
             assert node not in p, f"{name} fell back to Python ({node})"
     if name not in CARTESIAN_OK:
         assert "CartesianProduct" not in p, f"{name}: unbounded cartesian"
         assert "BroadcastNestedLoopJoin" not in p, f"{name}: unbounded BNLJ"
+    # (c) round-7 gate: no partitionless window / global sort over raw
+    # rows — an Exchange SinglePartition must sit over an aggregate
+    # (bounded relation) unless the op is in the declared allowlist.
+    if name not in SINGLE_PARTITION_OK:
+        tree = df._jdf.queryExecution().executedPlan().toString()
+        hazards = _single_partition_over_raw(tree)
+        assert not hazards, (
+            f"{name}: SinglePartition over unaggregated input: {hazards}"
+        )
 
 
 def test_q5_broadcasts_all_dims(spark):

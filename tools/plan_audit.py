@@ -48,7 +48,13 @@ def main() -> int:
 
     # Shared allowlists: the enforcing sweep (test_plan_shape_sweep)
     # and this report use the SAME sets, so they cannot drift apart.
-    from tests.test_plans import CARTESIAN_OK, PYTHON_OK, SKIP_PLAN_SWEEP
+    from tests.test_plans import (
+        CARTESIAN_OK,
+        PYTHON_OK,
+        SINGLE_PARTITION_OK,
+        SKIP_PLAN_SWEEP,
+        _single_partition_over_raw,
+    )
     from trip_data_pipeline_spark import get_session
     from trip_data_pipeline_spark.registry import OPS, queries
 
@@ -79,6 +85,19 @@ def main() -> int:
             flags.append("python-OK" if name in PYTHON_OK else "PYTHON")
             if name not in PYTHON_OK:
                 violations.append((name, f"undeclared Python nodes: {py}"))
+        sp_raw = _single_partition_over_raw(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        if sp_raw:
+            flags.append(
+                "single-partition-OK"
+                if name in SINGLE_PARTITION_OK
+                else "SINGLE_PARTITION"
+            )
+            if name not in SINGLE_PARTITION_OK:
+                violations.append(
+                    (name, "SinglePartition exchange over unaggregated input")
+                )
         rows.append((name, str(exchanges), str(pushed), ",".join(py) or "-", ";".join(flags) or "-"))
 
     audited = [r for r in rows if r[1] != "-"]
@@ -105,6 +124,13 @@ def main() -> int:
         f"- CartesianProduct/BroadcastNestedLoopJoin in {n_cart} ops — every "
         "one in the declared CARTESIAN_OK set (bounded-by-construction "
         "broadcast side; justifications in the op docstrings)."
+    )
+    n_sp = sum(1 for r in audited if "single-partition" in r[4].lower())
+    out.append(
+        f"- SinglePartition exchanges over unaggregated input in {n_sp} ops — "
+        "every one in the declared SINGLE_PARTITION_OK set (bounded probe "
+        "filters; the round-7 sweep reworked the two real hazards, "
+        "dq_sequence_gaps and events_winsorize_int)."
     )
     tail = [(n, int(e)) for n, e, *_ in audited if int(e) > 40]
     if tail:
