@@ -542,3 +542,63 @@ def test_peak_concurrency_tie_order_stable(spark, tmp_path):
         assert len(got) == 1
         outs.add((got[0]["n_intervals"], got[0]["peak_concurrent"]))
     assert outs == {(len(rows), peak)}, outs
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1337])
+def test_shingle_containment_prefix_filter_matches_naive(spark, tmp_path, seed):
+    """Round-7 lock for the prefix-filtering rework of
+    dedup_shingle_containment: on RANDOM corpora (not just the
+    fixture), the prefix-filtered candidate generation + exact verify
+    must emit exactly the naive all-pairs containment set — the
+    pigeonhole completeness argument (one of A's first
+    na - ceil(0.9*na) + 1 shingles under any global order must be
+    shared) can never drop a qualifying pair, and hash collisions can
+    only add candidates that verify removes."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    doc_id = 0
+    texts = {}
+    for _ in range(24):
+        n = rng.randint(3, 18)
+        words = [rng.choice(vocab) for _ in range(n)]
+        texts[doc_id] = words
+        doc_id += 1
+        if rng.random() < 0.4:  # exact or near duplicate
+            dup = list(words)
+            if rng.random() < 0.5 and len(dup) > 4:
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            texts[doc_id] = dup
+            doc_id += 1
+    for d, ws in texts.items():
+        rows.append((d, " ".join(ws), "en", "synthetic", len(" ".join(ws))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / f"corpus{seed}")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # pure-Python naive reference (same tokenizer semantics: the texts
+    # are lowercase alphanumerics + single spaces, so normalization is
+    # the identity)
+    def sset(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    sets_ = {d: sset(ws) for d, ws in texts.items() if len(ws) >= 3}
+    want = set()
+    for a, b in itertools.permutations(sets_, 2):
+        i = len(sets_[a] & sets_[b])
+        na = len(sets_[a])
+        if 10 * i >= 9 * na:
+            want.add((a, b, i, na))
+
+    from trip_data_pipeline_spark.registry import OPS, queries
+
+    queries()
+    got = {
+        (r.small_id, r.big_id, r.n_shared, r.n_small)
+        for r in OPS["dedup_shingle_containment"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
