@@ -602,3 +602,90 @@ def test_shingle_containment_prefix_filter_matches_naive(spark, tmp_path, seed):
         for r in OPS["dedup_shingle_containment"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_sequence_gaps_two_pass_matches_naive(spark, tmp_path, seed):
+    """Round-7 lock for dq_sequence_gaps' range-partition two-pass
+    rework: on random sparse key sets the union of interior gaps and
+    boundary-seam gaps must equal the naive sorted-scan gap list
+    wherever the sampled range boundaries land (including 1-row
+    ranges and seams with no gap)."""
+    import random
+
+    rng = random.Random(seed)
+    keys = sorted(rng.sample(range(1, 4000), rng.randint(40, 200)))
+    rows = [(k, k % 5, "X", 1.0, str(k), "1996-01-01") for k in keys]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string, o_orderdate string",
+    )
+    sf_dir = str(tmp_path / f"orders{seed}")
+    df.coalesce(2).write.parquet(f"{sf_dir}/orders.parquet")
+
+    want = set()
+    for prev, cur in zip(keys, keys[1:]):
+        if cur - prev > 1:
+            want.add((prev + 1, cur - 1, cur - prev - 1))
+
+    from trip_data_pipeline_spark.registry import OPS, queries
+
+    queries()
+    got = {
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in OPS["dq_sequence_gaps"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 77])
+def test_winsorize_histogram_bounds_match_row_rank(spark, tmp_path, seed):
+    """Round-7 lock for events_winsorize_int's histogram rework: the
+    p05/p95 picked from the distinct-value cumulative must equal the
+    ones the old global row-ranking picked (min cents whose LAST
+    row's rank clears the threshold), on random value distributions
+    with heavy ties."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(50, 300)
+    rows = []
+    for i in range(n):
+        # heavy ties: values drawn from a small lattice
+        v = rng.choice([0.25, 0.5, 1.0, 2.5, 5.0, 7.75, 10.0]) * rng.randint(1, 9)
+        rows.append((i, "1996-01-01 00:00:00", i % 7, rng.choice("abc"), v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf_dir = str(tmp_path / f"events{seed}")
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    cents = sorted(round(r[4] * 100) for r in rows)
+    ntot = len(cents)
+    def bound(frac_num, frac_den):
+        for rank, c in enumerate(cents, start=1):
+            if frac_den * rank >= frac_num * ntot:
+                return c
+    p05, p95 = bound(1, 20), bound(19, 20)
+    clamp = lambda c: max(min(c, p95), p05)
+    want = {}
+    for r in rows:
+        c = round(r[4] * 100)
+        et = r[3]
+        agg = want.setdefault(et, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += c
+        agg[2] += clamp(c)
+        agg[3] += 1 if (c < p05 or c > p95) else 0
+
+    from trip_data_pipeline_spark.registry import OPS, queries
+
+    queries()
+    got = {
+        r.event_type: [r.n_events, r.sum_raw_cents, r.sum_winsorized_cents, r.n_clamped]
+        for r in OPS["events_winsorize_int"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
