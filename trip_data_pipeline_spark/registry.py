@@ -137,10 +137,12 @@ def _ensure_loaded() -> None:
 #   the streaming directory-layout fix), and re-run 50/50 HASH-OK at
 #   sf0.01 once more after the dedup_shingle_containment
 #   prefix-filtering rework (the same session also re-ran the full
-#   429-op sim at sf0.001, 429/429).  After the final late-round
-#   engine change (the join_star_5way probe tier), the FULL 429-op
-#   sim re-ran once more at sf0.01 on the shipping engine: 429/429 —
-#   the close-state gate holds on exactly the code the driver will
+#   429-op sim at sf0.001, 429/429).  After EVERY later engine
+#   change (the join_star_5way probe tier, the remote-path probe
+#   fallback, and the dq_sequence_gaps / events_winsorize_int
+#   partitionless-window reworks) the FULL 429-op sim re-ran at
+#   sf0.01 on the shipping engine: 429/429 each time — the
+#   close-state gate holds on exactly the code the driver will
 #   stamp.  The ROUNDS 8-9 split below
 #   was pre-verified the same way at r6 close (50/50 and 44/44), was
 #   re-run 50/50 + 44/44 at round-7 open, and is covered by the same
