@@ -5,7 +5,7 @@ passes ~9.2e12 — reachable at 100 TB for cumulative revenue cents
 (agg_pareto_coverage, found by the 10x profile sweep: ANSI mode
 raised ARITHMETIC_OVERFLOW), per-class revenue
 (orders_abc_classification, parts_single_source_risk), corpus-wide
-term counts (text_term_freq, text_term_burstiness), and per-user
+term counts (freq_heavy_hitters_exact, text_term_burstiness), and per-user
 microsecond sums (geo_fleet_utilization).  Those six ops now widen
 through DECIMAL(38,0) before the multiply.  sf-fixture runs can never
 reach the overflow region, so these tests drive the widened

@@ -147,3 +147,20 @@ def test_events_stream_empty_source_fails_loudly(spark, tmp_path):
     (base / "events.parquet").mkdir()  # empty table directory
     with _pytest.raises(Exception, match="premise broken|no rows|empty|PATH_NOT_FOUND|Unable to infer|[Ee]mpty"):
         read_events_stream(spark, str(base))
+
+
+def test_events_stream_single_file_remote_shape(spark, monkeypatch):
+    """ADVICE r7 item 4: an unstatable path (os.path.isfile False —
+    every remote URI) must still read a SINGLE-FILE events.parquet.
+    Simulate the remote stat failure against the local single-file
+    fixture: the directory branch's readStream.load raises
+    'basePath must be a directory' and the reader must retry with the
+    parent-dir + pathGlobFilter form, seeing every row."""
+    import trip_data_pipeline_spark.streaming as S
+    from trip_data_pipeline_spark.streaming import read_events_stream, run_to_memory
+
+    monkeypatch.setattr(S.os.path, "isfile", lambda p: False)
+    out = run_to_memory(
+        read_events_stream(spark, SF).groupBy().count(), "complete"
+    )
+    assert out.collect()[0][0] == load(spark, SF, "events").count()

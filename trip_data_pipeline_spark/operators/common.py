@@ -88,6 +88,25 @@ def duck_epoch_s(col: str) -> str:
     return f"(epoch_us({col}) // 1000000)"
 
 
+def range_parts(spark) -> int:
+    """Partition count for explicit repartitionByRange calls in the
+    two-pass global-order shapes (ids_global_contiguous,
+    dq_sequence_gaps): the session's spark.sql.shuffle.partitions,
+    falling back to defaultParallelism (ADVICE r7 item 2 — a literal
+    32 is a fixed-parallelism ceiling at cluster scale; a 1000-executor
+    session sets shuffle.partitions in the thousands and each range
+    task must stay bounded by rows/partition).  Output of both callers
+    is boundary-independent (property-locked by
+    test_sequence_gaps_two_pass_matches_naive and the
+    ids_global_contiguous checksum), so the count only affects
+    parallelism, never values."""
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
+    except Exception:
+        n = 0
+    return n if n > 0 else max(1, spark.sparkContext.defaultParallelism)
+
+
 def spread(df, min_fraction: float = 1.0):
     """Round-robin repartition to the session's default parallelism —
     ONLY when the input is under-partitioned.

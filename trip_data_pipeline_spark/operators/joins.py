@@ -35,6 +35,17 @@ _STAR_BROADCAST_CAP = 1 << 30
 # (bigint key, short string) relation: 8 key + ~16 string + hash-map
 # entry overhead.  9.2M rows -> ~440 MB, under the cap with margin.
 _STAR_ROW_BYTES = 48
+# The row-count probe tier uses HALF the scan-bytes cap (ADVICE r7
+# item 3): _STAR_ROW_BYTES is an estimate, not a measured
+# LongHashedRelation footprint, and a broadcast near 1 GiB must first
+# be COLLECTED on the driver — a default-sized driver OOMs before the
+# executors do.  Half-cap keeps the measured 9.2M-row / ~440 MB case
+# (the one the probe exists for) comfortably on the fast branch while
+# bounding the estimate's error exposure to ~11M rows.  Derived, not
+# literal, so tests that pin _STAR_BROADCAST_CAP exercise both tiers
+# with one knob.
+def _star_probe_cap() -> int:
+    return _STAR_BROADCAST_CAP // 2
 
 
 def _star_reduced_rows(o, dims) -> int:
@@ -256,7 +267,9 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL cardinality (round-7: the scan-bytes proxy ignores the
     date/region filters — at 1000x it mis-sent a 9.2M-row, ~440 MB
     reduced relation to the shuffle branch) and broadcasts while
-    rows * ``_STAR_ROW_BYTES`` fits the cap; only past that do the
+    rows * ``_STAR_ROW_BYTES`` fits the probe tier's half-cap
+    (``_star_probe_cap`` — the estimate-based tier keeps extra
+    driver-collect margin, ADVICE r7); only past that do the
     builds flip to SHUFFLE_HASH, bounding every per-partition hash
     map by shuffle.partitions, which scales with the data.  All
     shapes are value-identical (verified vs the same oracle).
@@ -305,7 +318,7 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pinning the whole production deployment to SHUFFLE_HASH.
         small = (
             _star_reduced_rows(o, dims) * _STAR_ROW_BYTES
-            <= _STAR_BROADCAST_CAP
+            <= _star_probe_cap()
         )
     dim_side = F.broadcast(dims) if small else dims.hint("SHUFFLE_HASH")
     o_red = o.join(dim_side, o.o_custkey == dims.c_custkey).select(

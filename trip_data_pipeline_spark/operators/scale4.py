@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import load
-from trip_data_pipeline_spark.operators.common import bigint, r4, scratch_dir, spread
+from trip_data_pipeline_spark.operators.common import (
+    bigint,
+    r4,
+    range_parts,
+    scratch_dir,
+    spread,
+)
 from trip_data_pipeline_spark.operators.corpus2 import word_ngrams, words_of
 from trip_data_pipeline_spark.operators.graph import _copart_edges
 from trip_data_pipeline_spark.registry import op
@@ -395,7 +401,7 @@ def ids_global_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries.  The checksum aggregate proves ids are exactly the
     dense 0..n-1 sequence in o_orderkey order."""
     src = load(spark, sf_dir, "orders").select("o_orderkey")
-    p = src.repartitionByRange(32, "o_orderkey").withColumn(
+    p = src.repartitionByRange(range_parts(spark), "o_orderkey").withColumn(
         "pid", F.spark_partition_id()
     )
     local = F.row_number().over(Window.partitionBy("pid").orderBy("o_orderkey"))

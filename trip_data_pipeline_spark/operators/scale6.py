@@ -22,6 +22,7 @@ from trip_data_pipeline_spark.io import load
 from trip_data_pipeline_spark.operators.common import (
     bigint,
     r2,
+    range_parts,
     scratch_dir,
     spread,
 )
@@ -3502,7 +3503,9 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spread(load(spark, sf_dir, "orders")).select(
         F.col("o_orderkey").alias("k")
     )
-    p = o.repartitionByRange(32, "k").withColumn("pid", F.spark_partition_id())
+    p = o.repartitionByRange(range_parts(spark), "k").withColumn(
+        "pid", F.spark_partition_id()
+    )
     w_in = Window.partitionBy("pid").orderBy("k")
     interior = p.select("pid", "k", F.lag("k").over(w_in).alias("pk")).filter(
         F.col("pk").isNotNull() & (F.col("k") - F.col("pk") > 1)
