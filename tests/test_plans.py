@@ -63,6 +63,11 @@ PYTHON_OK = {
     "dedup_simhash",
     "dedup_simhash_incremental",
     "corpus_decontam_fuzzy",  # shares the Arrow MinHash signature path
+    # per-cluster blocked exact-int matmul replaces 3 interpreted
+    # 64-dim HOF folds per pair: 27.1 s -> 5.8 s at 10x (the C-S
+    # prefilter VERDICT r7 suggested is non-selective on this data:
+    # measured prefix-16 energy fraction 0.251, slack 0.87 > 0.35)
+    "corpus_semdedup_bucket",
 }
 
 # Ops whose plans legitimately contain CartesianProduct /
