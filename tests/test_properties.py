@@ -689,3 +689,74 @@ def test_winsorize_histogram_bounds_match_row_rank(spark, tmp_path, seed):
         for r in OPS["events_winsorize_int"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 123])
+def test_semdedup_vectorized_pairs_match_naive(spark, tmp_path, seed):
+    """Round-8 lock for corpus_semdedup_bucket's applyInPandas matmul
+    rework: on random float vectors (planted near-duplicates so hits
+    exist) the whole op — quantize, coarse-assign to seed centroids,
+    within-cluster pairing, cross-multiplied int64 drop predicate,
+    per-dropped aggregation — must equal a from-scratch Python
+    reference, including ties sitting exactly on the 400*dt^2 =
+    49*|a|^2|b|^2 boundary of the rational 0.35 threshold."""
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    n = 120
+    vecs = []
+    for i in range(n):
+        if i >= 20 and rng.random() < 0.4:
+            # planted near-dup of an earlier vector: small perturbation
+            base = vecs[rng.randrange(len(vecs))][1]
+            v = [x + rng.uniform(-0.02, 0.02) for x in base]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(64)]
+        vecs.append((i, [float(np.float32(x)) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sf_dir = str(tmp_path / f"emb{seed}")
+    df.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # naive reference (pure python, float64 exactly like the engine)
+    q = {
+        i: [math.floor(float(np.float32(x)) * 1000 + 0.5) for x in v]
+        for i, v in vecs
+    }
+    seeds = {i: q[i] for i in q if i % 25 == 0 and i < 2000}
+    assert len(seeds) >= 2
+    cid = {}
+    for i, v in q.items():
+        best = min(
+            (
+                sum((v[d] - cv[d]) ** 2 for d in range(16)) * 100000 + c
+                for c, cv in seeds.items()
+            )
+        )
+        cid[i] = best % 100000
+    want = {}
+    ids = sorted(q)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if cid[a] != cid[b]:
+                continue
+            dt = sum(x * y for x, y in zip(q[a], q[b]))
+            na2 = sum(x * x for x in q[a])
+            nb2 = sum(x * x for x in q[b])
+            if dt > 0 and 400 * dt * dt >= 49 * na2 * nb2:
+                agg = want.setdefault(b, [a, cid[b], 0])
+                agg[0] = min(agg[0], a)
+                agg[2] += 1
+
+    from trip_data_pipeline_spark.registry import OPS, queries
+
+    queries()
+    got = {
+        r.dropped_id: [r.kept_id, r.cluster_id, r.n_matches]
+        for r in OPS["corpus_semdedup_bucket"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "degenerate case: no hits — planted dups failed"
