@@ -1,0 +1,70 @@
+"""Cross-engine lock for tools/parity_sweep.py's fingerprint encoder.
+
+The at-scale parity sweep (docs/PARITY_10x.json) compares big outputs
+via an engine-side canonical-row md5 fingerprint instead of collecting
+millions of rows.  That check is only as good as the guarantee that
+BOTH engines render the identical canonical string for every value —
+so this suite runs ops whose outputs jointly cover every dtype the
+registry emits (string, bigint, int, double incl. %.6f rendering, date,
+and NULL cells from grouping-sets keys) and asserts, per op:
+
+  1. the exact driver-parity compare passes (tests/oracle.compare), and
+  2. the Spark fingerprint equals the DuckDB fingerprint,
+
+i.e. whenever the exact bag compare says "equal", the fingerprint path
+must agree — on real operator outputs, not synthetic data.  A full
+429-op forced-fingerprint sweep (PARITY_CAP_ROWS=5 at sf0.001) was run
+at round 8 with the same result; this keeps the five dtype-covering
+representatives in the default suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import compare
+from tools.parity_sweep import duck_fingerprint, spark_fingerprint
+from trip_data_pipeline_spark.registry import OPS, queries
+
+# jointly cover: string / bigint / int / double / date outputs, NULL
+# cells (grouping-sets keys), negative + fractional doubles (math_suite)
+FP_OPS = [
+    "agg_pricing_summary",
+    "calendar_spine_join",
+    "date_arith",
+    "agg_grouping_sets",
+    "math_suite",
+]
+
+
+@pytest.mark.parametrize("name", FP_OPS)
+def test_fingerprint_agrees_with_exact_compare(spark, duck, sf_dir, name):
+    queries()
+    o = OPS[name]
+    df = o.fn(spark, sf_dir)
+    compare(df, duck, o.oracle)  # exact driver-parity bag compare
+    assert spark_fingerprint(df) == duck_fingerprint(duck, o.oracle)
+
+
+def test_fp_ops_cover_emitted_dtypes(spark, sf_dir):
+    queries()
+    seen = set()
+    for name in FP_OPS:
+        seen |= {t for _, t in OPS[name].fn(spark, sf_dir).dtypes}
+    assert {"string", "bigint", "int", "double", "date"} <= seen
+
+
+def test_fingerprint_detects_single_value_change(spark, duck, sf_dir):
+    """Falsifiability: a one-value perturbation of the oracle must flip
+    the fingerprint (guards against a degenerate encoder that hashes
+    constants)."""
+    queries()
+    o = OPS["agg_pricing_summary"]
+    base = duck_fingerprint(duck, o.oracle)
+    body = o.oracle.rstrip().rstrip(";")
+    perturbed = duck_fingerprint(
+        duck,
+        f"SELECT * REPLACE (count_order + 1 AS count_order) FROM ({body})",
+    )
+    assert base[0] == perturbed[0]  # same row count ...
+    assert base[1:] != perturbed[1:]  # ... different value sums

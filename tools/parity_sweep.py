@@ -1,0 +1,298 @@
+"""Whole-registry Spark-vs-DuckDB VALUE parity at a replicated scale
+(default the 10x layout) — the at-scale sibling of tests/driver_sim.py.
+
+The driver's correctness gate runs at sf0.01, where magnitude- and
+cardinality-dependent defect classes are invisible: the round-7 int64
+ppm overflows, for example, only materialize once counts approach
+10^9+ and were caught by a hand audit, not a gate.  This sweep
+mechanizes that audit: every registered op runs against its DuckDB
+oracle ON THE SAME 10x (sf≈1) layout and the full VALUE bag is
+compared, not just timings (tools/profile_ops.py) or row counts.
+
+Two comparison modes, chosen per op by output size:
+
+- rows <= PARITY_CAP_ROWS (default 500k): the exact driver-parity
+  compare from tests/oracle.py — collect both sides, canonicalize,
+  diff the sorted bag.  Identical semantics to the driver's check.
+- rows >  cap (per-row transforms over 6M-row facts, the theta-band
+  pair explosion, ...): collecting millions of rows into Python
+  measures the harness, not the engines, so both ENGINES compute an
+  order-insensitive fingerprint over the identical canonical row
+  encoding: each column is rendered to a canonical string (exact
+  integer/string/date forms; %.6f for pre-rounded doubles — the same
+  rendering tests/oracle.py's _canon_val applies), rows are joined
+  '|'-wise in sorted-column order, md5'd, and two 56-bit hex chunks
+  are parsed back to integers and SUMmed (DECIMAL(38,0) / HUGEINT, no
+  overflow below ~10^21 rows).  Equal counts + equal double sums ==
+  equal bags up to md5 collisions (~2^-112 per differing pair).
+  Cross-engine encoder equality is locked by
+  tests/test_parity_fingerprint.py, which runs BOTH modes on small
+  fixtures and asserts the fingerprint agrees with the exact compare.
+
+Usage:
+  [PARITY_OPS=a,b,c] python tools/parity_sweep.py [sf_dir] [out_json]
+    sf_dir   default /tmp/scale_probe_x10 (build: tools/scale_probe.py)
+    out_json default docs/PARITY_10x.json (written incrementally)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tests.oracle import (
+    canon_rows,
+    driver_sort_check,
+    duck_connect,
+    duck_result,
+)
+from trip_data_pipeline_spark.registry import OPS, queries
+
+CAP = int(os.environ.get("PARITY_CAP_ROWS", "500000"))
+
+# Same premise-broken op the 10x profiler records as contract-N/A: the
+# replicated layout writes events as 16 part files, and the op's own
+# guard (ADVICE r3) declares it single-dense-file-only.
+CONTRACT_NA = {
+    "scan_metadata_row_index": (
+        "declared single-file premise broken by the 16-part replicated "
+        "layout (same contract_na as docs/PROFILE_10x.json)"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# canonical row encoding — MUST stay identical between the two engines
+# ---------------------------------------------------------------------------
+
+NULL_SENTINEL = "\x01"
+
+
+def spark_canon_col(name: str, dtype: str):
+    """Spark Column rendering `name` to its canonical string."""
+    col = F.col(name)
+    if dtype == "string":
+        e = col
+    elif dtype in ("double", "float"):
+        e = (
+            F.when(F.isnan(col), F.lit("NaN"))
+            .when(col == F.lit(float("inf")), F.lit("Inf"))
+            .when(col == F.lit(float("-inf")), F.lit("-Inf"))
+            .otherwise(F.format_string("%.6f", col.cast("double")))
+        )
+    elif (
+        dtype in ("bigint", "int", "smallint", "tinyint", "boolean")
+        or dtype.startswith("decimal")
+    ):
+        e = col.cast("string")
+    elif dtype == "date":
+        e = col.cast("string")
+    elif dtype == "timestamp":
+        e = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    else:
+        raise ValueError(f"fingerprint mode cannot encode spark type {dtype!r}")
+    return F.coalesce(e, F.lit(NULL_SENTINEL))
+
+
+def duck_canon_col(name: str, dtype: str) -> str:
+    """DuckDB SQL expression rendering `name` to the SAME canonical
+    string spark_canon_col produces."""
+    q = f'"{name}"'
+    t = dtype.upper()
+    if t == "VARCHAR":
+        e = q
+    elif t in ("DOUBLE", "FLOAT", "REAL"):
+        e = (
+            f"CASE WHEN isnan({q}) THEN 'NaN' "
+            f"WHEN {q} = 'infinity'::DOUBLE THEN 'Inf' "
+            f"WHEN {q} = '-infinity'::DOUBLE THEN '-Inf' "
+            f"ELSE printf('%.6f', CAST({q} AS DOUBLE)) END"
+        )
+    elif t in (
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+        "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT", "BOOLEAN",
+    ) or t.startswith("DECIMAL"):
+        e = f"CAST({q} AS VARCHAR)"
+    elif t == "DATE":
+        e = f"CAST({q} AS VARCHAR)"
+    elif t == "TIMESTAMP":
+        e = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+    else:
+        raise ValueError(f"fingerprint mode cannot encode duckdb type {dtype!r}")
+    return f"coalesce({e}, chr(1))"
+
+
+def _duck_hexparse(expr: str, start: int, n: int) -> str:
+    """Parse n hex chars of `expr` starting at 1-based `start` to an
+    integer (DuckDB has no from-hex; positional strpos fold, the
+    generalization of operators/dedup.py's _duck_hex28)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}::HUGEINT"
+        for i in range(n)
+    ) + ")"
+
+
+def spark_fingerprint(df) -> tuple[int, int, int]:
+    """(count, sum of md5 chunk1, sum of chunk2) over canonical rows."""
+    dtypes = dict(df.dtypes)
+    cols = sorted(df.columns)
+    h = F.md5(F.concat_ws("|", *[spark_canon_col(c, dtypes[c]) for c in cols]))
+    agg = df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.conv(F.substring("h", 1, 14), 16, 10).cast("decimal(38,0)")).alias("f1"),
+        F.sum(F.conv(F.substring("h", 15, 14), 16, 10).cast("decimal(38,0)")).alias("f2"),
+    ).collect()[0]
+    return int(agg["n"]), int(agg["f1"] or 0), int(agg["f2"] or 0)
+
+
+def duck_fingerprint(con, sql: str) -> tuple[int, int, int]:
+    body = sql.rstrip().rstrip(";")
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({body})").fetchall()
+    cols = sorted((r[0], r[1]) for r in desc)
+    canon = ", ".join(duck_canon_col(c, t) for c, t in cols)
+    row = con.execute(
+        f"SELECT count(*), "
+        f"sum({_duck_hexparse('h', 1, 14)}), "
+        f"sum({_duck_hexparse('h', 15, 14)}) "
+        f"FROM (SELECT md5(concat_ws('|', {canon})) AS h FROM ({body}))"
+    ).fetchone()
+    return int(row[0]), int(row[1] or 0), int(row[2] or 0)
+
+
+# ---------------------------------------------------------------------------
+# sweep
+# ---------------------------------------------------------------------------
+
+
+def check_op(spark, con, name: str, sf_dir: str) -> dict:
+    o = OPS[name]
+    t0 = time.time()
+    rec: dict = {}
+    df = o.fn(spark, sf_dir)
+    if o.oracle is None:
+        rec.update(status="ROWS-RAN", mode="rows", rows=df.count())
+        rec["secs"] = round(time.time() - t0, 2)
+        return rec
+    s_rows = df.limit(CAP + 1).collect()
+    if len(s_rows) <= CAP:
+        body = o.oracle.rstrip().rstrip(";")
+        d_cols, d_raw = duck_result(con, f"SELECT * FROM ({body}) LIMIT {CAP + 1}")
+        s_cols = list(df.columns)
+        if sorted(s_cols) != sorted(d_cols):
+            rec.update(status="FAIL", mode="exact", rows=len(s_rows),
+                       detail=f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        elif len(d_raw) > CAP:
+            rec.update(status="FAIL", mode="exact", rows=len(s_rows),
+                       detail=f"duck rows > cap while spark rows={len(s_rows)}")
+        else:
+            s_raw = [tuple(r) for r in s_rows]
+            driver_sort_check(s_cols, s_raw)
+            driver_sort_check(d_cols, d_raw)
+            sc = canon_rows(s_cols, s_raw)
+            dc = canon_rows(d_cols, d_raw)
+            if sc == dc:
+                rec.update(status="HASH-OK", mode="exact", rows=len(sc))
+            else:
+                dset, sset = set(dc), set(sc)
+                rec.update(
+                    status="FAIL", mode="exact", rows=len(sc),
+                    detail={
+                        "rows_spark": len(sc), "rows_duck": len(dc),
+                        "spark_only": [repr(r) for r in sc if r not in dset][:3],
+                        "duck_only": [repr(r) for r in dc if r not in sset][:3],
+                    },
+                )
+    else:
+        sn, s1, s2 = spark_fingerprint(df)
+        dn, d1, d2 = duck_fingerprint(con, o.oracle)
+        if (sn, s1, s2) == (dn, d1, d2):
+            rec.update(status="FP-OK", mode="fingerprint", rows=sn)
+        else:
+            rec.update(status="FAIL", mode="fingerprint", rows=sn,
+                       detail={"spark": [sn, str(s1), str(s2)],
+                               "duck": [dn, str(d1), str(d2)]})
+    rec["secs"] = round(time.time() - t0, 2)
+    return rec
+
+
+def main() -> int:
+    # argv parsed only under __main__ (ADVICE r6 precedent on
+    # tools/profile_ops.py: tool modules must be importable — the
+    # fingerprint encoder is imported by tests/test_parity_fingerprint).
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe_x10"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "PARITY_10x.json",
+    )
+    if not os.path.exists(os.path.join(sf_dir, "_DONE")) and "testdata" not in sf_dir:
+        raise SystemExit(f"layout missing at {sf_dir} — run tools/scale_probe.py")
+    queries()
+    from trip_data_pipeline_spark import get_session
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+    results: dict[str, dict] = {}
+    out = {
+        "protocol": (
+            f"tools/parity_sweep.py: every registered op vs its DuckDB oracle "
+            f"on {sf_dir}; exact driver-parity bag compare when rows <= {CAP}, "
+            f"engine-side md5 canonical-row fingerprint (two 56-bit sums) above"
+        ),
+        "sf_dir": sf_dir,
+        "cap_rows": CAP,
+        "results": results,
+    }
+    names = sorted(OPS)
+    subset = os.environ.get("PARITY_OPS", "").strip()
+    if subset:
+        want = {n.strip() for n in subset.split(",") if n.strip()}
+        unknown = want - set(names)
+        if unknown:
+            raise SystemExit(f"unknown ops in PARITY_OPS: {sorted(unknown)}")
+        names = [n for n in names if n in want]
+        out["subset"] = sorted(want)
+    t_all = time.time()
+    n_bad = 0
+    for i, name in enumerate(names, 1):
+        if name in CONTRACT_NA:
+            results[name] = {"status": "CONTRACT-NA", "detail": CONTRACT_NA[name]}
+        else:
+            try:
+                results[name] = check_op(spark, con, name, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                results[name] = {
+                    "status": "ERR",
+                    "detail": f"{type(e).__name__}: {str(e)[:400]}",
+                }
+        st = results[name]["status"]
+        if st in ("FAIL", "ERR"):
+            n_bad += 1
+        print(f"[{i}/{len(names)}] {st:12s} {name} "
+              f"({results[name].get('secs', 0)}s)", flush=True)
+        if i % 10 == 0 or st in ("FAIL", "ERR"):
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+    counts: dict[str, int] = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    out["summary"] = {
+        "n_ops": len(names),
+        "by_status": counts,
+        "total_secs": round(time.time() - t_all, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["summary"]))
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
