@@ -27,13 +27,16 @@ from tools.parity_sweep import duck_fingerprint, spark_fingerprint
 from trip_data_pipeline_spark.registry import OPS, queries
 
 # jointly cover: string / bigint / int / double / date outputs, NULL
-# cells (grouping-sets keys), negative + fractional doubles (math_suite)
+# cells (grouping-sets keys), negative + fractional doubles
+# (math_suite), and NULL doubles (join_left_outer's unmatched rows —
+# the case that caught Java format_string rendering null as "null")
 FP_OPS = [
     "agg_pricing_summary",
     "calendar_spine_join",
     "date_arith",
     "agg_grouping_sets",
     "math_suite",
+    "join_left_outer",
 ]
 
 

@@ -80,8 +80,13 @@ def spark_canon_col(name: str, dtype: str):
     if dtype == "string":
         e = col
     elif dtype in ("double", "float"):
+        # NULL must short-circuit BEFORE format_string: Java's
+        # String.format("%.6f", null) renders the literal string
+        # "null", which would bypass the coalesce sentinel (caught by
+        # the round-8 forced-fingerprint validation on the outer joins)
         e = (
-            F.when(F.isnan(col), F.lit("NaN"))
+            F.when(col.isNull(), F.lit(NULL_SENTINEL))
+            .when(F.isnan(col), F.lit("NaN"))
             .when(col == F.lit(float("inf")), F.lit("Inf"))
             .when(col == F.lit(float("-inf")), F.lit("-Inf"))
             .otherwise(F.format_string("%.6f", col.cast("double")))
