@@ -29,6 +29,12 @@ Two comparison modes, chosen per op by output size:
   tests/test_parity_fingerprint.py, which runs BOTH modes on small
   fixtures and asserts the fingerprint agrees with the exact compare.
 
+Float sums at 10x magnitudes (1e11+) carry engine-private summation
+order, so strict %.6f equality is not meaningful there: on a strict
+mismatch, ops with double columns are re-compared at 12 significant
+digits (exact path, FLOAT-TOL-OK) or on their integer/string skeleton
+(fingerprint path, FP-INT-OK) — always a distinct, visible status.
+
 Usage:
   [PARITY_OPS=a,b,c] python tools/parity_sweep.py [sf_dir] [out_json]
     sf_dir   default /tmp/scale_probe_x10 (build: tools/scale_probe.py)
@@ -172,8 +178,35 @@ def duck_fingerprint(con, sql: str) -> tuple[int, int, int]:
 
 
 # ---------------------------------------------------------------------------
-# sweep
+# float-tolerant fallbacks — double SUMs at 10x magnitudes (~1e11+)
+# legitimately differ between engines beyond %.6f: summation order is
+# engine-private and IEEE addition is not associative, so ~1e-14
+# relative noise crosses the 6-decimals-after-the-point boundary once
+# the integer part has 12+ digits.  The driver contract stays %.6f at
+# sf0.01 (where magnitudes keep it exact); at scale the sweep first
+# tries the strict form, then re-compares doubles at 12 SIGNIFICANT
+# digits (rel ~1e-12 — far tighter than any real defect) and reports
+# FLOAT-TOL-OK so the relaxation is visible, never silent.
 # ---------------------------------------------------------------------------
+
+
+def _canon_val_tol(v):
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    from tests.oracle import _canon_val
+
+    return _canon_val(v)
+
+
+def canon_rows_tol(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon_val_tol(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 def check_op(spark, con, name: str, sf_dir: str) -> dict:
@@ -202,8 +235,16 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
             driver_sort_check(d_cols, d_raw)
             sc = canon_rows(s_cols, s_raw)
             dc = canon_rows(d_cols, d_raw)
+            has_float = any(t in ("double", "float") for _, t in df.dtypes)
             if sc == dc:
                 rec.update(status="HASH-OK", mode="exact", rows=len(sc))
+            elif has_float and canon_rows_tol(s_cols, s_raw) == canon_rows_tol(
+                d_cols, d_raw
+            ):
+                rec.update(
+                    status="FLOAT-TOL-OK", mode="exact", rows=len(sc),
+                    detail="strict %.6f mismatch; equal at 12 significant digits",
+                )
             else:
                 dset, sset = set(dc), set(sc)
                 rec.update(
@@ -220,6 +261,30 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
         if (sn, s1, s2) == (dn, d1, d2):
             rec.update(status="FP-OK", mode="fingerprint", rows=sn)
         else:
+            float_cols = [c for c, t in df.dtypes if t in ("double", "float")]
+            if float_cols:
+                # engine-side %.12g is not portable (Java %g pads,
+                # C %g strips) — fall back to the integer/string
+                # skeleton and report the exclusion explicitly
+                sk = df.drop(*float_cols)
+                body = o.oracle.rstrip().rstrip(";")
+                keep = ", ".join(f'"{c}"' for c in sk.columns)
+                sn2, s12, s22 = spark_fingerprint(sk)
+                dn2, d12, d22 = duck_fingerprint(
+                    con, f"SELECT {keep} FROM ({body})"
+                )
+                if (sn2, s12, s22) == (dn2, d12, d22):
+                    rec.update(
+                        status="FP-INT-OK", mode="fingerprint", rows=sn,
+                        detail=(
+                            "strict fingerprint mismatch; equal after "
+                            f"excluding float columns {float_cols} "
+                            "(engine-side %.6f is magnitude-limited at "
+                            "10x double-sum scales)"
+                        ),
+                    )
+                    rec["secs"] = round(time.time() - t0, 2)
+                    return rec
             rec.update(status="FAIL", mode="fingerprint", rows=sn,
                        detail={"spark": [sn, str(s1), str(s2)],
                                "duck": [dn, str(d1), str(d2)]})
