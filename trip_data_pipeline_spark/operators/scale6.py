@@ -1892,12 +1892,16 @@ arms AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
-       CAST(1000000 * c_a // n_a AS BIGINT) AS cvr_a_ppm,
-       CAST(1000000 * c_b // n_b AS BIGINT) AS cvr_b_ppm,
-       CAST(floor(1000 * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+       CAST(CASE WHEN n_a = 0 THEN NULL
+                 ELSE 1000000 * c_a // n_a END AS BIGINT) AS cvr_a_ppm,
+       CAST(CASE WHEN n_b = 0 THEN NULL
+                 ELSE 1000000 * c_b // n_b END AS BIGINT) AS cvr_b_ppm,
+       CAST(CASE WHEN n_a = 0 OR n_b = 0
+                   OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+         ELSE floor(1000 * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
          / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
                 * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                * (1.0 / n_a + 1.0 / n_b))) AS BIGINT) AS z_milli
+                * (1.0 / n_a + 1.0 / n_b))) END AS BIGINT) AS z_milli
 FROM arms
 """,
     category=CAT,
@@ -1936,19 +1940,35 @@ def abtest_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
     )
+    # Degenerate-input guards (round-8 at-scale parity sweep: the 10x
+    # replication multiplies per-user event counts, every user crosses
+    # the conversion threshold, pooled p hits 1 and the z denominator
+    # sqrt(p*(1-p)*...) is 0 — ANSI mode raises DIVIDE_BY_ZERO.  The
+    # statistic is mathematically undefined at zero pooled variance
+    # (or an empty arm), so both engines return NULL there; on data
+    # where both outcomes occur in both arms — every sf fixture —
+    # values are unchanged.)
+    z_defined = (
+        "n_a > 0 AND n_b > 0 AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b"
+    )
     return arms.select(
         bigint(F.col("n_a")).alias("n_a"),
         bigint(F.col("c_a")).alias("c_a"),
         bigint(F.col("n_b")).alias("n_b"),
         bigint(F.col("c_b")).alias("c_b"),
-        bigint(F.expr("1000000 * c_a div n_a")).alias("cvr_a_ppm"),
-        bigint(F.expr("1000000 * c_b div n_b")).alias("cvr_b_ppm"),
+        bigint(
+            F.expr("CASE WHEN n_a = 0 THEN NULL ELSE 1000000 * c_a div n_a END")
+        ).alias("cvr_a_ppm"),
+        bigint(
+            F.expr("CASE WHEN n_b = 0 THEN NULL ELSE 1000000 * c_b div n_b END")
+        ).alias("cvr_b_ppm"),
         bigint(
             F.expr(
+                f"CASE WHEN {z_defined} THEN "
                 "floor(1000 * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
                 " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
                 "        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
-                "        * (1.0 / n_a + 1.0 / n_b)))"
+                "        * (1.0 / n_a + 1.0 / n_b))) END"
             )
         ).alias("z_milli"),
     )
