@@ -2025,9 +2025,6 @@ def _register_minhash_eval():
             .select("doc_id", _words().alias("ws"))
             .filter(F.size("ws") >= SHINGLE_K)
         )
-        sh = d3.select(
-            "doc_id", F.explode(F.array_distinct(shingle_col(F.col("ws")))).alias("s")
-        )
         # Exhaustive truth WITHOUT per-pair set algebra (round-4: the
         # original pair->re-join-arrays->array_intersect form cost most
         # of this op's 412 s at 10x).  Shared-shingle count per pair IS
@@ -2035,23 +2032,39 @@ def _register_minhash_eval():
         # one count aggregation over the index join replaces distinct +
         # two array joins + per-pair intersect/union; union follows as
         # |A| + |B| - i.  Identical truth set by construction.
-        sizes = d3.select(
-            "doc_id",
-            F.size(F.array_distinct(shingle_col(F.col("ws")))).alias("nsh"),
+        #
+        # Round-8 LOSSLESS size filter at the join (the length filter of
+        # Arasu/Ganti/Kaushik VLDB'06 exact set-similarity joins): at
+        # Jaccard t=0.5, 2i >= n1+n2-i and i <= min(n1,n2) force
+        # max <= 2*min, so index rows carry nsh and size-incompatible
+        # pairs drop BEFORE the pair-count aggregation — on this corpus
+        # (nsh spans 8..98) that cuts ~40% of the sum(df^2) join rows,
+        # and carrying (n1, n2) through the aggregation keys also
+        # deletes the two post-aggregation size joins.  Unlike prefix
+        # filtering (measured counterproductive at t=0.5, see above),
+        # this adds no second pass and no extra shuffle.
+        a = (
+            d3.select(
+                "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("ss")
+            )
+            .select(
+                F.col("doc_id").alias("doc_id1"),
+                F.size("ss").alias("n1"),
+                F.explode("ss").alias("s"),
+            )
         )
-        a = sh.select(F.col("doc_id").alias("doc_id1"), "s")
-        b = sh.select(F.col("doc_id").alias("doc_id2"), "s")
-        inter = (
-            a.join(b, "s")
-            .filter(F.col("doc_id1") < F.col("doc_id2"))
-            .groupBy("doc_id1", "doc_id2")
-            .agg(F.count(F.lit(1)).alias("i_"))
+        b = a.select(
+            F.col("doc_id1").alias("doc_id2"), F.col("n1").alias("n2"), "s"
         )
-        n1 = sizes.select(F.col("doc_id").alias("doc_id1"), F.col("nsh").alias("n1"))
-        n2 = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("nsh").alias("n2"))
         truth = (
-            inter.join(n1, "doc_id1")
-            .join(n2, "doc_id2")
+            a.join(b, "s")
+            .filter(
+                (F.col("doc_id1") < F.col("doc_id2"))
+                & (F.col("n2") <= 2 * F.col("n1"))
+                & (F.col("n1") <= 2 * F.col("n2"))
+            )
+            .groupBy("doc_id1", "doc_id2", "n1", "n2")
+            .agg(F.count(F.lit(1)).alias("i_"))
             .filter(2 * F.col("i_") >= F.col("n1") + F.col("n2") - F.col("i_"))
             .select("doc_id1", "doc_id2")
         )
