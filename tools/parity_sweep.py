@@ -36,7 +36,8 @@ digits (exact path, FLOAT-TOL-OK) or on their integer/string skeleton
 (fingerprint path, FP-INT-OK) — always a distinct, visible status.
 
 Usage:
-  [PARITY_OPS=a,b,c] python tools/parity_sweep.py [sf_dir] [out_json]
+  [PARITY_OPS=a,b,c] [PARITY_RESUME=1] [PARITY_ORACLE_BUDGET=secs] \
+      python tools/parity_sweep.py [sf_dir] [out_json]
     sf_dir   default /tmp/scale_probe_x10 (build: tools/scale_probe.py)
     out_json default docs/PARITY_10x.json (written incrementally)
 """
@@ -61,6 +62,34 @@ from tests.oracle import (
 from trip_data_pipeline_spark.registry import OPS, queries
 
 CAP = int(os.environ.get("PARITY_CAP_ROWS", "500000"))
+
+# Per-op DuckDB budget: a few oracles are full-algorithm replays whose
+# MATERIALIZATION is quadratic at 10x (the minhash-eval truth arm
+# DISTINCTs a ~279M-row inverted-index self-join) — the engine under
+# test is fine, the oracle is the bottleneck.  Rather than stall the
+# whole sweep, interrupt the oracle after the budget and record
+# ORACLE-BUDGET-NA; those ops get their at-scale parity at a smaller
+# replication where the oracle is tractable.
+ORACLE_BUDGET_S = float(os.environ.get("PARITY_ORACLE_BUDGET", "300"))
+
+
+class OracleBudgetExceeded(Exception):
+    pass
+
+
+def _with_budget(con, fn):
+    import threading
+
+    import duckdb
+
+    timer = threading.Timer(ORACLE_BUDGET_S, con.interrupt)
+    timer.start()
+    try:
+        return fn()
+    except duckdb.InterruptException as e:
+        raise OracleBudgetExceeded(str(e)) from e
+    finally:
+        timer.cancel()
 
 # Same premise-broken op the 10x profiler records as contract-N/A: the
 # replicated layout writes events as 16 part files, and the op's own
@@ -221,7 +250,9 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
     s_rows = df.limit(CAP + 1).collect()
     if len(s_rows) <= CAP:
         body = o.oracle.rstrip().rstrip(";")
-        d_cols, d_raw = duck_result(con, f"SELECT * FROM ({body}) LIMIT {CAP + 1}")
+        d_cols, d_raw = _with_budget(
+            con, lambda: duck_result(con, f"SELECT * FROM ({body}) LIMIT {CAP + 1}")
+        )
         s_cols = list(df.columns)
         if sorted(s_cols) != sorted(d_cols):
             rec.update(status="FAIL", mode="exact", rows=len(s_rows),
@@ -257,7 +288,7 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
                 )
     else:
         sn, s1, s2 = spark_fingerprint(df)
-        dn, d1, d2 = duck_fingerprint(con, o.oracle)
+        dn, d1, d2 = _with_budget(con, lambda: duck_fingerprint(con, o.oracle))
         if (sn, s1, s2) == (dn, d1, d2):
             rec.update(status="FP-OK", mode="fingerprint", rows=sn)
         else:
@@ -270,8 +301,8 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
                 body = o.oracle.rstrip().rstrip(";")
                 keep = ", ".join(f'"{c}"' for c in sk.columns)
                 sn2, s12, s22 = spark_fingerprint(sk)
-                dn2, d12, d22 = duck_fingerprint(
-                    con, f"SELECT {keep} FROM ({body})"
+                dn2, d12, d22 = _with_budget(
+                    con, lambda: duck_fingerprint(con, f"SELECT {keep} FROM ({body})")
                 )
                 if (sn2, s12, s22) == (dn2, d12, d22):
                     rec.update(
@@ -321,6 +352,16 @@ def main() -> int:
         "results": results,
     }
     names = sorted(OPS)
+    # PARITY_RESUME=1: keep OK-family results already recorded in
+    # out_json (an interrupted sweep restarts where it left off; FAILs
+    # and budget-NAs always re-run on the current engine).
+    if os.environ.get("PARITY_RESUME", "") == "1" and os.path.exists(out_path):
+        ok_family = {"HASH-OK", "FP-OK", "FP-INT-OK", "FLOAT-TOL-OK",
+                     "ROWS-RAN", "CONTRACT-NA"}
+        prior = json.load(open(out_path)).get("results", {})
+        for k, v in prior.items():
+            if v.get("status") in ok_family and k in OPS:
+                results[k] = dict(v, resumed=True)
     subset = os.environ.get("PARITY_OPS", "").strip()
     if subset:
         want = {n.strip() for n in subset.split(",") if n.strip()}
@@ -332,11 +373,24 @@ def main() -> int:
     t_all = time.time()
     n_bad = 0
     for i, name in enumerate(names, 1):
+        if name in results:
+            print(f"[{i}/{len(names)}] cached       {name}", flush=True)
+            continue
         if name in CONTRACT_NA:
             results[name] = {"status": "CONTRACT-NA", "detail": CONTRACT_NA[name]}
         else:
             try:
                 results[name] = check_op(spark, con, name, sf_dir)
+            except OracleBudgetExceeded:
+                results[name] = {
+                    "status": "ORACLE-BUDGET-NA",
+                    "detail": (
+                        f"DuckDB oracle exceeded {ORACLE_BUDGET_S:.0f}s at this "
+                        "layout (oracle materialization cost, not an engine "
+                        "mismatch) — parity for this op is recorded at a "
+                        "smaller replication"
+                    ),
+                }
             except Exception as e:  # noqa: BLE001
                 results[name] = {
                     "status": "ERR",
