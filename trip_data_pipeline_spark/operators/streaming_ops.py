@@ -357,14 +357,14 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "stream_stream_join",
     oracle="""
-WITH e AS (SELECT event_id, user_id, event_type, (epoch_us(ts) // 1000000) AS s
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
            FROM events)
 SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
-       CAST(p.s - v.s AS BIGINT) AS lag_s
+       CAST((p.us // 1000000) - (v.us // 1000000) AS BIGINT) AS lag_s
 FROM e p JOIN e v
   ON p.user_id = v.user_id
  AND p.event_type = 'purchase' AND v.event_type = 'view'
- AND v.s < p.s AND v.s >= p.s - 3600
+ AND v.us < p.us AND v.us >= p.us - 3600000000
 """,
     category=CAT,
 )
@@ -374,7 +374,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (attribution join).  Both sides carry watermarks; the range
     condition bounds the join state.  With the fixture fully drained
     the final append result equals the batch theta join — hash-checked
-    against that oracle."""
+    against that oracle.
+
+    Round-8 at-scale parity fix: the oracle originally truncated ts to
+    SECONDS before the range test while the streaming join compares
+    raw microsecond timestamps — every fixture ts carries sub-second
+    micros, so pairs with micro-lag in (3600s, 3601s) (oracle kept,
+    op correctly drops) or in (0s, 1s) (op keeps, oracle dropped)
+    diverge.  No such boundary pair exists at sf0.01 (which is why
+    the driver gate was green); the 10x layout surfaced 13+2 of them.
+    The oracle now joins on microseconds — identical semantics to the
+    op; lag_s stays the truncate-each-then-subtract second lag."""
     purchases = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
