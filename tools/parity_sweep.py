@@ -31,7 +31,7 @@ Two comparison modes, chosen per op by output size:
 
 Float sums at 10x magnitudes (1e11+) carry engine-private summation
 order, so strict %.6f equality is not meaningful there: on a strict
-mismatch, ops with double columns are re-compared at 12 significant
+mismatch, ops with double columns are re-compared at 9 significant
 digits (exact path, FLOAT-TOL-OK) or on their integer/string skeleton
 (fingerprint path, FP-INT-OK) — always a distinct, visible status.
 
@@ -225,7 +225,7 @@ def _canon_val_tol(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.12g}"
+        return f"{v:.9g}"
     from tests.oracle import _canon_val
 
     return _canon_val(v)
@@ -274,7 +274,7 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
             ):
                 rec.update(
                     status="FLOAT-TOL-OK", mode="exact", rows=len(sc),
-                    detail="strict %.6f mismatch; equal at 12 significant digits",
+                    detail="strict %.6f mismatch; equal at 9 significant digits",
                 )
             else:
                 dset, sset = set(dc), set(sc)
@@ -357,7 +357,7 @@ def main() -> int:
     # and budget-NAs always re-run on the current engine).
     if os.environ.get("PARITY_RESUME", "") == "1" and os.path.exists(out_path):
         ok_family = {"HASH-OK", "FP-OK", "FP-INT-OK", "FLOAT-TOL-OK",
-                     "ROWS-RAN", "CONTRACT-NA"}
+                     "ROWS-RAN", "CONTRACT-NA", "ORACLE-BUDGET-NA"}
         prior = json.load(open(out_path)).get("results", {})
         for k, v in prior.items():
             if v.get("status") in ok_family and k in OPS:
@@ -370,6 +370,8 @@ def main() -> int:
             raise SystemExit(f"unknown ops in PARITY_OPS: {sorted(unknown)}")
         names = [n for n in names if n in want]
         out["subset"] = sorted(want)
+        for n in want:  # subset-named ops always re-run, even if resumed
+            results.pop(n, None)
     t_all = time.time()
     n_bad = 0
     for i, name in enumerate(names, 1):
@@ -384,6 +386,7 @@ def main() -> int:
             except OracleBudgetExceeded:
                 results[name] = {
                     "status": "ORACLE-BUDGET-NA",
+                    "budget_s": ORACLE_BUDGET_S,
                     "detail": (
                         f"DuckDB oracle exceeded {ORACLE_BUDGET_S:.0f}s at this "
                         "layout (oracle materialization cost, not an engine "
@@ -408,7 +411,8 @@ def main() -> int:
     for r in results.values():
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     out["summary"] = {
-        "n_ops": len(names),
+        "n_ops": len(results),
+        "n_run_this_invocation": len(names),
         "by_status": counts,
         "total_secs": round(time.time() - t_all, 1),
     }
