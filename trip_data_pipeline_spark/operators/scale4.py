@@ -2042,7 +2042,13 @@ def _register_minhash_eval():
         # and carrying (n1, n2) through the aggregation keys also
         # deletes the two post-aggregation size joins.  Unlike prefix
         # filtering (measured counterproductive at t=0.5, see above),
-        # this adds no second pass and no extra shuffle.
+        # this adds no second pass and no extra shuffle.  Measured
+        # wall-clock at 10x: NEUTRAL (truth arm old 30.2s vs new 29.7s
+        # warm, same 250,600-pair truth set) — the stage is bound by
+        # the pair-count partial aggregation, not join-row production,
+        # so the cut pays in shuffle bytes and agg input, not time, at
+        # this scale; kept for the deleted joins and because the row
+        # cut grows with duplicate density (the 100 TB regime).
         a = (
             d3.select(
                 "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("ss")
