@@ -172,7 +172,9 @@ SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_words,
        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
        round(1.0 - len(list_distinct(w)) / len(w), 4) AS word_rep_ratio,
-       round(1.0 - len(list_distinct(bg)) / len(bg), 4) AS bigram_rep_ratio,
+       CASE WHEN len(bg) = 0 THEN NULL
+            ELSE round(1.0 - len(list_distinct(bg)) / len(bg), 4)
+       END AS bigram_rep_ratio,
        CAST(list_max(list_transform(list_distinct(w),
               x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS max_word_freq
 FROM g
@@ -212,7 +214,11 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.size(w)).alias("n_words"),
         bigint(F.size(dw)).alias("n_distinct"),
         r4(1.0 - F.size(dw) / F.size(w)).alias("word_rep_ratio"),
-        r4(1.0 - F.size(F.array_distinct(bg)) / F.size(bg)).alias("bigram_rep_ratio"),
+        # <2 words -> no bigrams: ratio undefined, NULL in both engines
+        # (round-8 degenerate-shape gate; ANSI raised 0/0 here)
+        F.when(F.size(bg) == 0, F.lit(None).cast("double"))
+        .otherwise(r4(1.0 - F.size(F.array_distinct(bg)) / F.size(bg)))
+        .alias("bigram_rep_ratio"),
         bigint(max_freq).alias("max_word_freq"),
     )
 
@@ -652,7 +658,8 @@ s AS (SELECT q.q_id, q.true_label, e.label AS cand_label,
              floor(list_inner_product(q.qe, e.emb) / (q.qn * e.nrm) * 10000 + 0.5)
                / 10000.0 AS cos,
              e.vec_id AS c_id
-      FROM q JOIN e ON e.vec_id <> q.q_id),
+      FROM q JOIN e ON e.vec_id <> q.q_id
+      WHERE q.qn > 0 AND e.nrm > 0),
 r AS (SELECT q_id, true_label, cand_label, cos, c_id,
              row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, c_id ASC) AS rn
@@ -701,9 +708,10 @@ def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("qe"),
         F.col("nrm").alias("qn"),
     )
+    # zero-norm exclusion on both sides (round-8 degenerate gate)
     s = (
-        F.broadcast(q)
-        .crossJoin(base)
+        F.broadcast(q.filter(F.col("qn") > 0))
+        .crossJoin(base.filter(F.col("nrm") > 0))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

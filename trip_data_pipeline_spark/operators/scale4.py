@@ -843,9 +843,10 @@ WITH q AS (SELECT vec_id,
 SELECT vec_id,
        CAST(list_inner_product(e[1:16], e[1:16]) AS BIGINT) AS prefix_sq,
        CAST(list_inner_product(e, e) AS BIGINT)             AS full_sq,
-       CAST((1000000 * CAST(list_inner_product(e[1:16], e[1:16]) AS BIGINT))
-              // CAST(list_inner_product(e, e) AS BIGINT) AS BIGINT)
-         AS retention_ppm,
+       CAST(CASE WHEN list_inner_product(e, e) = 0 THEN NULL
+                 ELSE (1000000 * CAST(list_inner_product(e[1:16], e[1:16]) AS BIGINT))
+                        // CAST(list_inner_product(e, e) AS BIGINT)
+            END AS BIGINT) AS retention_ppm,
        CAST(CASE WHEN 4 * CAST(list_inner_product(e[1:16], e[1:16]) AS BIGINT)
                       >= CAST(list_inner_product(e, e) AS BIGINT)
                  THEN 1 ELSE 0 END AS BIGINT) AS prefix_ok
@@ -882,7 +883,14 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "prefix_sq",
         "full_sq",
-        bigint(F.expr("(1000000 * prefix_sq) div full_sq")).alias("retention_ppm"),
+        # zero vector: retention undefined -> NULL in both engines
+        # (round-8 degenerate gate; ANSI integer div raised here)
+        bigint(
+            F.expr(
+                "CASE WHEN full_sq = 0 THEN NULL"
+                " ELSE (1000000 * prefix_sq) div full_sq END"
+            )
+        ).alias("retention_ppm"),
         bigint(
             F.when(4 * F.col("prefix_sq") >= F.col("full_sq"), 1).otherwise(0)
         ).alias("prefix_ok"),
@@ -1570,6 +1578,7 @@ bf AS (
                             / (q.qn * en.nrm) * 10000 + 0.5) DESC,
                       en.vec_id ASC) AS rn
     FROM q JOIN en ON en.vec_id <> q.q_id
+    WHERE q.qn > 0 AND en.nrm > 0
   ) WHERE rn <= 5
 ),
 ivf AS (
@@ -1581,6 +1590,7 @@ ivf AS (
                             / (q.qn * en.nrm) * 10000 + 0.5) DESC,
                       en.vec_id ASC) AS rn
     FROM q JOIN en ON en.bucket = q.qb AND en.vec_id <> q.q_id
+    WHERE q.qn > 0 AND en.nrm > 0
   ) WHERE rn <= 5
 )
 """
@@ -1642,15 +1652,18 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm")) * 10000
         + F.lit(0.5)
     )
+    # zero-norm exclusion on both sides (round-8 degenerate gate)
+    qnz = q.filter(F.col("qn") > 0)
+    enz = e.filter(F.col("nrm") > 0)
     bf = top5(
-        F.broadcast(q)
-        .crossJoin(e)
+        F.broadcast(qnz)
+        .crossJoin(enz)
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("c_id"), qcos.alias("qcos"))
     )
     ivf = top5(
-        F.broadcast(q)
-        .join(e, F.col("bucket") == F.col("qb"))
+        F.broadcast(qnz)
+        .join(enz, F.col("bucket") == F.col("qb"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("c_id"), qcos.alias("qcos"))
     )

@@ -85,7 +85,8 @@ WITH q AS (SELECT vec_id AS q_id, {_DUCK_QEMB} AS qe, {_DUCK_QNORM} AS qn
            FROM embeddings),
      s AS (SELECT q_id, c_id,
                   {duck_fr4('list_inner_product(qe, ce) / (qn * cn)')} AS cos
-           FROM q CROSS JOIN c WHERE c_id <> q_id),
+           FROM q CROSS JOIN c
+           WHERE c_id <> q_id AND qn > 0 AND cn > 0),
      r AS (SELECT q_id, c_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
@@ -117,8 +118,8 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2norm(qvec()).alias("cn"),
     )
     s = (
-        F.broadcast(q)
-        .crossJoin(c)
+        F.broadcast(q.filter(F.col("qn") > 0))
+        .crossJoin(c.filter(F.col("cn") > 0))
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -143,7 +144,8 @@ WITH q AS (SELECT vec_id AS q_id, {_DUCK_QEMB} AS qe, {_DUCK_QNORM} AS qn
            FROM embeddings),
      s AS (SELECT q_id, c_id,
                   {duck_fr4('list_inner_product(qe, ce) / (qn * cn)')} AS cos
-           FROM q CROSS JOIN c WHERE c_id <> q_id),
+           FROM q CROSS JOIN c
+           WHERE c_id <> q_id AND qn > 0 AND cn > 0),
      r AS (SELECT q_id, c_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
@@ -186,6 +188,13 @@ def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
     qmat = np.array([r["qe"] for r in qrows])
     qn = np.sqrt((qmat * qmat).sum(axis=1))
+    # zero-norm exclusion (round-8 degenerate-shape gate): cosine is
+    # undefined for a zero vector — drop such queries/candidates on
+    # BOTH engines (the HOF twin and the oracle carry the same filter;
+    # before this, the numpy path silently emitted NaN cosines while
+    # the ANSI HOF path raised DIVIDE_BY_ZERO on the same input)
+    keep = qn > 0
+    q_ids, qmat, qn = q_ids[keep], qmat[keep], qn[keep]
     bc = spark.sparkContext.broadcast((q_ids, qmat, qn))
 
     def score(batches):
@@ -193,12 +202,15 @@ def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             cm = np.stack(pdf["ce"].to_numpy())
             cn = np.sqrt((cm * cm).sum(axis=1))
+            ok = cn > 0  # zero-norm candidates excluded (see above)
+            cm, cn = cm[ok], cn[ok]
+            c_ids = pdf["c_id"].to_numpy()[ok]
             cos = cm @ qm.T / np.outer(cn, qnorm)
             cos = np.floor(cos * 10000 + 0.5) / 10000.0
             yield pd.DataFrame(
                 {
-                    "q_id": np.tile(ids, len(pdf)),
-                    "c_id": np.repeat(pdf["c_id"].to_numpy(), len(ids)),
+                    "q_id": np.tile(ids, len(cm)),
+                    "c_id": np.repeat(c_ids, len(ids)),
                     "cos": cos.reshape(-1),
                 }
             )
@@ -224,7 +236,8 @@ WITH q AS (SELECT vec_id AS q_id, {_DUCK_QEMB} AS qe, {_DUCK_QNORM} AS qn
            FROM embeddings),
      s AS (SELECT q_id, c_id, label,
                   {duck_fr4('list_inner_product(qe, ce) / (qn * cn)')} AS cos
-           FROM q CROSS JOIN c WHERE c_id <> q_id),
+           FROM q CROSS JOIN c
+           WHERE c_id <> q_id AND qn > 0 AND cn > 0),
      r AS (SELECT q_id, c_id, label, cos,
                   row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS rn
@@ -250,8 +263,8 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2norm(qvec()).alias("cn"),
     )
     s = (
-        F.broadcast(q)
-        .crossJoin(c)
+        F.broadcast(q.filter(F.col("qn") > 0))
+        .crossJoin(c.filter(F.col("cn") > 0))
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -285,7 +298,8 @@ WITH e AS (SELECT vec_id, label, {_DUCK_QEMB} AS emb, {_DUCK_QNORM} AS nrm,
            FROM e WHERE vec_id < 20),
      s AS (SELECT q.q_id, e.vec_id AS c_id,
                   {duck_fr4('list_inner_product(q.qe, e.emb) / (q.qn * e.nrm)')} AS cos
-           FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+           FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+           WHERE q.qn > 0 AND e.nrm > 0),
      r AS (SELECT q_id, c_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rn
@@ -323,8 +337,8 @@ def sim_ann_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     s = (
-        F.broadcast(q)
-        .join(e, ["bucket"])
+        F.broadcast(q.filter(F.col("qn") > 0))
+        .join(e.filter(F.col("nrm") > 0), ["bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

@@ -200,7 +200,8 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(len(ws) AS BIGINT) AS n_tokens,
-       round((len_raw - len_norm) / len_raw, 4) AS punct_ratio,
+       CASE WHEN len_raw = 0 THEN NULL
+            ELSE round((len_raw - len_norm) / len_raw, 4) END AS punct_ratio,
        round(CAST(len(list_filter(ws, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
              / len(ws), 4) AS stop_ratio,
        round(least(1.0, len(ws) / 50.0)
@@ -225,7 +226,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         bigint(n_tokens).alias("n_tokens"),
-        r4((len_raw - len_norm) / len_raw).alias("punct_ratio"),
+        # empty text: punct ratio is 0/0 — undefined, NULL in both
+        # engines (round-8 degenerate-shape gate; ANSI raised here)
+        F.when(len_raw == 0, F.lit(None).cast("double"))
+        .otherwise(r4((len_raw - len_norm) / len_raw))
+        .alias("punct_ratio"),
         r4(stop_ratio).alias("stop_ratio"),
         r4(
             F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * (0.5 + 0.5 * stop_ratio)
