@@ -1,0 +1,157 @@
+"""Build the degenerate-shape fixture for the parity sweep.
+
+The round-8 at-scale sweep proved the gate pattern; this builds its
+DATA-SHAPE sibling: sf0.001 plus appended pathological-but-valid rows
+— the shapes a 100 TB corpus certainly contains and the synthetic
+fixtures certainly don't.  Under ANSI mode any double ratio whose
+denominator degenerates to 0 raises DIVIDE_BY_ZERO (the
+abtest_two_proportion class), so zero-variance groups, zero-norm
+embeddings, zero time deltas, empty/stopword-only text and zero
+prices are exactly the rows that flush out unguarded arithmetic; and
+because the output is still compared Spark-vs-DuckDB row-for-row
+(tools/parity_sweep.py on this dir), semantic disagreements on edge
+rows are caught too, not just crashes.
+
+Appended shapes:
+- events: a user with ONE event; a user whose events all share one
+  timestamp (zero gaps/duration); a user with constant value (zero
+  variance/MAD/IQR); an event_type seen exactly once.
+- embeddings: the all-zero vector (zero norm — every cosine is
+  undefined); two identical vectors (distance 0, ties); a one-hot.
+- documents: empty text; single-word text (no 3-shingles); two exact
+  duplicates; a stopword-only document (RAKE: zero phrases); a
+  single-char language outlier.
+- lineitem/orders: a zero-quantity, zero-price line; a 100% discount
+  line (1-discount = 0); an order whose lines all ship the same day.
+
+Usage: python tools/make_degenerate_fixture.py [src_sf] [dst]
+       (defaults /root/testdata/sf0.001 -> /tmp/degenerate_sf)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/degenerate_sf"
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from trip_data_pipeline_spark import get_session
+    from trip_data_pipeline_spark.io import load
+
+    spark = get_session("degenerate-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(dst, exist_ok=True)
+
+    def write(df, table):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+
+    # --- events ------------------------------------------------------
+    ev = load(spark, src, "events")
+    base_ts = 1_700_000_000_000_000  # us
+    extra = []
+    eid = 10_000_000
+    # user 900001: exactly one event
+    extra.append((eid, base_ts, 900001, "view", 1.5, "{}")); eid += 1
+    # user 900002: five events, SAME timestamp, constant value
+    for _ in range(5):
+        extra.append((eid, base_ts, 900002, "purchase", 42.0, "{}")); eid += 1
+    # user 900003: constant value, distinct seconds
+    for k in range(6):
+        extra.append((eid, base_ts + k * 1_000_000, 900003, "view", 7.0, "{}"))
+        eid += 1
+    # an event_type that occurs exactly once in the corpus
+    extra.append((eid, base_ts + 123_456, 900004, "degenerate_singleton", 0.0, "{}"))
+    eid += 1
+    ev_extra = spark.createDataFrame(
+        [(e, t, u, ty, v, p) for e, t, u, ty, v, p in extra],
+        "event_id bigint, us bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    write(ev.unionByName(ev_extra), "events")
+
+    # --- embeddings ---------------------------------------------------
+    emb = load(spark, src, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    zero = [0.0] * dim
+    onehot = [0.0] * dim
+    onehot[0] = 1.0
+    # keep |x| <= 1.2: corpus_semdedup_bucket declares an int64-safe
+    # quantization envelope (|v_i| <= 1500 milli-units) and FAILS
+    # LOUDLY outside it by design — the degenerate fixture probes
+    # undefined VALUES, not out-of-domain magnitudes
+    dup = [float((i % 7) - 3) * 0.4 for i in range(dim)]
+    emb_extra = spark.createDataFrame(
+        [
+            (9_000_001, zero, 0),       # zero norm
+            (9_000_002, dup, 1),        # identical pair ->
+            (9_000_003, dup, 1),        #   cosine 1, distance 0
+            (9_000_004, onehot, 2),     # one-hot
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    write(emb.unionByName(emb_extra), "embeddings")
+
+    # --- documents ------------------------------------------------------
+    docs = load(spark, src, "documents")
+    from trip_data_pipeline_spark.operators.scale3 import RAKE_STOPS
+
+    stoptext = " ".join(list(RAKE_STOPS)[:3] * 4)
+    docs_extra = spark.createDataFrame(
+        [
+            (9_000_001, "", "en", "degenerate", 0),            # empty text
+            (9_000_002, "word", "en", "degenerate", 4),        # no 3-shingle
+            (9_000_003, "dup dup dup exact copy here", "en", "degenerate", 26),
+            (9_000_004, "dup dup dup exact copy here", "en", "degenerate", 26),
+            (9_000_005, stoptext, "en", "degenerate", len(stoptext)),
+            (9_000_006, "x", "zz", "degenerate", 1),           # 1-char, odd lang
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    write(docs.unionByName(docs_extra), "documents")
+
+    # --- lineitem / orders ---------------------------------------------
+    li = load(spark, src, "lineitem")
+    od = load(spark, src, "orders")
+    od_extra = spark.createDataFrame(
+        [(9_000_001, 1, "F", 0.0, base_ts, "1-URGENT")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, us bigint, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "timestamp_micros(us) AS o_orderdate", "o_orderpriority",
+    )
+    li_extra = spark.createDataFrame(
+        [
+            (9_000_001, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "R", "F", base_ts),
+            (9_000_001, 1, 1, 2, 5.0, 100.0, 1.0, 0.0, "R", "F", base_ts),
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, us bigint",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "timestamp_micros(us) AS l_shipdate",
+    )
+    write(od.unionByName(od_extra), "orders")
+    write(li.unionByName(li_extra), "lineitem")
+
+    # --- dims: copy unchanged -------------------------------------------
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        write(load(spark, src, t), t)
+    open(f"{dst}/_DONE", "w").close()
+    print(f"wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()

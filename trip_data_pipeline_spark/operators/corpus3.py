@@ -129,10 +129,17 @@ def lm_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     d = spread(load(spark, sf_dir, "documents"))
     w = _words()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.array_join(F.slice(w, i, 2), " "),
-    )
+    # same guard as corpus2.word_ngrams: sequence(1, k) DESCENDS for
+    # k < 1, so a 1-word document produced slice(w, 0, 2) and raised
+    # INVALID_PARAMETER_VALUE.START (round-8 degenerate gate); DuckDB's
+    # exclusive-upper range(1, 1) is already empty there
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.array_join(F.slice(w, i, 2), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     c = (
         d.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -295,7 +302,7 @@ cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY doc_id
 n AS (SELECT doc_id, c, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM cc)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_distinct_chars,
-       round(-sum((cnt * 1.0 / n) * ln(cnt * 1.0 / n)), 4) AS entropy_nats,
+       round(-sum((cnt * 1.0 / n) * ln(cnt * 1.0 / n)) + 0.0, 4) AS entropy_nats,
        min({{'nc': -cnt, 'ch': c}}).ch AS top_char
 FROM n GROUP BY doc_id
 """,
@@ -324,7 +331,10 @@ def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             bigint(F.count(F.lit(1))).alias("n_distinct_chars"),
-            r4(-F.sum(p * F.log(p))).alias("entropy_nats"),
+            # + 0.0 normalizes IEEE -0.0 (a single-char doc has
+            # p=1, p*ln p = -0.0 in one engine, +0.0 in the other —
+            # round-8 degenerate gate); -0.0 + 0.0 == +0.0 exactly
+            r4(-F.sum(p * F.log(p)) + F.lit(0.0)).alias("entropy_nats"),
             F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("c").alias("ch")))
             .getField("ch")
             .alias("top_char"),

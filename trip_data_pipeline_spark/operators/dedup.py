@@ -65,13 +65,28 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_col(ws: Column, k: int = SHINGLE_K) -> Column:
-    """k-word shingles of a token array, as strings."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(ws) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
+    """k-word shingles of a token array, as strings — TOTAL for any
+    input length (empty array below k words).
+
+    The guard is load-bearing even though every call site filters
+    size(ws) >= k first: the round-8 degenerate-shape gate caught
+    codegen SUBEXPRESSION ELIMINATION evaluating this transform
+    eagerly inside a Filter predicate (an inferred isnotnull
+    constraint on a shingle-derived column lands in the same Filter
+    as the size guard, and subExpr_0$ runs before the conjunct
+    short-circuit), where a 1-word doc made sequence(0, size-k)
+    DESCEND and element_at(ws, 2) raise.  CASE-WHEN branches are
+    exempt from subexpression elimination, so guarding INSIDE the
+    expression is the only placement the optimizer cannot reorder."""
+    return F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
 
 
 # Engine-portable universal-hash MinHash (SURVEY §2.11 / §5.3): one

@@ -784,11 +784,21 @@ def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
         .select(
             "user_id",
+            # guard the inverted range: a single-event user (mn == mx
+            # between grid points) has ceil(mn/G) > floor(mx/G), and
+            # Spark's sequence() DESCENDS there — minting two phantom
+            # grid points outside [mn, mx] with NULL interpolation —
+            # while DuckDB's exclusive-upper range() is already empty
+            # (round-8 degenerate-shape gate)
             F.explode(
-                F.sequence(
-                    F.ceil(F.col("mn") / F.lit(float(GRID_US))).cast("bigint"),
-                    F.floor(F.col("mx") / F.lit(float(GRID_US))).cast("bigint"),
-                )
+                F.when(
+                    F.ceil(F.col("mn") / F.lit(float(GRID_US))).cast("bigint")
+                    <= F.floor(F.col("mx") / F.lit(float(GRID_US))).cast("bigint"),
+                    F.sequence(
+                        F.ceil(F.col("mn") / F.lit(float(GRID_US))).cast("bigint"),
+                        F.floor(F.col("mx") / F.lit(float(GRID_US))).cast("bigint"),
+                    ),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
             ).alias("g"),
         )
         .select("user_id", (F.col("g") * GRID_US).alias("t"),
@@ -1260,13 +1270,30 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).cast("date"),
         F.date_trunc("month", F.max(F.col("o_orderdate").cast("date"))).cast("date"),
     ).first()
+    # Recursion depth must not scale 1:1 with the data's time span:
+    # Spark's cteRecursionLevelLimit defaults to 100 levels, and a
+    # month-per-step spine dies on any warehouse spanning >100 months
+    # (round-8 degenerate-shape gate: one appended 2023 order against
+    # the 1992-min fixture span raised RECURSION_LEVEL_LIMIT_EXCEEDED).
+    # The spine now strides 12 months per recursive step and explodes
+    # each stride into its months — same output, depth = span/12
+    # (level-limit-safe to a 100-year span), recursive surface still
+    # exercised.  The DuckDB oracle keeps the plain month recursion
+    # (no level limit there).
     return spark.sql(
         f"""
-WITH RECURSIVE months(m) AS (
+WITH RECURSIVE strides(y) AS (
   SELECT DATE'{lo.isoformat()}'
   UNION ALL
-  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-  WHERE m < DATE'{hi.isoformat()}'
+  SELECT CAST(y + INTERVAL 12 MONTH AS DATE) FROM strides
+  WHERE CAST(y + INTERVAL 12 MONTH AS DATE) <= DATE'{hi.isoformat()}'
+),
+months AS (
+  SELECT explode(sequence(
+           y,
+           least(CAST(y + INTERVAL 11 MONTH AS DATE), DATE'{hi.isoformat()}'),
+           INTERVAL 1 MONTH)) AS m
+  FROM strides
 )
 SELECT m AS month,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders

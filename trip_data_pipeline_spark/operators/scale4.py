@@ -1545,11 +1545,14 @@ def array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
     )
     s = d.select("doc_id", F.array_sort("w", cmp).alias("sorted_w"))
+    # F.get, not [i]: a <3-word document must yield NULL for the
+    # missing ranks the way DuckDB's out-of-bounds list index does —
+    # ANSI [i] raises INVALID_ARRAY_INDEX (round-8 degenerate gate)
     return s.select(
         "doc_id",
-        F.col("sorted_w")[0].alias("w1"),
-        F.col("sorted_w")[1].alias("w2"),
-        F.col("sorted_w")[2].alias("w3"),
+        F.get("sorted_w", 0).alias("w1"),
+        F.get("sorted_w", 1).alias("w2"),
+        F.get("sorted_w", 2).alias("w3"),
         F.element_at("sorted_w", -1).alias("w_last"),
     )
 
