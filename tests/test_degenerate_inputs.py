@@ -103,3 +103,25 @@ def test_abtest_mixed_outcomes_unchanged(spark, sf_dir, duck):
     row = df.collect()[0].asDict()
     assert row["z_milli"] is not None
     compare(df, duck, o.oracle)
+
+
+def test_shingle_col_total_below_k(spark):
+    """shingle_col must be total for ANY input length: the external
+    size(ws) >= 3 filters at its call sites are defeated by codegen
+    subexpression elimination when an inferred constraint on a
+    shingle-derived column lands in the same Filter node (round-8
+    degenerate sweep, dedup_minhash_recall_eval), so the guard lives
+    INSIDE the expression.  1-word input must yield [], not raise."""
+    from pyspark.sql import functions as F
+
+    from trip_data_pipeline_spark.operators.dedup import shingle_col
+
+    df = spark.createDataFrame(
+        [(0, []), (1, ["a"]), (2, ["a", "b"]), (3, ["a", "b", "c"])],
+        "id int, ws array<string>",
+    )
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", shingle_col(F.col("ws")).alias("sh")).collect()
+    }
+    assert got == {0: [], 1: [], 2: [], 3: ["a b c"]}
