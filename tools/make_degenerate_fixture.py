@@ -153,5 +153,95 @@ def main() -> None:
     print(f"wrote {dst}")
 
 
+def build_null_variant(src: str = "/root/testdata/sf0.001",
+                       dst: str = "/tmp/null_sf") -> None:
+    """The NULL-payload sibling of the degenerate fixture: sf0.001 plus
+    rows whose PAYLOAD columns are NULL — NULL text/lang/source, a
+    NULL embedding vector and NULL label, NULL event value/type/props,
+    NULL l_discount/l_tax/o_orderpriority.  Keys, foreign keys and
+    timestamps stay non-NULL by contract (the fixtures guarantee them,
+    as a production pipeline's NOT NULL constraints would); payload
+    NULLs are what a real 100 TB corpus certainly contains and every
+    engine pair must agree on (three-valued predicates, NULL-skipping
+    aggregates, NULL group keys).
+
+    Usage: python -c "from tools.make_degenerate_fixture import \
+           build_null_variant; build_null_variant()"
+    """
+    import os as _os
+
+    from trip_data_pipeline_spark import get_session
+    from trip_data_pipeline_spark.io import load
+
+    spark = get_session("null-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    _os.makedirs(dst, exist_ok=True)
+
+    def write(df, table):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+
+    docs = load(spark, src, "documents")
+    docs_extra = spark.createDataFrame(
+        [
+            (9_100_001, None, "en", "nullprobe", 0),
+            (9_100_002, "null lang doc words here", None, "nullprobe", 24),
+            (9_100_003, "null source doc words here", "en", None, 26),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    write(docs.unionByName(docs_extra), "documents")
+
+    emb = load(spark, src, "embeddings")
+    emb_extra = spark.createDataFrame(
+        [(9_100_001, None, 1), (9_100_002, [0.5] * len(emb.select("embedding").first()[0]), None)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    write(emb.unionByName(emb_extra), "embeddings")
+
+    ev = load(spark, src, "events")
+    base = 1_700_100_000_000_000
+    ev_extra = spark.createDataFrame(
+        [
+            (11_000_001, base, 910001, None, 3.5, "{}"),
+            (11_000_002, base + 1_000_000, 910001, "view", None, "{}"),
+            (11_000_003, base + 2_000_000, 910001, "purchase", 2.5, None),
+        ],
+        "event_id bigint, us bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    write(ev.unionByName(ev_extra), "events")
+
+    li = load(spark, src, "lineitem")
+    od = load(spark, src, "orders")
+    od_extra = spark.createDataFrame(
+        [(9_100_001, 1, "O", 123.45, base, None)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, us bigint, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "timestamp_micros(us) AS o_orderdate", "o_orderpriority",
+    )
+    li_extra = spark.createDataFrame(
+        [(9_100_001, 1, 1, 1, 7.0, 700.0, None, None, "N", "O", base)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, us bigint",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "timestamp_micros(us) AS l_shipdate",
+    )
+    write(od.unionByName(od_extra), "orders")
+    write(li.unionByName(li_extra), "lineitem")
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        write(load(spark, src, t), t)
+    open(f"{dst}/_DONE", "w").close()
+    print(f"wrote {dst}")
+
+
 if __name__ == "__main__":
     main()

@@ -192,7 +192,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       unnest(CASE WHEN len(longw) = 0 THEN [NULL] ELSE longw END) AS word
+       unnest(CASE WHEN longw IS NULL OR len(longw) = 0
+                   THEN [NULL] ELSE longw END) AS word
 FROM t
 """,
     category=CAT,

@@ -229,7 +229,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH r AS (
   SELECT doc_id, lang,
          CAST(row_number() OVER (PARTITION BY lang
-                ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+                ORDER BY md5(text) NULLS LAST, doc_id) AS BIGINT) AS rk
   FROM documents
 )
 SELECT doc_id, lang, rk FROM r WHERE rk <= 60
@@ -246,7 +246,11 @@ def corpus_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit (rank prune before the full sort).  A skewed
     dominant language is bounded by the same quota it is being
     resampled to."""
-    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    # NULLS LAST explicit: md5(NULL text) is NULL and the engines
+    # disagree on default null placement (round-8 NULL-payload sweep)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5("text").asc_nulls_last(), "doc_id"
+    )
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", bigint(F.row_number().over(w)).alias("rk"))

@@ -709,7 +709,7 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT event_type, value,
          cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
        min(CASE WHEN cd >= 0.5 THEN value END) AS p50_disc,

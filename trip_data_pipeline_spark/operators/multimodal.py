@@ -212,6 +212,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_val": []}
         for pdf in batches:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload has no frames — emit no rows, the
+                    # same as the oracle's unnest over a NULL list
+                    # (round-8 NULL-payload sweep: len(None) raised)
+                    continue
                 for idx, off in enumerate(range(0, min(len(payload), 8 * 32), 32)):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)

@@ -56,8 +56,10 @@ def str_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_split_part",
     oracle="""
 SELECT o_orderkey,
-       split_part(o_orderpriority, '-', 1) AS pri_num,
-       split_part(o_orderpriority, '-', 2) AS pri_word
+       CASE WHEN o_orderpriority IS NULL THEN NULL
+            ELSE split_part(o_orderpriority, '-', 1) END AS pri_num,
+       CASE WHEN o_orderpriority IS NULL THEN NULL
+            ELSE split_part(o_orderpriority, '-', 2) END AS pri_word
 FROM orders
 """,
     category=CAT,
@@ -411,7 +413,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        CAST(NULLIF(count(CASE WHEN event_type = 'click' THEN 1 END), 0)
             AS BIGINT) AS n_clicks
-FROM events GROUP BY user_id
+FROM events WHERE event_type IS NOT NULL GROUP BY user_id
 """,
     category=CAT,
 )
@@ -420,7 +422,10 @@ def map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §2.8 row 14.  Only the element_at lookup is projected
     (map hashing across engines is not portable); a user with no clicks
     yields NULL, mirrored by NULLIF(count, 0) in the oracle."""
-    ev = load(spark, sf_dir, "events")
+    # a NULL event_type cannot be a map key (Spark raises
+    # NULL_MAP_KEY) — rows with NULL keys are excluded before map
+    # construction in BOTH engines (round-8 NULL-payload sweep)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     per_type = ev.groupBy("user_id", "event_type").agg(
         bigint(F.count(F.lit(1))).alias("n")
     )
@@ -585,7 +590,7 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_type AS (
   SELECT user_id, event_type, round(sum(value), 2) AS total
-  FROM events GROUP BY user_id, event_type
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT)                                   AS n_types,
@@ -601,7 +606,9 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     without exploding back to rows.  Oracle expresses the same answers
     relationally (map internals are not portable across engines,
     §2.8 map_from_entries note)."""
-    ev = load(spark, sf_dir, "events")
+    # NULL event_type excluded before map construction in BOTH
+    # engines (NULL_MAP_KEY — same contract as map_from_entries)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     per_type = ev.groupBy("user_id", "event_type").agg(
         r2(F.sum("value")).alias("total")
     )
@@ -616,9 +623,25 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.size(F.map_filter(F.col("m"), lambda k, v: v > 100))).alias(
             "big_types"
         ),
-        r2(
-            F.aggregate(F.map_values("m"), F.lit(0.0), lambda acc, x: acc + x)
-        ).alias("all_total"),
+        # SQL-aggregate NULL semantics for the HOF fold: sum() skips
+        # NULL addends (a NULL-value event leaves a NULL per-type
+        # total), while acc + NULL would poison the whole fold; an
+        # all-NULL value set stays NULL like SQL sum (round-8
+        # NULL-payload sweep)
+        F.when(
+            F.size(F.filter(F.map_values("m"), lambda x: x.isNotNull())) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            r2(
+                F.aggregate(
+                    F.filter(F.map_values("m"), lambda x: x.isNotNull()),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        )
+        .alias("all_total"),
     )
 
 
@@ -636,9 +659,12 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       coalesce(array_to_string(list_sort(list_intersect(toks, vocab)), ','), '')
-         AS inter,
-       CAST(len(list_distinct(list_concat(toks, vocab))) AS BIGINT) AS n_union,
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE coalesce(array_to_string(list_sort(list_intersect(toks, vocab)),
+                                          ','), '') END AS inter,
+       CAST(CASE WHEN toks IS NULL THEN NULL
+            ELSE len(list_distinct(list_concat(toks, vocab))) END
+            AS BIGINT) AS n_union,
        CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
             AS BIGINT) AS n_except
 FROM t

@@ -483,7 +483,8 @@ WITH v AS (
   SELECT vec_id, gd,
          CAST(floor(CAST(embedding[CAST(gd + 1 AS INT)] AS DOUBLE) * 1000 + 0.5)
               AS BIGINT) AS val
-  FROM (SELECT vec_id, embedding, unnest(range(0, 64)) AS gd FROM embeddings)
+  FROM (SELECT vec_id, embedding, unnest(range(0, 64)) AS gd
+        FROM embeddings WHERE embedding IS NOT NULL)
 ),
 d AS (
   SELECT vec_id, gd // 8 AS subspace, cc.c AS c,
@@ -1219,7 +1220,14 @@ def udf_pandas_iter_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for s in batches:
-            yield pd.Series(np.floor(s.values * 100 + 0.5).astype("int64"))
+            # NULL in -> NULL out: astype("int64") on NaN silently
+            # yields int64 min (caught by the round-8 NULL-payload
+            # sweep as -9223372036854775808 where the oracle has
+            # NULL); a masked IntegerArray round-trips NULL through
+            # Arrow instead
+            mask = s.isna().to_numpy()
+            f = np.floor(np.nan_to_num(s.to_numpy(dtype="float64")) * 100 + 0.5)
+            yield pd.Series(pd.arrays.IntegerArray(f.astype("int64"), mask))
 
     ev = load(spark, sf_dir, "events")
     return ev.select("event_id", cents(F.col("value")).alias("vc"))

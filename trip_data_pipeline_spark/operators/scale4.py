@@ -1761,7 +1761,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
          epoch_us(ts) + (CAST(round(value * 100) AS BIGINT) % 7200) * 1000000 AS e
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 pts AS (
   SELECT user_id, s AS us, 1 AS delta, event_id FROM iv
@@ -1795,7 +1795,10 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: everything partitions by user — sweep state never crosses
     keys; the all-users variant would range-partition the timeline and
     prefix-merge the per-range sums (documented, not needed here)."""
-    iv = load(spark, sf_dir, "events").select(
+    # an event with a NULL value has no defined duration — excluded
+    # from the sweep in BOTH engines (round-8 NULL-payload sweep: the
+    # NULL end point sorts nulls-first in Spark, nulls-last in DuckDB)
+    iv = load(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
         "user_id",
         "event_id",
         F.expr("unix_micros(ts)").alias("s"),
@@ -2121,7 +2124,7 @@ WITH RECURSIVE ev AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 r AS (
   SELECT user_id, rn,
@@ -2164,11 +2167,19 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K, H = 15000, 200000
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("unix_micros(ts)").alias("us"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    # NULL measurements carry no signal: excluded from the CUSUM
+    # sequence in BOTH engines (round-8 NULL-payload sweep — the
+    # kernel's int(x) raised on NaN; the sf fixtures have no NULL
+    # values, so defined-case output is unchanged)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
     )
 
     def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2396,18 +2407,30 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     source stays fully splittable at 100 TB."""
 
     out = scratch_dir(prefix="text_lines_")
+    # NULL-safe TSV: concat_ws SKIPS null fields, silently shifting
+    # every later column left (round-8 NULL-payload sweep: a NULL lang
+    # put the text in the lang field).  NULLs are encoded as the
+    # classic \\N sentinel and decoded back symmetrically.
+    nul = "\\N"
     src = load(spark, sf_dir, "documents").select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
-            "value"
-        )
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("lang"), F.lit(nul)),
+            F.coalesce(F.col("text"), F.lit(nul)),
+        ).alias("value")
     )
     src.write.mode("overwrite").text(out)
     rb = spark.read.text(out).select(
         F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).cast("bigint").alias(
             "doc_id"
         ),
-        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("lang"),
-        F.split_part(F.col("value"), F.lit("\t"), F.lit(3)).alias("text"),
+        F.nullif(
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(2)), F.lit(nul)
+        ).alias("lang"),
+        F.nullif(
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(3)), F.lit(nul)
+        ).alias("text"),
     )
     return rb.groupBy("lang").agg(
         bigint(F.count(F.lit(1))).alias("n"),
@@ -3092,10 +3115,17 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_to_json_struct",
     oracle="""
 WITH j AS (
+  -- mirrors Spark to_json exactly, including its NULL-field OMISSION
+  -- (a NULL event_type/value drops the key instead of nulling the
+  -- whole doc — round-8 NULL-payload sweep)
   SELECT event_id,
          '{"uid":' || CAST(user_id AS VARCHAR)
-           || ',"type":"' || event_type
-           || '","cents":' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+           || CASE WHEN event_type IS NULL THEN ''
+                   ELSE ',"type":"' || event_type || '"' END
+           || CASE WHEN value IS NULL THEN ''
+                   ELSE ',"cents":'
+                        || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+              END
            || '}' AS doc
   FROM events
 )

@@ -315,7 +315,8 @@ a AS (
 r AS (
   SELECT host, n_docs, tokens,
          CAST((1000000 * tokens) // sum(tokens) OVER () AS BIGINT) AS share_ppm,
-         CAST(row_number() OVER (ORDER BY tokens DESC, host) AS BIGINT) AS rnk
+         CAST(row_number() OVER (ORDER BY tokens DESC, host NULLS LAST)
+              AS BIGINT) AS rnk
   FROM a
 )
 SELECT host, n_docs, tokens, share_ppm, rnk,
@@ -351,8 +352,13 @@ def corpus_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = bigint(
         F.expr("(1000000 * tokens) div (sum(tokens) over ())")
     ).alias("share_ppm")
+    # explicit NULLS LAST: a NULL host (unparseable source) must rank
+    # after a named host on token ties in BOTH engines (Spark ASC
+    # defaults nulls-first, DuckDB nulls-last — round-8 NULL sweep)
     rnk = bigint(
-        F.row_number().over(Window.orderBy(F.col("tokens").desc(), F.col("host")))
+        F.row_number().over(
+            Window.orderBy(F.col("tokens").desc(), F.col("host").asc_nulls_last())
+        )
     ).alias("rnk")
     r = a.select("host", "n_docs", "tokens", share, rnk)
     cum = F.sum("share_ppm").over(

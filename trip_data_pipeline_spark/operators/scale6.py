@@ -1153,7 +1153,7 @@ SELECT lang, source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY ALL
-ORDER BY ALL
+ORDER BY ALL NULLS LAST
 LIMIT 40
 """,
     category="2.8 scalar functions",
@@ -1173,7 +1173,7 @@ SELECT lang, source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM docs_gba
 GROUP BY ALL
-ORDER BY ALL
+ORDER BY ALL NULLS LAST
 LIMIT 40
 """
     )
@@ -2626,7 +2626,7 @@ def sample_negatives_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH iv AS (
   SELECT event_type, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 ),
 pts AS (
   SELECT event_type, s AS t, 1 AS delta FROM iv
@@ -2666,7 +2666,11 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     recombine; the per-key form here is the shape that parallelizes
     for free."""
     ev = spread(load(spark, sf_dir, "events"))
-    iv = ev.select(
+    # untyped (NULL event_type) events belong to no concurrency class
+    # — excluded in BOTH engines (round-8 NULL-payload sweep: the
+    # oracle's correlated count is 3-valued-false for the NULL group
+    # while groupBy keeps it, so the engines disagreed on that row)
+    iv = ev.filter(F.col("event_type").isNotNull()).select(
         "event_type",
         F.expr("unix_micros(ts)").alias("s"),
         F.expr("unix_micros(ts) + 300000000").alias("e"),
@@ -2701,7 +2705,7 @@ WITH q AS (
          len({_duck_words()}) AS w,
          1000000 * len(list_distinct({_duck_words()}))
            // len({_duck_words()}) AS x
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 c AS (
   SELECT lang, w, x,
@@ -2732,7 +2736,12 @@ def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final agg — the classic exact-distributed-median shape
     (no collect, no iterative quantile probing); the doc_id tiebreak
     makes the sort total so the answer is replayable."""
-    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25)
+    # NULL-text docs have no weight/score — excluded in BOTH engines
+    # (round-8 NULL-payload sweep: the NULL x row shifts cumw
+    # positions differently under each engine's NULL ordering)
+    d = spread(load(spark, sf_dir, "documents"), min_fraction=0.25).filter(
+        F.col("text").isNotNull()
+    )
     ws = _words()
     q = d.select(
         "doc_id",
@@ -6065,7 +6074,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, cents,
@@ -6112,7 +6121,11 @@ def events_winsorize_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over the histogram — the Benford/digit discipline,
     bounded by the value domain; the 1-row bounds broadcast back and
     the clamp is map-side."""
-    ev = spread(load(spark, sf_dir, "events"))
+    # NULL values are not measurements: excluded from histogram,
+    # bounds AND counts in BOTH engines (round-8 NULL-payload sweep —
+    # the engines disagreed on whether NULL cents shift the rank
+    # thresholds)
+    ev = spread(load(spark, sf_dir, "events")).filter(F.col("value").isNotNull())
     v = ev.select(
         "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )

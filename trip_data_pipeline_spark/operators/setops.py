@@ -213,7 +213,7 @@ SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
 FROM (
   SELECT lang, doc_id,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY md5(text), doc_id) AS rn
+                            ORDER BY md5(text) NULLS LAST, doc_id) AS rn
   FROM documents
 )
 WHERE rn <= 5
@@ -227,7 +227,10 @@ def sample_topk_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rows (unlike rand()-seeded sampling).  At 100 TB this is
     a WindowGroupLimit (per-group top-k heap), no global sort."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    # NULLS LAST explicit (md5 of NULL text; round-8 NULL sweep)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("text").cast("binary")).asc_nulls_last(), "doc_id"
+    )
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)

@@ -181,6 +181,7 @@ def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would ship — materialized so numpy can hold them as a matrix
     qrows = (
         e.filter(F.col("vec_id") < 10)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", qvec().alias("qe"))
         .orderBy("vec_id")
         .collect()
@@ -215,7 +216,13 @@ def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    c = e.select(F.col("vec_id").alias("c_id"), qvec().alias("ce"))
+    # NULL embeddings dropped before the kernel (np.stack(None)
+    # raises; the HOF twin and the oracle drop them via the NULL-
+    # propagating norm > 0 filter — same row set, round-8 NULL sweep)
+    c = (
+        e.filter(F.col("embedding").isNotNull())
+        .select(F.col("vec_id").alias("c_id"), qvec().alias("ce"))
+    )
     s = c.mapInPandas(score, "q_id bigint, c_id bigint, cos double").filter(
         F.col("c_id") != F.col("q_id")
     )

@@ -652,7 +652,7 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
          epoch_us(ts)
            + (600 + CAST(round(value * 100) AS BIGINT) % 1800) * 1000000 AS en
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 g AS (
   SELECT user_id, event_id, us, en,
@@ -695,7 +695,9 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events at the same timestamp (ADVICE r3: (us, en) could diverge
     from the pmax window's order and misassign sessions).
     Complete-mode drain emits every merged session."""
-    ev = read_events_stream(spark, sf_dir)
+    # an event with a NULL value has no defined gap — excluded from
+    # sessionization in BOTH engines (round-8 NULL-payload sweep)
+    ev = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
     gap = F.concat(
         (
             600 + F.round(F.col("value") * 100).cast("bigint") % 1800
