@@ -245,3 +245,48 @@ def build_null_variant(src: str = "/root/testdata/sf0.001",
 
 if __name__ == "__main__":
     main()
+
+
+def build_unicode_variant(src: str = "/root/testdata/sf0.001",
+                          dst: str = "/tmp/unicode_sf") -> None:
+    """Multibyte-text sibling (third shape class): accents, CJK, emoji
+    and a combining-diacritic sequence — where char-indexed and
+    byte-indexed logic diverge (the round-8 unicode sweep caught the
+    frame sampler's oracle reading CHAR 32 while the op samples BYTE
+    32 of the utf-8 payload).  Char-level functions (length, substr,
+    split, md5-over-utf-8, trigrams, entropy) agree across engines on
+    these rows — locked by docs/PARITY_UNICODE.json.
+
+    Usage: python -c "from tools.make_degenerate_fixture import \
+           build_unicode_variant; build_unicode_variant()"
+    """
+    import os as _os
+
+    from trip_data_pipeline_spark import get_session
+    from trip_data_pipeline_spark.io import load
+
+    spark = get_session("unicode-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    _os.makedirs(dst, exist_ok=True)
+    docs = load(spark, src, "documents")
+    extra = spark.createDataFrame(
+        [
+            (9200001, "café touché déjà vu naïve résumé", "fr", "uniprobe", 33),
+            (9200002, "数据 管道 批处理 数据 流式 处理", "zh", "uniprobe", 17),
+            (9200003, "mixed ascii café 中文 🚀 emoji words here", "en",
+             "uniprobe", 40),
+            (9200004, "é combining acute vs precomposed é here", "en",
+             "uniprobe", 40),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        load(spark, src, t).coalesce(1).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    open(f"{dst}/_DONE", "w").close()
+    print(f"wrote {dst}")

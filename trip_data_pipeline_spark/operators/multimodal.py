@@ -191,7 +191,16 @@ f AS (
 )
 SELECT doc_id,
        CAST(fi AS INT) AS frame_idx,
-       CAST(ord(text[CAST(fi * 32 + 1 AS INT)]) AS INT) AS frame_val
+       -- BYTE fi*32 of the utf-8 payload, parsed from hex(encode()):
+       -- the op is a byte-level frame sampler, and on multibyte text
+       -- a char index diverges from the byte index (round-8 unicode
+       -- sweep; DuckDB cannot slice BLOBs directly)
+       CAST((strpos('0123456789ABCDEF',
+                    substr(hex(encode(text)), CAST(fi * 64 + 1 AS INT), 1)) - 1)
+              * 16
+            + (strpos('0123456789ABCDEF',
+                      substr(hex(encode(text)), CAST(fi * 64 + 2 AS INT), 1)) - 1)
+            AS INT) AS frame_val
 FROM f
 """,
     category=CAT,
