@@ -126,86 +126,70 @@ def _ensure_loaded() -> None:
 # sweep (VERDICT r7).  Rotation invariants are machine-enforced by
 # tests/test_ledger.py: exactly 50 unique registered names, zero
 # overlap with any prior driver stamp at round open.
-# ROUND 8 (50) — ACTIVE, the PRIORITY tuple below IS this list:
-#   the sql surface remainders, dq_* quality checks, events/orders/geo
-#   analytics, text statistics, and the remaining §2.20 additions —
-#   first 50 of the ROUNDS 8-9 block in its recorded order.
-# ROUND 9 (44 + 6 spare; staged, do not reorder):
-#   geo_heading_octant_turns, events_forecast_naive_eval,
-#   orders_repurchase_curve, text_vocab_growth, dq_volume_dod_change,
-#   search_inverted_index_build, text_boolean_retrieval,
-#   text_bm25_rational_topk, multimodal_aspect_buckets,
-#   orders_cohort_ltv, search_query_expansion,
-#   dedup_cluster_size_histogram, corpus_df_band_prune,
-#   orders_revenue_waterfall, events_dau_wau_stickiness,
-#   graph_resource_allocation_index, timeseries_theil_sen_int,
-#   orders_abc_classification, text_kwic_contexts,
-#   events_growth_accounting, join_null_safe_equi,
-#   multimodal_image_symmetry_score, parts_single_source_risk,
-#   graph_local_clustering, events_winsorize_int,
-#   dq_duplicate_invoices, sql_offset_fetch, dedup_phash_banded,
-#   text_term_burstiness, events_gap_log2_histogram,
-#   text_char_trigram_profile, array_explode_outer,
-#   orders_order_size_distribution, events_metronome_score,
-#   multimodal_grayscale_detect, join_existence_flags,
-#   events_demand_dow_hour, dq_unit_price_outliers, geo_quadkey_index,
-#   orders_tier_migration, dedup_wordset_exact,
-#   graph_degree_assortativity, sql_named_window_clause,
-#   sql_cluster_by_surface
-#   — r9's spare slots absorb stragglers.
+# ROUND 8 (50) — DONE: CORRECTNESS_r08 stamped all 50 green (zero err),
+#   cumulative ledger 385/429 after eight windows.
+# ROUND 9 (44 + 6 spare) — ACTIVE, the PRIORITY tuple below IS this
+#   list: the 44 never-driver-sampled ops in their recorded order
+#   (staged verbatim since round 6, pre-verified 44/44 HASH-OK at r6
+#   close, re-verified in the judge's r8 429-op sim and the 10x parity
+#   sweep), followed by 6 spare slots.  44 + 6 = 50 closes the
+#   cumulative driver ledger at 429/429.  The spares re-certify ops
+#   whose code or oracle changed AFTER their newest driver stamp —
+#   each carries a concrete rationale (see inline notes) rather than
+#   re-stamping arbitrary greens.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-8 window (VERDICT r7 item 1: first 50 of the recorded
-    # ROUNDS 8-9 list, staged since round 6, pre-verified 50/50).
-    "sql_group_order_by_all",
-    "multimodal_image_histogram_stats",
-    "eval_langid_quality",
-    "graph_degree_distribution",
-    "sql_values_inline_table",
-    "agg_weighted_avg_exact",
-    "dedup_truncated_variants",
-    "dq_benford_first_digit",
-    "agg_hhi_concentration",
-    "geo_trip_speed_gate",
-    "dq_referential_integrity",
-    "stats_chi2_lang_source",
-    "abtest_two_proportion",
-    "corpus_shard_assign",
-    "dq_freshness_lag",
-    "dq_reconcile_order_totals",
-    "text_bigram_pmi_lift",
-    "dq_primary_key_uniqueness",
-    "events_time_to_convert",
-    "graph_jaccard_neighbors",
-    "text_sentiment_lexicon",
-    "features_multi_horizon",
-    "sample_negatives_hash_ring",
-    "events_peak_concurrency",
-    "agg_weighted_median_exact",
-    "dq_partition_drift",
-    "geo_od_flow_imbalance",
-    "join_asof_forward",
-    "multimodal_tile_watermark_detect",
-    "orders_interpurchase_gap",
-    "agg_pareto_coverage",
-    "corpus_tokenizer_fertility",
-    "timeseries_downsample_ltob",
-    "events_run_length_encode",
-    "multimodal_audio_clipping",
-    "geo_colocation_pairs",
-    "dq_sequence_gaps",
-    "embed_centroid_drift",
-    "dq_double_fire_events",
-    "orders_shipping_sla",
-    "orders_rank_movers",
-    "text_prefix_autocomplete",
-    "dq_ship_before_order",
-    "sessions_entry_exit_matrix",
-    "text_stem_naive",
-    "text_skipgram_pairs",
-    "events_bot_score",
-    "geo_trip_detour_ratio",
-    "events_demand_by_hour",
-    "geo_fleet_utilization",
+    # ROUND-9 window: the 44 remaining unstamped ops, recorded order.
+    "geo_heading_octant_turns",
+    "events_forecast_naive_eval",
+    "orders_repurchase_curve",
+    "text_vocab_growth",
+    "dq_volume_dod_change",
+    "search_inverted_index_build",
+    "text_boolean_retrieval",
+    "text_bm25_rational_topk",
+    "multimodal_aspect_buckets",
+    "orders_cohort_ltv",
+    "search_query_expansion",
+    "dedup_cluster_size_histogram",
+    "corpus_df_band_prune",
+    "orders_revenue_waterfall",
+    "events_dau_wau_stickiness",
+    "graph_resource_allocation_index",
+    "timeseries_theil_sen_int",
+    "orders_abc_classification",
+    "text_kwic_contexts",
+    "events_growth_accounting",
+    "join_null_safe_equi",
+    "multimodal_image_symmetry_score",
+    "parts_single_source_risk",
+    "graph_local_clustering",
+    "events_winsorize_int",
+    "dq_duplicate_invoices",
+    "sql_offset_fetch",
+    "dedup_phash_banded",
+    "text_term_burstiness",
+    "events_gap_log2_histogram",
+    "text_char_trigram_profile",
+    "array_explode_outer",
+    "orders_order_size_distribution",
+    "events_metronome_score",
+    "multimodal_grayscale_detect",
+    "join_existence_flags",
+    "events_demand_dow_hour",
+    "dq_unit_price_outliers",
+    "geo_quadkey_index",
+    "orders_tier_migration",
+    "dedup_wordset_exact",
+    "graph_degree_assortativity",
+    "sql_named_window_clause",
+    "sql_cluster_by_surface",
+    # Spares (6): re-certification of post-stamp changes, not padding.
+    "stream_stream_join",  # stamped r2; its oracle was microsecond-aligned in r8
+    "corpus_semdedup_bucket",  # stamped r7; engine reworked (HOF->Arrow) in r8
+    "scan_parquet_row_group_prune",  # stamped r7; write fan-out derived this round
+    "agg_percentile_disc",  # stamped r7; NULL-group symmetry fixed this round
+    "graph_connected_components",  # oldest stamp (r1); oracle scaled this round
+    "dedup_minhash_recall_eval",  # stamped r6; truth-arm scaling work this round
 )
 
 
