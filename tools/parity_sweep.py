@@ -119,6 +119,20 @@ def spark_canon_col(name: str, dtype: str):
         # String.format("%.6f", null) renders the literal string
         # "null", which would bypass the coalesce sentinel (caught by
         # the round-8 forced-fingerprint validation on the outer joins)
+        #
+        # Known tie-rendering hazard (ADVICE r8): Java %.6f rounds
+        # HALF_UP while DuckDB printf %.6f rounds half-to-even, so a
+        # double whose exact decimal expansion has a 5 in the 7th
+        # place (odd multiples of 2^-7, e.g. 0.0078125 -> '0.007813'
+        # vs '0.007812') renders differently and would surface as a
+        # spurious fingerprint FAIL (then a visible FP-INT-OK
+        # downgrade, never a silent pass).  Ops whose doubles are
+        # pre-rounded via F.round(x, <=5) are immune (one guaranteed
+        # trailing zero); un-rounded doubles at fixture magnitudes
+        # have no exactly-representable 7th-place-5 values in
+        # practice — no op has hit this in six full sweeps.  If one
+        # ever does, re-render through a tie-free integer encoding
+        # (CAST(round(x*1e6) AS BIGINT) on both engines) for that op.
         e = (
             F.when(col.isNull(), F.lit(NULL_SENTINEL))
             .when(F.isnan(col), F.lit("NaN"))
@@ -213,9 +227,9 @@ def duck_fingerprint(con, sql: str) -> tuple[int, int, int]:
 # relative noise crosses the 6-decimals-after-the-point boundary once
 # the integer part has 12+ digits.  The driver contract stays %.6f at
 # sf0.01 (where magnitudes keep it exact); at scale the sweep first
-# tries the strict form, then re-compares doubles at 12 SIGNIFICANT
-# digits (rel ~1e-12 — far tighter than any real defect) and reports
-# FLOAT-TOL-OK so the relaxation is visible, never silent.
+# tries the strict form, then re-compares doubles at 9 SIGNIFICANT
+# digits (%.9g, rel ~1e-9 — still far tighter than any real defect)
+# and reports FLOAT-TOL-OK so the relaxation is visible, never silent.
 # ---------------------------------------------------------------------------
 
 
@@ -293,10 +307,14 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
             rec.update(status="FP-OK", mode="fingerprint", rows=sn)
         else:
             float_cols = [c for c, t in df.dtypes if t in ("double", "float")]
-            if float_cols:
+            if float_cols and len(float_cols) < len(df.columns):
                 # engine-side %.12g is not portable (Java %g pads,
                 # C %g strips) — fall back to the integer/string
-                # skeleton and report the exclusion explicitly
+                # skeleton and report the exclusion explicitly.  The
+                # len guard (ADVICE r8): an all-double schema would
+                # leave zero skeleton columns and a syntactically
+                # invalid 'SELECT  FROM' oracle — fall through to
+                # plain FAIL instead, which is the honest status.
                 sk = df.drop(*float_cols)
                 body = o.oracle.rstrip().rstrip(";")
                 keep = ", ".join(f'"{c}"' for c in sk.columns)

@@ -723,8 +723,15 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-standard PERCENTILE_DISC definition, which the oracle spells
     out via cume_dist so no engine-specific quantile interpolation is
     involved).  Returns actual data values, so no rounding is needed:
-    the selected doubles are bit-identical across engines."""
-    ev = load(spark, sf_dir, "events")
+    the selected doubles are bit-identical across engines.
+
+    NULL values are filtered BEFORE the groupBy to mirror the oracle's
+    WHERE value IS NOT NULL (ADVICE r8): relying on percentile_disc's
+    implicit NULL-skip alone is asymmetric — a group whose values are
+    all NULL would emit a (type, NULL, NULL) row here but no row at
+    all in the oracle.  With the symmetric filter such groups vanish
+    identically on both sides."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return ev.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_disc"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),

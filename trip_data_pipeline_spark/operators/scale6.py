@@ -376,7 +376,12 @@ def scan_parquet_row_group_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir(prefix="rg_prune_")
     o = load(spark, sf_dir, "orders")
     (
-        o.repartitionByRange(4, "o_orderdate")
+        # Write fan-out derives from the session (range_parts — VERDICT
+        # r8 item 6): a literal 4 pins the sort+write stage to 4 tasks
+        # at any scale.  Pruning effectiveness is layout-local (each
+        # range partition is date-sorted regardless of how many there
+        # are), so the count only affects write parallelism.
+        o.repartitionByRange(range_parts(spark), "o_orderdate")
         .sortWithinPartitions("o_orderdate")
         .write.option("parquet.block.size", 131072)
         .mode("overwrite")

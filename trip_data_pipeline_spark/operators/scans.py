@@ -13,7 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trip_data_pipeline_spark.io import SCHEMAS, load, table_path
-from trip_data_pipeline_spark.operators.common import as_date, bigint, r2, scratch_dir
+from trip_data_pipeline_spark.operators.common import (
+    as_date,
+    bigint,
+    r2,
+    range_parts,
+    scratch_dir,
+)
 from trip_data_pipeline_spark.registry import op
 
 CAT = "2.1 scans/sources/sinks"
@@ -224,7 +230,10 @@ def layout_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year", F.year(as_date(F.col("o_orderdate")))
     )
     (
-        o.repartitionByRange(8, "o_year", "o_custkey")
+        # Session-derived write fan-out (same fixed-parallelism class
+        # as scan_parquet_row_group_prune, VERDICT r8 item 6): values
+        # and pruning are layout-local, the count is parallelism only.
+        o.repartitionByRange(range_parts(spark), "o_year", "o_custkey")
         .sortWithinPartitions("o_year", "o_custkey")
         .write.mode("overwrite")
         .partitionBy("o_year")
