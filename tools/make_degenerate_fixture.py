@@ -243,6 +243,133 @@ def build_null_variant(src: str = "/root/testdata/sf0.001",
     print(f"wrote {dst}")
 
 
+def build_stream_edge_variant(src: str = "/root/testdata/sf0.001",
+                              dst: str = "/tmp/stream_edge_sf") -> None:
+    """Streaming micro-batch edge fixture (round-9, VERDICT r8 item 7):
+    sf0.001 events plus the watermark/late-data shapes the standard
+    layout never exercises.  The degenerate/NULL/unicode classes cover
+    batch payloads; the 14 §2.9 streaming ops' event-TIME edges — the
+    inputs where watermark eviction, window finalization ties and
+    µs-precision join bounds actually bind — had no pathological
+    fixture before this one.
+
+    Appended shapes (sweep scope: the streaming ops, via
+    tools/run_stream_edge_parity.py -> docs/PARITY_STREAM_EDGE.json):
+    - NULL event time: rows whose ts is NULL (a real ingest certainly
+      produces some).  Declared semantics: event-time operators
+      exclude them at the source (read_events_stream filters, oracles
+      say WHERE ts IS NOT NULL) — without the uniform rule the engine
+      is silently mixed (window aggs drop NULL windows, dedup/state
+      ops would pass NaT into state).
+    - watermark-finalization tie: the on-time arm's max ts is pinned
+      to 23:10:00.000000 so the 10-min watermark lands EXACTLY on an
+      hour-window end (finalize iff end <= wm — the tie probes the
+      boundary in both engines).
+    - µs join bounds: a purchase with views at exactly -1h (inclusive
+      bound), -1h-1µs (outside), -1µs (inside) and 0 (strict bound) —
+      the stream_stream_join class the round-8 sweep caught at 10x,
+      now pinned at exact ties.
+    - all-late user: every event before the late-batch cutoff, plus
+      rows straddling the cutoffs (23:59:59.999999 vs 00:00:00) and
+      one before the fixture's global min (deep-late).
+    - session-gap ties: fixed-gap events exactly 30min apart (end-
+      exclusive window -> 2 sessions) and 30min-1µs (merge); dynamic-
+      gap events exactly at the previous event's span end (touching
+      spans do NOT merge) and 1µs inside (merge).
+    - exact duplicate rows: identical (user, type, ts) pairs for the
+      streaming dedup state path.
+    """
+    import os as _os
+    from datetime import datetime, timezone
+
+    from trip_data_pipeline_spark import get_session
+    from trip_data_pipeline_spark.io import load
+
+    def us(*args) -> int:
+        return int(datetime(*args, tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    spark = get_session("stream-edge-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    _os.makedirs(dst, exist_ok=True)
+
+    H = 3_600_000_000  # 1h in µs
+    extra: list[tuple] = []
+    # A. NULL event time (ts=None) — plus the same (user, type) key
+    #    again WITH a timestamp, so dedup state sees both shapes.
+    extra += [
+        (12_000_001, None, 920001, "view", 1.0, "{}"),
+        (12_000_002, None, 920001, "purchase", 2.0, "{}"),
+        (12_000_003, None, 920002, "view", 3.0, "{}"),
+        (12_000_004, us(2024, 1, 24, 8, 0, 0), 920002, "view", 4.0, "{}"),
+    ]
+    # B. watermark-finalization tie: pin the on-time arm's max to
+    #    23:10:00 exactly (existing on-time max is 20:49:38) -> wm =
+    #    23:00:00.000000 == end of window [22:00, 23:00).
+    extra += [
+        (12_000_010, us(2024, 1, 19, 23, 10, 0), 920003, "view", 1.0, "{}"),
+        (12_000_011, us(2024, 1, 19, 22, 30, 0), 920003, "view", 1.0, "{}"),
+        (12_000_012, us(2024, 1, 19, 23, 5, 0), 920003, "view", 1.0, "{}"),
+    ]
+    # C. µs-precision join bounds (views around a purchase at TP)
+    tp = us(2024, 1, 25, 12, 0, 0)
+    extra += [
+        (12_000_020, tp, 920004, "purchase", 9.0, "{}"),
+        (12_000_021, tp - H, 920004, "view", 1.0, "{}"),        # inclusive edge
+        (12_000_022, tp - H - 1, 920004, "view", 1.0, "{}"),    # 1µs outside
+        (12_000_023, tp - 1, 920004, "view", 1.0, "{}"),        # 1µs inside
+        (12_000_024, tp, 920004, "view", 1.0, "{}"),            # strict < edge
+    ]
+    # D. all-late user + cutoff straddle + deep-late (before global min)
+    extra += [
+        (12_000_030, us(2024, 1, 1, 0, 0, 0), 920005, "view", 1.0, "{}"),
+        (12_000_031, us(2024, 1, 1, 0, 10, 0), 920005, "purchase", 2.0, "{}"),
+        (12_000_032, us(2024, 1, 2, 23, 59, 59) + 999_999, 920005, "view", 1.0, "{}"),
+        (12_000_033, us(2024, 1, 3, 0, 0, 0), 920005, "view", 1.0, "{}"),
+        (12_000_034, us(2023, 12, 30, 6, 0, 0), 920005, "view", 1.0, "{}"),
+    ]
+    # E. fixed-gap session ties (30min = 1_800_000_000 µs, end-exclusive)
+    s = us(2024, 1, 26, 0, 0, 0)
+    extra += [
+        (12_000_040, s, 920006, "view", 1.0, "{}"),
+        (12_000_041, s + 1_800_000_000, 920006, "view", 1.0, "{}"),      # new sess
+        (12_000_042, s + 2 * 1_800_000_000 - 1, 920006, "view", 1.0, "{}"),  # merge
+    ]
+    # F. dynamic-gap ties: value 0.0 -> gap 600s; touching spans do
+    #    not merge (us >= pmax), 1µs inside does.
+    d = us(2024, 1, 27, 0, 0, 0)
+    extra += [
+        (12_000_050, d, 920007, "view", 0.0, "{}"),
+        (12_000_051, d + 600_000_000, 920007, "view", 0.0, "{}"),      # touch: new
+        (12_000_052, d + 2 * 600_000_000 - 1, 920007, "view", 0.0, "{}"),  # merge
+    ]
+    # G. exact duplicate rows (same user, type, ts) for dedup state
+    g = us(2024, 1, 28, 9, 0, 0)
+    extra += [
+        (12_000_060, g, 920008, "view", 5.0, "{}"),
+        (12_000_061, g, 920008, "view", 5.0, "{}"),
+    ]
+
+    ev = load(spark, src, "events")
+    ev_extra = spark.createDataFrame(
+        extra,
+        "event_id bigint, us bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    ev.unionByName(ev_extra).coalesce(1).write.mode("overwrite").parquet(
+        f"{dst}/events.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        load(spark, src, t).coalesce(1).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    open(f"{dst}/_DONE", "w").close()
+    print(f"wrote {dst}")
+
+
 if __name__ == "__main__":
     main()
 

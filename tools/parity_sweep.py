@@ -103,6 +103,157 @@ CONTRACT_NA = {
 
 
 # ---------------------------------------------------------------------------
+# Scale-tractable oracle overrides (round-9, VERDICT r8 item 3).
+#
+# Two registry oracles are correct but have super-linear EVALUATION
+# cost that exceeds any reasonable budget at 10x — the cost is the
+# oracle's materialization strategy, not the comparison:
+#
+# - graph_connected_components: the recursive-CTE transitive closure
+#   materializes every (node, reachable-node) pair — O(sum of
+#   component-size^2) rows, 307 s at 3x and super-quadratic beyond.
+# - dedup_minhash_recall_eval: the truth arm DISTINCTs the inverted-
+#   index self-join then re-joins both shingle arrays per pair for
+#   list_intersect — 1,517 s at 3x.
+#
+# Each override computes THE SAME mathematical object with a scalable
+# evaluation: iterative min-label propagation to a fixed point for
+# components (any correct CC algorithm yields the identical labelling
+# because component id == min reachable node id), and the
+# shared-shingle-count identity for the truth arm (both sides of the
+# index join are per-doc-distinct, so the per-pair join-row count IS
+# |A∩B|, and |A∪B| = n1 + n2 - i; the Arasu'06 size filter at t=0.5
+# is lossless).  Overrides are OPT-IN (PARITY_SCALED_ORACLES=1), every
+# record that used one carries "scaled_oracle": true, and
+# tests/test_scaled_oracles.py locks each override value-identical to
+# the original registry oracle on the driver fixture — so the scaled
+# artifact chains to the independent oracle through an equality that
+# is itself machine-checked.
+# ---------------------------------------------------------------------------
+
+
+def _cc_oracle_iterative(con) -> str:
+    """Connected components by min-label propagation + pointer jumping
+    in DuckDB temp tables (the same O(log diameter) loop the engine
+    runs, re-implemented against the oracle's own edge definition).
+    Convergence detector: sum(label) is strictly decreasing until the
+    fixed point (labels only ever decrease, bounded below)."""
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE cc_e AS
+WITH op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+             FROM lineitem WHERE l_orderkey % 97 = 0)
+SELECT a.p AS src, b.p AS dst FROM op_ a JOIN op_ b
+ON a.k = b.k AND a.p <> b.p
+""")
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE cc_l AS "
+        "SELECT DISTINCT src AS node, src AS label FROM cc_e"
+    )
+    prev = None
+    for _ in range(64):
+        # one hop of neighbor-min propagation ...
+        con.execute("""
+CREATE OR REPLACE TEMP TABLE cc_hop AS
+SELECT l.node, least(l.label, coalesce(m.nbr, l.label)) AS label
+FROM cc_l l LEFT JOIN (
+  SELECT e.dst AS node, min(l2.label) AS nbr
+  FROM cc_e e JOIN cc_l l2 ON l2.node = e.src GROUP BY e.dst
+) m ON m.node = l.node
+""")
+        # ... then pointer jumping (label := label-of-label)
+        con.execute("""
+CREATE OR REPLACE TEMP TABLE cc_next AS
+SELECT a.node, least(a.label, coalesce(b.label, a.label)) AS label
+FROM cc_hop a LEFT JOIN cc_hop b ON b.node = a.label
+""")
+        con.execute("CREATE OR REPLACE TEMP TABLE cc_l AS SELECT * FROM cc_next")
+        cur = con.execute("SELECT sum(label) FROM cc_l").fetchone()[0]
+        if cur == prev:
+            return (
+                "SELECT CAST(node AS BIGINT) AS node, "
+                "CAST(label AS BIGINT) AS component FROM cc_l ORDER BY node"
+            )
+        prev = cur
+    raise RuntimeError("cc scaled oracle: no fixed point in 64 rounds")
+
+
+def _minhash_eval_scaled(con) -> str:  # noqa: ARG001 — uniform signature
+    """dedup_minhash_recall_eval oracle with the truth arm evaluated
+    via the shared-shingle-count identity instead of candidate-DISTINCT
+    + per-pair list_intersect.  The LSH/candidate/hit arms and the
+    final summary row are verbatim from the registry oracle."""
+    from trip_data_pipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_MOD,
+        MINHASH_PERMS,
+        SHINGLE_K,
+        _duck_hex28,
+        _SHINGLES_DUCK,
+    )
+    from trip_data_pipeline_spark.operators.text_ops import _duck_words
+
+    return f"""
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= {SHINGLE_K}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d3
+),
+nsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+she AS (SELECT sh.doc_id, sh.s, nsz.n FROM sh JOIN nsz USING (doc_id)),
+truth AS (
+  SELECT doc_id1, doc_id2 FROM (
+    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+           a.n AS n1, b.n AS n2, count(*) AS i_
+    FROM she a JOIN she b
+      ON a.s = b.s AND a.doc_id < b.doc_id
+     AND b.n <= 2 * a.n AND a.n <= 2 * b.n
+    GROUP BY 1, 2, 3, 4
+  ) WHERE 2 * i_ >= n1 + n2 - i_
+),
+hx AS (
+  SELECT doc_id,
+         {_duck_hex28('md5(s)', 1)} AS a,
+         {_duck_hex28('md5(s)', 8)} AS b
+  FROM sh
+),
+hj AS (
+  SELECT doc_id, j, min((a + (j + 1) * b) % {MINHASH_MOD}) AS mh
+  FROM hx CROSS JOIN (SELECT unnest(range(0, {MINHASH_PERMS})) AS j) perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {MINHASH_PERMS // LSH_BANDS} AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM hj GROUP BY doc_id, band_idx
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id1, b2.doc_id AS doc_id2
+  FROM bands b1
+  JOIN bands b2 ON b1.band_idx = b2.band_idx
+               AND b1.band_key = b2.band_key
+               AND b1.doc_id < b2.doc_id
+),
+hit AS (
+  SELECT t.doc_id1 FROM truth t
+  JOIN cand c ON c.doc_id1 = t.doc_id1 AND c.doc_id2 = t.doc_id2
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((1000000 * (SELECT count(*) FROM hit))
+              // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm,
+       CAST((1000000 * (SELECT count(*) FROM hit))
+              // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm
+"""
+
+
+SCALED_ORACLES = {
+    "graph_connected_components": _cc_oracle_iterative,
+    "dedup_minhash_recall_eval": _minhash_eval_scaled,
+}
+
+
+# ---------------------------------------------------------------------------
 # canonical row encoding — MUST stay identical between the two engines
 # ---------------------------------------------------------------------------
 
@@ -252,7 +403,7 @@ def canon_rows_tol(cols: list[str], rows: list[tuple]) -> list[tuple]:
     )
 
 
-def check_op(spark, con, name: str, sf_dir: str) -> dict:
+def check_op(spark, con, name: str, sf_dir: str, scaled: bool = False) -> dict:
     o = OPS[name]
     t0 = time.time()
     rec: dict = {}
@@ -261,9 +412,13 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
         rec.update(status="ROWS-RAN", mode="rows", rows=df.count())
         rec["secs"] = round(time.time() - t0, 2)
         return rec
+    oracle = o.oracle
+    if scaled and name in SCALED_ORACLES:
+        oracle = SCALED_ORACLES[name](con)
+        rec["scaled_oracle"] = True
     s_rows = df.limit(CAP + 1).collect()
     if len(s_rows) <= CAP:
-        body = o.oracle.rstrip().rstrip(";")
+        body = oracle.rstrip().rstrip(";")
         d_cols, d_raw = _with_budget(
             con, lambda: duck_result(con, f"SELECT * FROM ({body}) LIMIT {CAP + 1}")
         )
@@ -302,7 +457,7 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
                 )
     else:
         sn, s1, s2 = spark_fingerprint(df)
-        dn, d1, d2 = _with_budget(con, lambda: duck_fingerprint(con, o.oracle))
+        dn, d1, d2 = _with_budget(con, lambda: duck_fingerprint(con, oracle))
         if (sn, s1, s2) == (dn, d1, d2):
             rec.update(status="FP-OK", mode="fingerprint", rows=sn)
         else:
@@ -316,7 +471,7 @@ def check_op(spark, con, name: str, sf_dir: str) -> dict:
                 # invalid 'SELECT  FROM' oracle — fall through to
                 # plain FAIL instead, which is the honest status.
                 sk = df.drop(*float_cols)
-                body = o.oracle.rstrip().rstrip(";")
+                body = oracle.rstrip().rstrip(";")
                 keep = ", ".join(f'"{c}"' for c in sk.columns)
                 sn2, s12, s22 = spark_fingerprint(sk)
                 dn2, d12, d22 = _with_budget(
@@ -358,12 +513,21 @@ def main() -> int:
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
+    scaled = os.environ.get("PARITY_SCALED_ORACLES", "") == "1"
     results: dict[str, dict] = {}
     out = {
         "protocol": (
             f"tools/parity_sweep.py: every registered op vs its DuckDB oracle "
             f"on {sf_dir}; exact driver-parity bag compare when rows <= {CAP}, "
             f"engine-side md5 canonical-row fingerprint (two 56-bit sums) above"
+            + (
+                f"; PARITY_SCALED_ORACLES=1 — ops in {sorted(SCALED_ORACLES)} "
+                "use the scale-tractable oracle evaluation (value-locked to "
+                "the registry oracle by tests/test_scaled_oracles.py), "
+                "flagged per-record as scaled_oracle"
+                if scaled
+                else ""
+            )
         ),
         "sf_dir": sf_dir,
         "cap_rows": CAP,
@@ -400,7 +564,7 @@ def main() -> int:
             results[name] = {"status": "CONTRACT-NA", "detail": CONTRACT_NA[name]}
         else:
             try:
-                results[name] = check_op(spark, con, name, sf_dir)
+                results[name] = check_op(spark, con, name, sf_dir, scaled=scaled)
             except OracleBudgetExceeded:
                 results[name] = {
                     "status": "ORACLE-BUDGET-NA",

@@ -410,6 +410,7 @@ SELECT c_mktsegment,
        round(sum(value), 2)     AS total_value
 FROM events
 JOIN customer ON c_custkey = user_id
+WHERE ts IS NOT NULL
 GROUP BY c_mktsegment
 """,
     category=CAT,

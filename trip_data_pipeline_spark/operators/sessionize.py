@@ -23,10 +23,11 @@ GAP_US = 1800 * 1_000_000
 @op(
     "sessionize_batch",
     oracle="""
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           WHERE ts IS NOT NULL),
      g AS (SELECT user_id, us, event_id,
                   CASE WHEN lag(us) OVER w IS NULL
-                        OR us - lag(us) OVER w >= 1800000000
+                        OR us - lag(us) OVER w > 1800000000
                        THEN 1 ELSE 0 END AS new_s
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
      s AS (SELECT user_id, us,
@@ -44,8 +45,19 @@ FROM s GROUP BY user_id, sid
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization; result equals
-    stream_session_window exactly (same oracle SQL)."""
-    ev = load(spark, sf_dir, "events").select(
+    stream_session_window exactly (same oracle SQL).
+
+    Tie semantics (round-9 stream-edge fixture): Spark's native
+    session_window MERGES touching sessions — an event at exactly
+    last_ts + gap extends the session — so the break condition is
+    gap STRICTLY GREATER than 30 min in both this op and its oracle;
+    the >= form diverged from the streaming twin on exact ties."""
+    # NULL event time excluded symmetrically with the streaming twin's
+    # source filter (round-9 stream-edge class): a NULL ts has no
+    # session semantics, and left in, the engines disagree on where
+    # it even SORTS (Spark NULLS FIRST vs DuckDB NULLS LAST in the
+    # lag window) before the arithmetic goes three-valued.
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -53,7 +65,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     prev = F.lag("us").over(w)
-    new_s = F.when(prev.isNull() | (F.col("us") - prev >= GAP_US), 1).otherwise(0)
+    new_s = F.when(prev.isNull() | (F.col("us") - prev > GAP_US), 1).otherwise(0)
     return (
         ev.withColumn("sid", F.sum(new_s).over(run))
         .groupBy("user_id", "sid")

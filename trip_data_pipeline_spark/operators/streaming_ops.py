@@ -31,7 +31,7 @@ CAT = "2.9 streaming"
     oracle="""
 WITH e AS (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_s,
                   event_type, value
-           FROM events)
+           FROM events WHERE ts IS NOT NULL)
 SELECT CAST(hour_s AS BIGINT)  AS win_start_s,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -65,7 +65,8 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "stream_sliding_sum",
     oracle="""
-WITH e AS (SELECT (epoch_us(ts) // 1000000) AS s, value FROM events),
+WITH e AS (SELECT (epoch_us(ts) // 1000000) AS s, value FROM events
+           WHERE ts IS NOT NULL),
      b AS (SELECT s - s % 900 AS b15, value FROM e),
      w AS (SELECT b15 - off AS win_start_s, value
            FROM b CROSS JOIN (VALUES (0), (900), (1800), (2700)) t(off))
@@ -100,10 +101,11 @@ def stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "stream_session_window",
     oracle="""
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           WHERE ts IS NOT NULL),
      g AS (SELECT user_id, us,
                   CASE WHEN lag(us) OVER w IS NULL
-                        OR us - lag(us) OVER w >= 1800000000
+                        OR us - lag(us) OVER w > 1800000000
                        THEN 1 ELSE 0 END AS new_s
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
      s AS (SELECT user_id, us,
@@ -123,8 +125,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.9 row 3 (also the trip 'sessionization' op).
 
     Oracle is the gaps-and-islands formulation on exact integer µs:
-    a session window is [first, last+gap), so a new session starts
-    when the gap is >= 30 min."""
+    a session window is [first, last+gap), and Spark MERGES touching
+    sessions (an event at exactly last_ts + gap extends the session —
+    measured on the round-9 stream-edge tie fixture), so a new
+    session starts only when the gap is STRICTLY > 30 min."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -242,7 +246,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_watermark",
     oracle="""
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """,
     category=CAT,
 )
@@ -272,7 +276,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """,
     category=CAT,
 )
@@ -316,7 +320,7 @@ def stream_stateful_runstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS total_value
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """,
     category=CAT,
 )
@@ -358,7 +362,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stream_join",
     oracle="""
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-           FROM events)
+           FROM events WHERE ts IS NOT NULL)
 SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
        CAST((p.us // 1000000) - (v.us // 1000000) AS BIGINT) AS lag_s
 FROM e p JOIN e v
@@ -652,7 +656,7 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
          epoch_us(ts)
            + (600 + CAST(round(value * 100) AS BIGINT) % 1800) * 1000000 AS en
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 g AS (
   SELECT user_id, event_id, us, en,
@@ -663,7 +667,7 @@ g AS (
 ),
 s0 AS (
   SELECT user_id, event_id, us, en,
-         CASE WHEN pmax IS NULL OR us >= pmax THEN 1 ELSE 0 END AS new_s
+         CASE WHEN pmax IS NULL OR us > pmax THEN 1 ELSE 0 END AS new_s
   FROM g
 ),
 s AS (
@@ -687,9 +691,10 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge — activity-dependent timeouts (a purchase keeps the session
     alive longer than a view), which the fixed-gap form cannot
     express.  The batch oracle is the interval-merge formulation: a
-    session break is exactly `t >= running max of previous ends` (end
-    exclusive, so touching spans do NOT merge — matching Spark's
-    merge-on-overlap rule); no recursion needed because the break
+    session break is exactly `t > running max of previous ends` (Spark
+    MERGES touching spans: an event starting exactly at the running
+    end extends the session — the round-9 stream-edge tie fixture
+    measured the >= form engine-opposite); no recursion needed because the break
     condition only consults the running max.  Both oracle windows
     order by (us, event_id) — a TOTAL order even when one user has two
     events at the same timestamp (ADVICE r3: (us, en) could diverge

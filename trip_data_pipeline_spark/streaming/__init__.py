@@ -86,7 +86,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"read_events_stream premise broken: {path} matched no rows — "
             "a stream over it would silently drain zero batches"
         )
-    return ns_to_ts(raw)
+    # NULL event time is excluded AT THE SOURCE (round-9 stream-edge
+    # class): every §2.9 operator is event-time-keyed, and a NULL
+    # event time has no watermark/window/join-bound semantics — left
+    # in, the engine's behavior is silently MIXED (window aggs drop
+    # the NULL window, dedup/applyInPandasWithState would carry the
+    # row and feed NaT into state, join range predicates drop it
+    # three-valuedly).  One explicit rule, mirrored by WHERE ts IS
+    # NOT NULL in every streaming batch oracle, is what a production
+    # ingest's NOT NULL event-time constraint enforces upstream.
+    # Locked by docs/PARITY_STREAM_EDGE.json on the NULL-ts fixture.
+    return ns_to_ts(raw).filter("ts IS NOT NULL")
 
 
 def run_to_memory(
