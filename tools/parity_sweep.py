@@ -180,8 +180,18 @@ FROM cc_hop a LEFT JOIN cc_hop b ON b.node = a.label
 def _minhash_eval_scaled(con) -> str:  # noqa: ARG001 — uniform signature
     """dedup_minhash_recall_eval oracle with the truth arm evaluated
     via the shared-shingle-count identity instead of candidate-DISTINCT
-    + per-pair list_intersect.  The LSH/candidate/hit arms and the
-    final summary row are verbatim from the registry oracle."""
+    + per-pair list_intersect, and each arm MATERIALIZED into a temp
+    table before the summary row reads their counts.
+
+    The materialization is load-bearing, not style: every arm is
+    individually fast at 10x (truth group-count 13 s, candidate join
+    4 s, band signatures <2 s — measured), but the registry oracle's
+    single-statement shape puts five scalar subqueries over shared
+    CTEs into one plan, and DuckDB's evaluation of that combined tree
+    spilled >80 GB of hash-join temp at 10x where the arms run alone
+    in seconds.  Stepwise temp tables pin the fast per-arm plans and
+    make the final summary a read over three tiny relations — the
+    same imperative pattern as the CC override above."""
     from trip_data_pipeline_spark.operators.dedup import (
         LSH_BANDS,
         MINHASH_MOD,
@@ -192,29 +202,33 @@ def _minhash_eval_scaled(con) -> str:  # noqa: ARG001 — uniform signature
     )
     from trip_data_pipeline_spark.operators.text_ops import _duck_words
 
-    return f"""
+    base = f"""
 WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
-d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= {SHINGLE_K}),
-sh AS (
-  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d3
-),
-nsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-she AS (SELECT sh.doc_id, sh.s, nsz.n FROM sh JOIN nsz USING (doc_id)),
-truth AS (
-  SELECT doc_id1, doc_id2 FROM (
-    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-           a.n AS n1, b.n AS n2, count(*) AS i_
-    FROM she a JOIN she b
-      ON a.s = b.s AND a.doc_id < b.doc_id
-     AND b.n <= 2 * a.n AND a.n <= 2 * b.n
-    GROUP BY 1, 2, 3, 4
-  ) WHERE 2 * i_ >= n1 + n2 - i_
-),
-hx AS (
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= {SHINGLE_K})
+SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d3
+"""
+    con.execute(f"CREATE OR REPLACE TEMP TABLE mh_sh AS {base}")
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE mh_truth AS
+WITH nsz AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+she AS (SELECT mh_sh.doc_id, mh_sh.s, nsz.n
+        FROM mh_sh JOIN nsz USING (doc_id))
+SELECT doc_id1, doc_id2 FROM (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         a.n AS n1, b.n AS n2, count(*) AS i_
+  FROM she a JOIN she b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND b.n <= 2 * a.n AND a.n <= 2 * b.n
+  GROUP BY 1, 2, 3, 4
+) WHERE 2 * i_ >= n1 + n2 - i_
+""")
+    con.execute(f"""
+CREATE OR REPLACE TEMP TABLE mh_cand AS
+WITH hx AS (
   SELECT doc_id,
          {_duck_hex28('md5(s)', 1)} AS a,
          {_duck_hex28('md5(s)', 8)} AS b
-  FROM sh
+  FROM mh_sh
 ),
 hj AS (
   SELECT doc_id, j, min((a + (j + 1) * b) % {MINHASH_MOD}) AS mh
@@ -225,31 +239,66 @@ bands AS (
   SELECT doc_id, j // {MINHASH_PERMS // LSH_BANDS} AS band_idx,
          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_key
   FROM hj GROUP BY doc_id, band_idx
-),
-cand AS (
-  SELECT DISTINCT b1.doc_id AS doc_id1, b2.doc_id AS doc_id2
-  FROM bands b1
-  JOIN bands b2 ON b1.band_idx = b2.band_idx
-               AND b1.band_key = b2.band_key
-               AND b1.doc_id < b2.doc_id
-),
-hit AS (
-  SELECT t.doc_id1 FROM truth t
-  JOIN cand c ON c.doc_id1 = t.doc_id1 AND c.doc_id2 = t.doc_id2
 )
-SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
-       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
-       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
-       CAST((1000000 * (SELECT count(*) FROM hit))
-              // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm,
-       CAST((1000000 * (SELECT count(*) FROM hit))
-              // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm
+SELECT DISTINCT b1.doc_id AS doc_id1, b2.doc_id AS doc_id2
+FROM bands b1
+JOIN bands b2 ON b1.band_idx = b2.band_idx
+             AND b1.band_key = b2.band_key
+             AND b1.doc_id < b2.doc_id
+""")
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE mh_hit AS
+SELECT t.doc_id1 FROM mh_truth t
+JOIN mh_cand c ON c.doc_id1 = t.doc_id1 AND c.doc_id2 = t.doc_id2
+""")
+    return """
+SELECT CAST((SELECT count(*) FROM mh_truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM mh_cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM mh_hit) AS BIGINT) AS n_hit,
+       CAST((1000000 * (SELECT count(*) FROM mh_hit))
+              // (SELECT count(*) FROM mh_truth) AS BIGINT) AS recall_ppm,
+       CAST((1000000 * (SELECT count(*) FROM mh_hit))
+              // (SELECT count(*) FROM mh_cand) AS BIGINT) AS precision_ppm
+"""
+
+
+def _shingle_containment_scaled(con) -> str:  # noqa: ARG001 — uniform signature
+    """dedup_shingle_containment oracle with the verify arm evaluated
+    via the shared-shingle-count identity: sset is per-doc distinct
+    (list_distinct), so the per-pair join-row count over the inverted
+    index IS |A∩B| — no candidate-DISTINCT, no per-pair re-join, no
+    list_intersect over the full arrays.  The 10*nb >= 9*na size
+    filter is lossless (a qualifying pair has i >= ceil(0.9*na) and
+    i <= nb, hence 10*nb >= 9*na).  Shingle construction is verbatim
+    from the registry oracle (scale4.py dedup_shingle_containment)."""
+    return """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+sets_ AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS sset
+  FROM d3
+),
+she AS (SELECT doc_id, len(sset) AS n, unnest(sset) AS s FROM sets_)
+SELECT small_id, big_id,
+       CAST(i_ AS BIGINT) AS n_shared,
+       CAST(na AS BIGINT) AS n_small
+FROM (
+  SELECT a.doc_id AS small_id, b.doc_id AS big_id,
+         count(*) AS i_, a.n AS na
+  FROM she a JOIN she b
+    ON a.s = b.s AND a.doc_id <> b.doc_id
+   AND 10 * b.n >= 9 * a.n
+  GROUP BY 1, 2, 4
+) WHERE 10 * i_ >= 9 * na
 """
 
 
 SCALED_ORACLES = {
     "graph_connected_components": _cc_oracle_iterative,
     "dedup_minhash_recall_eval": _minhash_eval_scaled,
+    "dedup_shingle_containment": _shingle_containment_scaled,
 }
 
 
