@@ -69,7 +69,8 @@ CAP = int(os.environ.get("PARITY_CAP_ROWS", "500000"))
 # test is fine, the oracle is the bottleneck.  Rather than stall the
 # whole sweep, interrupt the oracle after the budget and record
 # ORACLE-BUDGET-NA; those ops get their at-scale parity at a smaller
-# replication where the oracle is tractable.
+# replication where the oracle is tractable — or, since round 9, at
+# full 10x via the SCALED_ORACLES overrides below.
 ORACLE_BUDGET_S = float(os.environ.get("PARITY_ORACLE_BUDGET", "300"))
 
 
