@@ -135,7 +135,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the co-part graph by iterative min-label
     propagation; the DuckDB oracle computes the same labelling via a
     recursive-CTE transitive closure (component id == min reachable
-    node id on both sides)."""
+    node id on both sides).
+
+    At-scale parity (round 9): the recursive-CTE closure materializes
+    every (node, reachable-node) pair — O(sum component_size^2), 307 s
+    at 3x — so the 10x and 100x records (docs/PARITY_10x.json,
+    docs/PARITY_100x_subset.json, both HASH-OK) use the iterative
+    temp-table label-propagation oracle in tools/parity_sweep.py
+    SCALED_ORACLES, locked value-identical to this oracle at sf0.01 by
+    tests/test_scaled_oracles.py."""
     edges = _copart_edges(spark, sf_dir)
     return connected_components(edges).select(
         bigint(F.col("node")).alias("node"),

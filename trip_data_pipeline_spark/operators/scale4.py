@@ -2031,7 +2031,15 @@ def _register_minhash_eval():
         saves (measured 38.9 s -> 145 s at 10x).  The
         count-aggregation form below keeps partial aggregation
         pipelined inside the join stage with no candidate
-        materialization at all."""
+        materialization at all.
+
+        At-scale parity (round 9): the registry oracle's truth arm
+        (candidate-DISTINCT + per-pair list_intersect) is the 1,517 s
+        cost that capped value verification at 3x — the 10x record in
+        docs/PARITY_10x.json uses the scale-tractable oracle in
+        tools/parity_sweep.py SCALED_ORACLES (shared-shingle-count
+        identity, stepwise temp tables), locked value-identical to
+        this oracle at sf0.01 by tests/test_scaled_oracles.py."""
         from trip_data_pipeline_spark.operators.dedup import (
             SHINGLE_K,
             minhash_candidate_pairs,
@@ -2948,7 +2956,16 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PROFILE_10x cold-session protocol, 48.6 s -> 18.5 s warm.
     The ppjoin size filter (10*nb >= 9*na at generation) measured
     SLOWER here (wider shuffle rows than the 40% candidate cut
-    repaid) and is left out."""
+    repaid) and is left out.
+
+    At-scale parity (round 9): the registry oracle's own
+    candidate-DISTINCT + per-pair list_intersect is what blew the
+    per-op DuckDB budget at 10x — the full 500,500-row value bag is
+    FP-OK in docs/PARITY_10x.json via the scaled oracle in
+    tools/parity_sweep.py SCALED_ORACLES (shared-shingle-count
+    identity; 10*nb >= 9*na is lossless there because it prunes the
+    ORACLE's join only), locked value-identical to this oracle at
+    sf0.01 by tests/test_scaled_oracles.py."""
     from trip_data_pipeline_spark.operators.dedup import SHINGLE_K, shingle_col
     from trip_data_pipeline_spark.operators.text_ops import _words
 
