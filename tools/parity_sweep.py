@@ -178,7 +178,7 @@ FROM cc_hop a LEFT JOIN cc_hop b ON b.node = a.label
     raise RuntimeError("cc scaled oracle: no fixed point in 64 rounds")
 
 
-def _minhash_eval_scaled(con) -> str:  # noqa: ARG001 — uniform signature
+def _minhash_eval_scaled(con) -> str:
     """dedup_minhash_recall_eval oracle with the truth arm evaluated
     via the shared-shingle-count identity instead of candidate-DISTINCT
     + per-pair list_intersect, and each arm MATERIALIZED into a temp
@@ -294,6 +294,15 @@ FROM (
   GROUP BY 1, 2, 4
 ) WHERE 10 * i_ >= 9 * na
 """
+# NOTE (ADVICE r9): the shingle-construction SQL above (string_split,
+# k=3, list-comprehension shingles) intentionally duplicates the
+# registry oracle in scale4.py rather than importing it — the registry
+# oracle is a single opaque SQL string with the verify arm fused in, so
+# there is no shared sub-expression to factor without rewriting it.
+# The duplication is guarded: tests/test_scaled_oracles.py locks this
+# override value-identical to the registry oracle at sf0.01, so any
+# tokenization drift in either copy fails that lock before it can skew
+# an at-scale sweep.
 
 
 SCALED_ORACLES = {
@@ -464,7 +473,11 @@ def check_op(spark, con, name: str, sf_dir: str, scaled: bool = False) -> dict:
         return rec
     oracle = o.oracle
     if scaled and name in SCALED_ORACLES:
-        oracle = SCALED_ORACLES[name](con)
+        # The override's temp-table materialization is the heavy part of
+        # these oracles, so it must sit under the same budget interrupt
+        # as the comparison reads (ADVICE r9): a regressed override plan
+        # records ORACLE-BUDGET-NA instead of stalling the sweep.
+        oracle = _with_budget(con, lambda: SCALED_ORACLES[name](con))
         rec["scaled_oracle"] = True
     s_rows = df.limit(CAP + 1).collect()
     if len(s_rows) <= CAP:
