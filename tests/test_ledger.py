@@ -23,9 +23,10 @@ import json
 import os
 import re
 
-from trip_data_pipeline_spark.registry import OPS, PRIORITY, queries
+from trip_data_pipeline_spark.registry import OPS, PRIORITY, ROLLOVER, queries
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FRESHNESS = os.path.join(REPO, "docs", "STAMP_FRESHNESS.json")
 
 
 def _stamp_files() -> list[str]:
@@ -87,3 +88,58 @@ def test_priority_window_never_wastes_a_slot():
             "final PRIORITY window omits never-stamped ops — they would "
             f"never certify: {sorted(left_out)[:8]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Stamp freshness (VERDICT r9 item 1): with the ledger closed, windows
+# are re-certification lists and "no op's driver stamp may predate its
+# last fn/oracle change" becomes the binding invariant.  The audit is
+# expensive (git worktrees per round tree), so it runs offline
+# (tools/stamp_freshness.py -> docs/STAMP_FRESHNESS.json) and the tests
+# here keep the artifact honest against the CURRENT tree.
+# ---------------------------------------------------------------------------
+
+
+def _artifact() -> dict:
+    assert os.path.exists(FRESHNESS), (
+        "docs/STAMP_FRESHNESS.json missing — run tools/stamp_freshness.py"
+    )
+    return json.load(open(FRESHNESS))
+
+
+def test_freshness_artifact_matches_current_tree():
+    """The artifact's per-op 'current' fingerprints must equal what the
+    tree in front of us actually fingerprints to — otherwise an op
+    changed after the last audit and the stale list may be incomplete.
+    Fix: re-run tools/stamp_freshness.py and re-rotate if needed."""
+    from tools.stamp_freshness import current_fingerprints
+
+    art = _artifact()["ops"]
+    cur = current_fingerprints()
+    assert set(art) == set(cur), "registry and artifact op sets differ"
+    drifted = [n for n in cur if art[n]["current"] != cur[n]]
+    assert not drifted, (
+        "ops changed since the last freshness audit — re-run "
+        f"tools/stamp_freshness.py: {sorted(drifted)[:8]}"
+    )
+
+
+def test_every_stale_stamp_is_windowed_or_rolled_over():
+    """No stale-stamped op may sit outside PRIORITY ∪ ROLLOVER — that is
+    exactly how the class re-opens silently."""
+    stale = set(_artifact()["stale_oldest_stamp_first"])
+    covered = set(PRIORITY) | set(ROLLOVER)
+    missing = stale - covered
+    assert not missing, (
+        "stale driver stamps with no re-certification slot: "
+        f"{sorted(missing)[:8]}"
+    )
+
+
+def test_rollover_is_disjoint_registered_and_justified():
+    queries()
+    assert not (set(ROLLOVER) & set(PRIORITY))
+    assert all(n in OPS for n in ROLLOVER)
+    # Every rollover slot must be an actually-stale op (no padding).
+    stale = set(_artifact()["stale_oldest_stamp_first"])
+    assert set(ROLLOVER) <= stale

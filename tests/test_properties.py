@@ -255,10 +255,10 @@ def test_stream_outer_join_floor_semantics(spark):
     null-extend purchases that genuinely have no qualifying view."""
     from trip_data_pipeline_spark.io import load
     from trip_data_pipeline_spark.operators.streaming_ops import (
-        stream_outer_join_watermark,
+        _stream_outer_join_full,
     )
 
-    out = stream_outer_join_watermark(spark, SF).cache()
+    out = _stream_outer_join_full(spark, SF).cache()
     ev = load(spark, SF, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")

@@ -128,68 +128,97 @@ def _ensure_loaded() -> None:
 # overlap with any prior driver stamp at round open.
 # ROUND 8 (50) — DONE: CORRECTNESS_r08 stamped all 50 green (zero err),
 #   cumulative ledger 385/429 after eight windows.
-# ROUND 9 (44 + 6 spare) — ACTIVE, the PRIORITY tuple below IS this
-#   list: the 44 never-driver-sampled ops in their recorded order
-#   (staged verbatim since round 6, pre-verified 44/44 HASH-OK at r6
-#   close, re-verified in the judge's r8 429-op sim and the 10x parity
-#   sweep), followed by 6 spare slots.  44 + 6 = 50 closes the
-#   cumulative driver ledger at 429/429.  The spares re-certify ops
-#   whose code or oracle changed AFTER their newest driver stamp —
-#   each carries a concrete rationale (see inline notes) rather than
-#   re-stamping arbitrary greens.
+# ROUND 9 (44 + 6 spare) — DONE: CORRECTNESS_r09 stamped all 50 green
+#   (zero err); the cumulative driver ledger CLOSED at 429/429.
+# ROUND 10 (50) — ACTIVE: the ledger is closed, so every window from
+#   here on is RE-CERTIFICATION, and the list is built MECHANICALLY
+#   (VERDICT r9 item 1) by tools/stamp_freshness.py: an op belongs in
+#   the window iff its implementation or oracle fingerprint on the
+#   current tree differs from the fingerprint at its newest driver
+#   stamp's round commit (docstring/comment/decorator churn excluded;
+#   artifact: docs/STAMP_FRESHNESS.json, kept honest by
+#   tests/test_ledger.py which recomputes current-tree fingerprints).
+#   The audit found 55 stale-stamped ops — the r8-tail/r9 behavioral
+#   waves (NULL-payload alignment, unicode byte extraction, session
+#   tie semantics, the NULL-event-time streaming contract), earlier
+#   plan-only reworks that postdate old stamps, and this round's
+#   stream_outer_join_watermark rows-only->hash upgrade.  The window
+#   takes them OLDEST-STAMP-FIRST, truncated at 50 (the upgrade op
+#   jumps the r7 group — it needs its FIRST hash stamp); the 5-op r7
+#   tail rolls to ROUND 11 in the ROLLOVER tuple below (machine-
+#   checked: every stale op must appear in PRIORITY or ROLLOVER).
 PRIORITY: tuple[str, ...] = (
-    # ROUND-9 window: the 44 remaining unstamped ops, recorded order.
-    "geo_heading_octant_turns",
-    "events_forecast_naive_eval",
-    "orders_repurchase_curve",
-    "text_vocab_growth",
-    "dq_volume_dod_change",
-    "search_inverted_index_build",
-    "text_boolean_retrieval",
-    "text_bm25_rational_topk",
-    "multimodal_aspect_buckets",
-    "orders_cohort_ltv",
-    "search_query_expansion",
-    "dedup_cluster_size_histogram",
-    "corpus_df_band_prune",
-    "orders_revenue_waterfall",
-    "events_dau_wau_stickiness",
-    "graph_resource_allocation_index",
-    "timeseries_theil_sen_int",
-    "orders_abc_classification",
-    "text_kwic_contexts",
-    "events_growth_accounting",
-    "join_null_safe_equi",
-    "multimodal_image_symmetry_score",
-    "parts_single_source_risk",
-    "graph_local_clustering",
-    "events_winsorize_int",
-    "dq_duplicate_invoices",
-    "sql_offset_fetch",
-    "dedup_phash_banded",
-    "text_term_burstiness",
-    "events_gap_log2_histogram",
-    "text_char_trigram_profile",
-    "array_explode_outer",
-    "orders_order_size_distribution",
-    "events_metronome_score",
-    "multimodal_grayscale_detect",
-    "join_existence_flags",
-    "events_demand_dow_hour",
-    "dq_unit_price_outliers",
-    "geo_quadkey_index",
-    "orders_tier_migration",
-    "dedup_wordset_exact",
-    "graph_degree_assortativity",
-    "sql_named_window_clause",
-    "sql_cluster_by_surface",
-    # Spares (6): re-certification of post-stamp changes, not padding.
-    "stream_stream_join",  # stamped r2; its oracle was microsecond-aligned in r8
-    "corpus_semdedup_bucket",  # stamped r7; engine reworked (HOF->Arrow) in r8
-    "scan_parquet_row_group_prune",  # stamped r7; write fan-out derived this round
-    "agg_percentile_disc",  # stamped r7; NULL-group symmetry fixed this round
-    "graph_connected_components",  # oldest stamp (r1); oracle scaled this round
-    "dedup_minhash_recall_eval",  # stamped r6; truth-arm scaling work this round
+    # ROUND-10 window: docs/STAMP_FRESHNESS.json stale list, oldest
+    # stamp first.  Per-slot rationale = which side changed after the
+    # stamp (fn / oracle / both), from the same artifact.
+    "dedup_cluster_canonical",  # r1 stamp; fn changed (broadcast->AQE, r9)
+    "explode_outer_preserve",  # r1 stamp; oracle changed
+    "text_normalize_tokenize",  # r1 stamp; fn+oracle changed
+    "text_term_freq",  # r1 stamp; fn+oracle changed
+    "corpus_boilerplate_ngram_prune",  # r2 stamp; fn changed
+    "dedup_exact_hash",  # r2 stamp; fn+oracle changed
+    "eval_contamination_ngram",  # r2 stamp; fn changed
+    "pipeline_training_data_prep",  # r2 stamp; fn+oracle changed
+    "sessionize_batch",  # r2 stamp; fn+oracle changed (gap-tie fix, r9)
+    "sim_ann_ivf_bucket",  # r2 stamp; fn+oracle changed
+    "sim_ann_lsh_hyperplane",  # r2 stamp; fn+oracle changed
+    "sim_cosine_pairwise_topk",  # r2 stamp; fn+oracle changed
+    "stream_tumbling_count",  # r2 stamp; oracle changed (NULL-ts contract, r9)
+    "text_repetition_metrics",  # r2 stamp; fn+oracle changed
+    "text_tfidf_topk",  # r2 stamp; fn+oracle changed
+    "join_star_5way",  # r3 stamp; fn changed (tier rework, r8)
+    "knn_eval_confusion",  # r3 stamp; fn+oracle changed
+    "layout_partition_sort",  # r3 stamp; fn changed
+    "sample_topk_hash_per_group",  # r3 stamp; fn+oracle changed
+    "scan_csv_options",  # r3 stamp; fn changed
+    "scan_schema_evolution_merge",  # r3 stamp; fn changed
+    "sim_knn_label_vote",  # r3 stamp; fn+oracle changed
+    "stream_sliding_sum",  # r3 stamp; oracle changed (NULL-ts contract, r9)
+    "text_quality_score",  # r3 stamp; fn+oracle changed
+    "array_set_ops",  # r4 stamp; oracle changed
+    "corpus_lang_balance_resample",  # r4 stamp; fn+oracle changed
+    "freq_heavy_hitters_exact",  # r4 stamp; fn changed
+    "ids_global_contiguous",  # r4 stamp; fn changed
+    "interval_max_concurrency",  # r4 stamp; fn+oracle changed
+    "lm_bigram_condprob",  # r4 stamp; fn changed
+    "map_higher_order",  # r4 stamp; fn+oracle changed
+    "sim_cosine_topk_vectorized",  # r4 stamp; fn+oracle changed
+    "str_split_part",  # r4 stamp; oracle changed
+    "array_sort_comparator",  # r5 stamp; fn changed
+    "map_from_entries",  # r5 stamp; fn+oracle changed
+    "scalar_to_json_struct",  # r5 stamp; oracle changed
+    "scan_text_lines",  # r5 stamp; fn changed
+    "sql_pivot_unpivot",  # r5 stamp; fn changed
+    "sql_recursive_cte",  # r5 stamp; fn changed
+    "stream_dedup_watermark",  # r5 stamp; oracle changed (NULL-ts, r9)
+    "stream_foreachbatch_sink",  # r5 stamp; oracle changed (NULL-ts, r9)
+    "stream_session_dynamic_gap",  # r5 stamp; fn+oracle changed (tie fix, r9)
+    "stream_session_window",  # r5 stamp; oracle changed (NULL-ts, r9)
+    "stream_stateful_runstate",  # r5 stamp; oracle changed (NULL-ts, r9)
+    "stream_static_join",  # r5 stamp; oracle changed (NULL-ts, r9)
+    # rows-only -> hash upgrade (VERDICT r9 item 6): the registered
+    # result is now the boundary-invariant matched subset with a batch
+    # inner-join oracle; its first hash stamp must land this round, so
+    # it takes the slot embed_matryoshka_truncate (r7, the newest
+    # stamp on the stale list) vacates to ROLLOVER.
+    "stream_outer_join_watermark",  # r5 rows-ran stamp; fn+oracle changed (r10)
+    "corpus_domain_mix_report",  # r6 stamp; fn+oracle changed
+    "embed_pq_assign",  # r6 stamp; oracle changed
+    "text_entropy_char",  # r6 stamp; fn+oracle changed
+    "timeseries_resample_linear",  # r6 stamp; fn changed
+)
+
+# ROUND-11 rollover: stale-stamped ops 51-54 of the oldest-first list
+# (all r7 stamps — the newest).  tests/test_ledger.py enforces that
+# every stale op in docs/STAMP_FRESHNESS.json is in PRIORITY or here,
+# so the class cannot re-open silently; these four HEAD the round-11
+# window unless a newer behavioral change outranks them.
+ROLLOVER: tuple[str, ...] = (
+    "embed_matryoshka_truncate",  # r7 stamp; fn+oracle changed
+    "multimodal_frame_sample",  # r7 stamp; fn+oracle changed
+    "sim_ann_recall_eval",  # r7 stamp; fn+oracle changed
+    "timeseries_cusum_drift",  # r7 stamp; fn+oracle changed
+    "udf_pandas_iter_scalar",  # r7 stamp; fn changed
 )
 
 
