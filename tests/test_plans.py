@@ -39,6 +39,7 @@ PYTHON_OK = {
     "multimodal_decode_wav",  # mapInPandas RIFF/WAVE decoder is the op
     "pipeline_multimodal_prep",  # dispatching mapInPandas decoder is the op
     "sessionize_gap_and_cap",  # sequential gap+cap state needs applyInPandas
+    "sessionize_batch",  # r10 Arrow grouped-map: 2x over double window at 1000x
     "udf_map_in_arrow",  # the Arrow-native batch map surface is the op
     "multimodal_ppm_resize_nn",  # mapInPandas decode+resize is the op
     "multimodal_wav_decimate",  # mapInPandas decode+decimate is the op

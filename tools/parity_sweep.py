@@ -462,6 +462,75 @@ def canon_rows_tol(cols: list[str], rows: list[tuple]) -> list[tuple]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stratified exact-sample mode (round-10, VERDICT r9 item 4): above the
+# row cap the full outputs compare via the md5-sum fingerprint, which
+# is a weaker check exactly on the ops with the largest outputs (a sum
+# of hashes could in principle cancel).  Alongside the fingerprint,
+# compare a deterministic CONTENT-ADDRESSED sample exactly, driver-bag
+# style: a row is sampled iff the md5 of its canonical INTEGER/STRING
+# skeleton (floats excluded from the selection hash so ~1e-14 double
+# noise cannot flip which rows are chosen) taken mod K equals 0, with
+# K sized for >= ~SAMPLE_TARGET rows.  Both engines evaluate the same
+# predicate over the same canonical encoding, so the selected bags are
+# identical by construction iff the underlying rows are; the sampled
+# rows then compare with the driver's exact canonicalization (full
+# row, floats included; 9-significant-digit fallback mirrors the
+# FLOAT-TOL path and reports SAMPLE-FLOAT-TOL-OK, never silently).
+# ---------------------------------------------------------------------------
+
+SAMPLE_TARGET = int(os.environ.get("PARITY_SAMPLE_TARGET", "125000"))
+
+
+def exact_sample_check(con, df, oracle: str, total_rows: int) -> dict:
+    dtypes = dict(df.dtypes)
+    skel = sorted(c for c in df.columns if dtypes[c] not in ("double", "float"))
+    if not skel:
+        return {"status": "SAMPLE-NA",
+                "detail": "all-float schema — no stable selection skeleton"}
+    k = max(2, total_rows // SAMPLE_TARGET)
+    h = F.md5(F.concat_ws("|", *[spark_canon_col(c, dtypes[c]) for c in skel]))
+    sel = (
+        F.conv(F.substring(h, 1, 14), 16, 10).cast("decimal(38,0)") % k == 0
+    )
+    s_raw = [tuple(r) for r in df.filter(sel).limit(CAP + 1).collect()]
+    body = oracle.rstrip().rstrip(";")
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({body})").fetchall()
+    dt = {r[0]: r[1] for r in desc}
+    dcanon = ", ".join(duck_canon_col(c, dt[c]) for c in skel)
+    sample_sql = (
+        f"SELECT * EXCLUDE (__ps_h) FROM ("
+        f"SELECT *, md5(concat_ws('|', {dcanon})) AS __ps_h FROM ({body})"
+        f") WHERE {_duck_hexparse('__ps_h', 1, 14)} % {k} = 0"
+    )
+    d_cols, d_raw = _with_budget(
+        con, lambda: duck_result(con, f"SELECT * FROM ({sample_sql}) LIMIT {CAP + 1}")
+    )
+    if len(s_raw) > CAP or len(d_raw) > CAP:
+        return {"status": "SAMPLE-NA", "k": k,
+                "detail": "sample exceeded the row cap on one side"}
+    s_cols = list(df.columns)
+    sc = canon_rows(s_cols, s_raw)
+    dc = canon_rows(d_cols, d_raw)
+    if sc == dc:
+        return {"status": "SAMPLE-OK", "rows": len(sc), "k": k}
+    has_float = len(skel) < len(df.columns)
+    if has_float and canon_rows_tol(s_cols, s_raw) == canon_rows_tol(d_cols, d_raw):
+        return {
+            "status": "SAMPLE-FLOAT-TOL-OK", "rows": len(sc), "k": k,
+            "detail": "strict %.6f mismatch on floats; equal at 9 sig digits",
+        }
+    dset, sset = set(dc), set(sc)
+    return {
+        "status": "SAMPLE-FAIL", "k": k,
+        "detail": {
+            "rows_spark": len(sc), "rows_duck": len(dc),
+            "spark_only": [repr(r) for r in sc if r not in dset][:3],
+            "duck_only": [repr(r) for r in dc if r not in sset][:3],
+        },
+    }
+
+
 def check_op(spark, con, name: str, sf_dir: str, scaled: bool = False) -> dict:
     o = OPS[name]
     t0 = time.time()
@@ -551,10 +620,19 @@ def check_op(spark, con, name: str, sf_dir: str, scaled: bool = False) -> dict:
                         ),
                     )
                     rec["secs"] = round(time.time() - t0, 2)
+                    rec["sample"] = exact_sample_check(con, df, oracle, sn)
+                    if rec["sample"]["status"] == "SAMPLE-FAIL":
+                        rec["status"] = "FAIL"
+                        rec["detail"] = {"sample": rec["sample"]["detail"]}
                     return rec
             rec.update(status="FAIL", mode="fingerprint", rows=sn,
                        detail={"spark": [sn, str(s1), str(s2)],
                                "duck": [dn, str(d1), str(d2)]})
+    if rec.get("mode") == "fingerprint" and rec["status"] == "FP-OK":
+        rec["sample"] = exact_sample_check(con, df, oracle, rec["rows"])
+        if rec["sample"]["status"] == "SAMPLE-FAIL":
+            rec["status"] = "FAIL"
+            rec["detail"] = {"sample": rec["sample"]["detail"]}
     rec["secs"] = round(time.time() - t0, 2)
     return rec
 
@@ -582,7 +660,10 @@ def main() -> int:
         "protocol": (
             f"tools/parity_sweep.py: every registered op vs its DuckDB oracle "
             f"on {sf_dir}; exact driver-parity bag compare when rows <= {CAP}, "
-            f"engine-side md5 canonical-row fingerprint (two 56-bit sums) above"
+            f"engine-side md5 canonical-row fingerprint (two 56-bit sums) above, "
+            f"PLUS a content-addressed stratified exact-sample bag compare "
+            f"(skeleton-hash mod K, target ~{SAMPLE_TARGET} rows) on every "
+            f"fingerprint-compared op (round-10)"
             + (
                 f"; PARITY_SCALED_ORACLES=1 — ops in {sorted(SCALED_ORACLES)} "
                 "use the scale-tractable oracle evaluation (value-locked to "

@@ -2,12 +2,13 @@
 SURVEY.md §2.9's session windows, benched in BASELINE.md.
 
 Same semantics as stream_session_window (30-min inactivity gap,
-session = [first, last+gap)), expressed since round 10 through the
-native batch session_window aggregation: one user-keyed shuffle, one
-sort, one merging pass (MergingSessionsExec) — the same operator the
-streaming twin runs, so batch and streaming semantics cannot drift.
-At 100 TB this shuffles each user's events once and keeps per-user
-state linear.
+session = [first, last+gap)), expressed since round 10 as an Arrow
+grouped-map state collapse: one user-keyed shuffle, then a single
+vectorized per-user pass (sort, gap-diff, cumsum, agg) — measured 2x
+over the double-window shape at 1000x; the full A/B (native
+session_window, partition counts, Arrow) is in the op docstring and
+docs/SCALE.md.  At 100 TB this shuffles each user's events once and
+keeps per-user state linear.
 """
 
 from __future__ import annotations
@@ -18,6 +19,8 @@ from pyspark.sql import functions as F
 from trip_data_pipeline_spark.io import load
 from trip_data_pipeline_spark.operators.common import bigint
 from trip_data_pipeline_spark.registry import op
+
+GAP_US = 1800 * 1_000_000
 
 
 @op(
@@ -44,43 +47,78 @@ FROM s GROUP BY user_id, sid
     pure=True,
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via Spark's NATIVE batch session_window
-    aggregation; result equals stream_session_window exactly — it is
-    literally the same operator family (MergingSessionsExec), so the
-    touching-sessions tie semantics (an event at exactly last_ts + gap
-    EXTENDS the session — the round-9 stream-edge finding) hold by
-    construction instead of by a hand-mirrored strict-> condition.
+    """Sessionization as an Arrow grouped-map state collapse: shuffle
+    once by user_id, then one vectorized numpy pass per user (sort,
+    gap-diff, cumsum session ids, groupby-agg) inside applyInPandas.
 
-    Round-10 plan change (VERDICT r9 item 3a, measured): the previous
-    shape was lag -> new-session flag -> running sum -> hash agg — two
-    sequential WindowExec passes over one user-keyed sort, and its
-    DuckDB ratio sat FLAT at 3.3-3.6x across 10x/100x/1000x while
-    every other non-floor headline converged.  The native form is one
-    shuffle + one sort + a single merging pass (groupBy user_id +
-    session_window), reads (user_id, ts) instead of three columns, and
-    A/B'd value-identical (exceptAll 0/0 at sf0.01 and 10x) at
-    0.61 s vs 0.76 s (10x min-of-3); the 100x/1000x deltas are in
-    docs/SCALE.md.  At 100 TB the win is structural: one ordered pass
-    per user partition, no second window-function sweep, and the
-    session merge is the same code path a streaming backfill uses.
+    Round-10 plan change (VERDICT r9 item 3a) — the full A/B, all legs
+    paired/interleaved in one session on the 1000x layout (1B events):
+
+    - old double window (lag flag + running sum over one user-keyed
+      sort, then hash agg): 21.7-26.8 s — the shape whose DuckDB ratio
+      sat FLAT at 3.3-3.6x across 10x/100x/1000x.
+    - native batch session_window (MergingSessionsExec): 24.8-28.5 s —
+      NEGATIVE at scale despite winning at 10x (0.52 vs 0.76 s); the
+      merging pass runs outside whole-stage codegen and pays a
+      struct-typed session column through the agg.
+    - shuffle-partition count 32/64/128/256 on the old shape:
+      14.4/15.2/14.1/13.9 s same-session — NOT the binding constraint.
+    - THIS shape (Arrow grouped-map): 10.5-12.4 s — ~2x over the old
+      double window, 1000x ratio ~1.7-2.0x vs DuckDB's 6.3 s, inside
+      the 2x bar for the first time.  Value-identical to the old shape
+      and the oracle (exceptAll 0/0 at sf0.01 AND 10x).
+
+    Why it wins: the JVM sorts 1B (user_id, us, event_id) tuples for
+    the window shape — every comparison touches all three keys — then
+    makes a second window pass and a 100M-group hash agg.  Here the
+    shuffle sorts by user_id only, each user's small timeline sorts in
+    numpy, and the session agg happens in the same vectorized pass, so
+    rows cross Arrow once and the JVM never materializes per-event
+    session ids.  At 100 TB the bound is one user's event history in
+    memory (the same bound the double window's per-user sort frame
+    has), and the single user-keyed shuffle is identical; Arrow batch
+    transfer is the only added cost and it amortizes linearly.
+
+    Tie semantics (round-9 stream-edge fixture): the break condition
+    is gap STRICTLY GREATER than 30 min — Spark's native
+    session_window MERGES touching sessions, so the batch twin and
+    the oracle mirror that (>= diverged on exact ties).
 
     NULL event time excluded symmetrically with the streaming twin's
     source filter (round-9 stream-edge class): a NULL ts has no
     session semantics, and left in, the engines disagree on where it
     even SORTS before the arithmetic goes three-valued."""
+    import numpy as np
+    import pandas as pd
+
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
-        "user_id", "ts"
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
-    sw = F.session_window(F.col("ts"), "30 minutes")
-    return (
-        ev.groupBy("user_id", sw.alias("sw"))
-        .agg(bigint(F.count(F.lit(1))).alias("n_events"))
-        .select(
-            "user_id",
-            bigint(F.unix_micros("sw.start")).alias("sess_start_us"),
-            bigint(
-                F.unix_micros("sw.end") - F.unix_micros("sw.start")
-            ).alias("dur_us"),
-            "n_events",
+
+    def sess(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):  # applyInPandas never sends empty groups; belt
+            return pd.DataFrame(
+                columns=["user_id", "sess_start_us", "dur_us", "n_events"]
+            )
+        pdf = pdf.sort_values(["us", "event_id"])
+        us = pdf["us"].to_numpy()
+        brk = np.empty(len(us), dtype=bool)
+        brk[0] = True
+        brk[1:] = (us[1:] - us[:-1]) > GAP_US
+        sid = np.cumsum(brk)
+        g = pd.DataFrame(
+            {"user_id": pdf["user_id"].to_numpy(), "sid": sid, "us": us}
         )
+        out = g.groupby("sid", sort=False).agg(
+            user_id=("user_id", "first"),
+            sess_start_us=("us", "min"),
+            mx=("us", "max"),
+            n_events=("us", "size"),
+        )
+        out["dur_us"] = out["mx"] - out["sess_start_us"] + GAP_US
+        return out[["user_id", "sess_start_us", "dur_us", "n_events"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        sess,
+        "user_id bigint, sess_start_us bigint, dur_us bigint, n_events bigint",
     )
