@@ -91,6 +91,24 @@ def main() -> None:
         results[name] = round(min(times), 3)
         print(f"  spark {name}: {results[name]}s", file=sys.stderr)
 
+    # Stop the JVM before the DuckDB phase (round-10 protocol fix): at
+    # the 1000x layout a 48g-heap driver plus Arrow python workers stay
+    # resident through the duck measurements and the memory pressure
+    # contaminated them (win_topk_per_group measured 34.0 s with the
+    # JVM up vs 4.7 s standalone, same layout, same day).  Each engine
+    # now gets the box to itself — the same courtesy Spark already
+    # enjoys in its own phase.
+    spark.stop()
+    # ...and let the box settle: the exiting executor threads / python
+    # workers / writeback keep 1-min load elevated for tens of seconds
+    # after stop(), and the first duck queries measured 3-5x slow on a
+    # still-draining host (pricing 11.5 s during drain vs 2.3 s quiet,
+    # same layout, same day).  Wait for quiet, bounded at 3 minutes.
+    for _ in range(36):
+        if os.getloadavg()[0] < 2.0:
+            break
+        time.sleep(5)
+
     from tests.oracle import duck_connect
 
     con = duck_connect(DST)
