@@ -71,3 +71,29 @@ def test_fingerprint_detects_single_value_change(spark, duck, sf_dir):
     )
     assert base[0] == perturbed[0]  # same row count ...
     assert base[1:] != perturbed[1:]  # ... different value sums
+
+
+def test_exact_sample_agrees_and_detects_divergence(spark, duck, sf_dir):
+    """Round-10 stratified exact-sample mode (parity_sweep): on a real
+    op output the sample check must pass against the true oracle and
+    SAMPLE-FAIL against a rows-dropped perturbation — both engines
+    must select the same content-addressed rows for either verdict to
+    mean anything."""
+    from tools.parity_sweep import exact_sample_check
+
+    queries()
+    o = OPS["date_arith"]
+    df = o.fn(spark, sf_dir)
+    n = df.count()
+    ok = exact_sample_check(duck, df, o.oracle, n)
+    assert ok["status"] == "SAMPLE-OK", ok
+    assert ok["rows"] > 0
+    body = o.oracle.rstrip().rstrip(";")
+    first_col = df.columns[0]
+    bad = exact_sample_check(
+        duck, df,
+        f"SELECT * FROM ({body}) "
+        f"WHERE md5(CAST(\"{first_col}\" AS VARCHAR)) < 'f8'",
+        n,
+    )
+    assert bad["status"] == "SAMPLE-FAIL", bad
