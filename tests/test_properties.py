@@ -760,3 +760,25 @@ def test_semdedup_vectorized_pairs_match_naive(spark, tmp_path, seed):
     }
     assert got == want
     assert want, "degenerate case: no hits — planted dups failed"
+
+
+def test_sessionize_tiers_value_identical(spark):
+    """The size-tiered sessionize_batch (round 10) must produce the
+    identical bag from BOTH branches — the JVM double-window shape
+    (default at fixture size) and the Arrow grouped-map scale path
+    (forced by dropping the tier threshold to 0)."""
+    from trip_data_pipeline_spark.operators import sessionize as mod
+    from trip_data_pipeline_spark.registry import evict_plan
+
+    evict_plan(spark, "sessionize_batch")
+    small = mod.sessionize_batch(spark, SF).cache()
+    orig = mod.SESSIONIZE_ARROW_MIN_BYTES
+    mod.SESSIONIZE_ARROW_MIN_BYTES = 0  # 0 < bytes <= 0 is false -> Arrow
+    try:
+        evict_plan(spark, "sessionize_batch")
+        big = mod.sessionize_batch(spark, SF).cache()
+        assert small.exceptAll(big).count() == 0
+        assert big.exceptAll(small).count() == 0
+    finally:
+        mod.SESSIONIZE_ARROW_MIN_BYTES = orig
+        evict_plan(spark, "sessionize_batch")

@@ -2,13 +2,14 @@
 SURVEY.md §2.9's session windows, benched in BASELINE.md.
 
 Same semantics as stream_session_window (30-min inactivity gap,
-session = [first, last+gap)), expressed since round 10 as an Arrow
-grouped-map state collapse: one user-keyed shuffle, then a single
-vectorized per-user pass (sort, gap-diff, cumsum, agg) — measured 2x
-over the double-window shape at 1000x; the full A/B (native
-session_window, partition counts, Arrow) is in the op docstring and
-docs/SCALE.md.  At 100 TB this shuffles each user's events once and
-keeps per-user state linear.
+session = [first, last+gap)), size-tiered since round 10: the JVM
+double-window shape below SESSIONIZE_ARROW_MIN_BYTES of events scan,
+an Arrow grouped-map state collapse (one user-keyed shuffle, one
+vectorized per-user pass) above it — measured 2x over the double
+window at 1000x; the full A/B (native session_window, partition
+counts, Arrow) is in the op docstring and docs/SCALE.md.  At 100 TB
+this shuffles each user's events once and keeps per-user state
+linear.
 """
 
 from __future__ import annotations
@@ -21,6 +22,39 @@ from trip_data_pipeline_spark.operators.common import bigint
 from trip_data_pipeline_spark.registry import op
 
 GAP_US = 1800 * 1_000_000
+
+# Strategy tier (round-10, measured three-point crossover): below this
+# events-scan size the JVM double-window shape wins (no Python worker
+# spin-up: 0.67 s vs 2.15 s at 10x/21 MB); at ~210 MB (100x) the two
+# are a wash (2.07-2.23 s vs 2.08-2.16 s paired); at 2.1 GB (1000x)
+# the Arrow grouped-map wins 2x (10.5-12.4 s vs 21.7-26.8 s).  256 MB
+# splits the wash point; unstatable (remote) paths take the Arrow
+# branch — for a remote deployment the scale path is the safe default
+# and both branches are value-identical anyway.
+SESSIONIZE_ARROW_MIN_BYTES = 256 << 20
+
+
+def _sessionize_window_shape(ev) -> DataFrame:
+    """The JVM double-window shape (small tier): lag -> new-session
+    flag -> running sum -> hash agg over one user-keyed sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("us").over(w)
+    new_s = F.when(prev.isNull() | (F.col("us") - prev > GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("sid", F.sum(new_s).over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            bigint(F.min("us")).alias("sess_start_us"),
+            bigint(F.max("us") - F.min("us") + GAP_US).alias("dur_us"),
+            bigint(F.count(F.lit(1))).alias("n_events"),
+        )
+        .drop("sid")
+    )
 
 
 @op(
@@ -47,9 +81,14 @@ FROM s GROUP BY user_id, sid
     pure=True,
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization as an Arrow grouped-map state collapse: shuffle
-    once by user_id, then one vectorized numpy pass per user (sort,
-    gap-diff, cumsum session ids, groupby-agg) inside applyInPandas.
+    """Sessionization, size-tiered (the join_star_5way pattern): below
+    SESSIONIZE_ARROW_MIN_BYTES of events scan the JVM double-window
+    shape runs (no Python worker spin-up); above it — or when the path
+    cannot be statted (remote URI) — an Arrow grouped-map state
+    collapse: shuffle once by user_id, then one vectorized numpy pass
+    per user (sort, gap-diff, cumsum session ids, groupby-agg) inside
+    applyInPandas.  Both branches are value-identical (exceptAll 0/0
+    at sf0.01 AND 10x) and share the one oracle.
 
     Round-10 plan change (VERDICT r9 item 3a) — the full A/B, all legs
     paired/interleaved in one session on the 1000x layout (1B events):
@@ -91,9 +130,15 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from trip_data_pipeline_spark.io import table_path
+    from trip_data_pipeline_spark.operators.joins import _path_bytes
+
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
+    ev_bytes = _path_bytes(table_path(sf_dir, "events"))
+    if 0 < ev_bytes <= SESSIONIZE_ARROW_MIN_BYTES:
+        return _sessionize_window_shape(ev)
 
     def sess(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):  # applyInPandas never sends empty groups; belt
