@@ -30,8 +30,14 @@ GAP_US = 1800 * 1_000_000
 # the Arrow grouped-map wins 2x (10.5-12.4 s vs 21.7-26.8 s).  256 MB
 # splits the wash point; unstatable (remote) paths take the Arrow
 # branch — for a remote deployment the scale path is the safe default
-# and both branches are value-identical anyway.
-SESSIONIZE_ARROW_MIN_BYTES = 256 << 20
+# and both branches are value-identical anyway.  Env-overridable so
+# the adversarial fixture sweeps can force the Arrow branch at tiny
+# fixture sizes (set 0) — the edge fixtures must exercise BOTH tiers.
+import os as _os
+
+SESSIONIZE_ARROW_MIN_BYTES = int(
+    _os.environ.get("SESSIONIZE_ARROW_MIN_BYTES", 256 << 20)
+)
 
 
 def _sessionize_window_shape(ev) -> DataFrame:
