@@ -71,7 +71,13 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orderBy().limit(k) compiles to TakeOrderedAndProject: each task
     keeps a k-heap, the driver merges — no full sort materialization,
-    scale-safe for small k at any input size."""
+    scale-safe for small k at any input size.
+
+    Round-10 ratio decomposition at 1000x (150M orders): the 2-column
+    scan+sum FLOOR measures 0.9-1.5 s and the full top-k 1.6-2.0 s —
+    the ~4x DuckDB ratio is parquet scan throughput on a 2-column
+    projection, not the top-k plan (which adds only ~0.5 s of k-heap
+    work over the floor).  Nothing plan-level left to remove."""
     o = load(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
