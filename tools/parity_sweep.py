@@ -619,11 +619,13 @@ def check_op(spark, con, name: str, sf_dir: str, scaled: bool = False) -> dict:
                             "10x double-sum scales)"
                         ),
                     )
-                    rec["secs"] = round(time.time() - t0, 2)
                     rec["sample"] = exact_sample_check(con, df, oracle, sn)
                     if rec["sample"]["status"] == "SAMPLE-FAIL":
                         rec["status"] = "FAIL"
                         rec["detail"] = {"sample": rec["sample"]["detail"]}
+                    # secs AFTER the sample pass (ADVICE r10): both
+                    # fingerprint branches now time identically.
+                    rec["secs"] = round(time.time() - t0, 2)
                     return rec
             rec.update(status="FAIL", mode="fingerprint", rows=sn,
                        detail={"spark": [sn, str(s1), str(s2)],

@@ -226,7 +226,12 @@ def main() -> None:
     for name in sorted(cur):
         r = stamps.get(name)
         if r is None or r not in at_round:
-            ops[name] = {"stamp_round": r, "stale": r is None,
+            # Fail CLOSED (ADVICE r10): a stamped op whose round has no
+            # resolvable "round N: verdict/advice/correctness/bench"
+            # boundary commit cannot be verified fresh, so it is STALE
+            # — the old `stale = (r is None)` silently shrank the stale
+            # list if a round commit were renamed or rewritten.
+            ops[name] = {"stamp_round": r, "stale": True,
                          "current": cur[name], "at_stamp": None}
             continue
         old = at_round[r].get(name)

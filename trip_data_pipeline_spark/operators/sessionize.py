@@ -3,16 +3,18 @@ SURVEY.md §2.9's session windows, benched in BASELINE.md.
 
 Same semantics as stream_session_window (30-min inactivity gap,
 session = [first, last+gap)), size-tiered since round 10: the JVM
-double-window shape below SESSIONIZE_ARROW_MIN_BYTES of events scan,
-an Arrow grouped-map state collapse (one user-keyed shuffle, one
-vectorized per-user pass) above it — measured 2x over the double
-window at 1000x; the full A/B (native session_window, partition
-counts, Arrow) is in the op docstring and docs/SCALE.md.  At 100 TB
-this shuffles each user's events once and keeps per-user state
-linear.
+double-window shape below the SESSIONIZE_ARROW_MIN_BYTES env
+threshold of events scan, an Arrow grouped-map state collapse (one
+user-keyed shuffle, one vectorized per-user pass) above it — measured
+2x over the double window at 1000x; the full A/B (native
+session_window, partition counts, Arrow) is in the op docstring and
+docs/SCALE.md.  At 100 TB this shuffles each user's events once and
+keeps per-user state linear.
 """
 
 from __future__ import annotations
+
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,45 +24,6 @@ from trip_data_pipeline_spark.operators.common import bigint
 from trip_data_pipeline_spark.registry import op
 
 GAP_US = 1800 * 1_000_000
-
-# Strategy tier (round-10, measured three-point crossover): below this
-# events-scan size the JVM double-window shape wins (no Python worker
-# spin-up: 0.67 s vs 2.15 s at 10x/21 MB); at ~210 MB (100x) the two
-# are a wash (2.07-2.23 s vs 2.08-2.16 s paired); at 2.1 GB (1000x)
-# the Arrow grouped-map wins 2x (10.5-12.4 s vs 21.7-26.8 s).  256 MB
-# splits the wash point; unstatable (remote) paths take the Arrow
-# branch — for a remote deployment the scale path is the safe default
-# and both branches are value-identical anyway.  Env-overridable so
-# the adversarial fixture sweeps can force the Arrow branch at tiny
-# fixture sizes (set 0) — the edge fixtures must exercise BOTH tiers.
-import os as _os
-
-SESSIONIZE_ARROW_MIN_BYTES = int(
-    _os.environ.get("SESSIONIZE_ARROW_MIN_BYTES", 256 << 20)
-)
-
-
-def _sessionize_window_shape(ev) -> DataFrame:
-    """The JVM double-window shape (small tier): lag -> new-session
-    flag -> running sum -> hash agg over one user-keyed sort."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    prev = F.lag("us").over(w)
-    new_s = F.when(prev.isNull() | (F.col("us") - prev > GAP_US), 1).otherwise(0)
-    return (
-        ev.withColumn("sid", F.sum(new_s).over(run))
-        .groupBy("user_id", "sid")
-        .agg(
-            bigint(F.min("us")).alias("sess_start_us"),
-            bigint(F.max("us") - F.min("us") + GAP_US).alias("dur_us"),
-            bigint(F.count(F.lit(1))).alias("n_events"),
-        )
-        .drop("sid")
-    )
 
 
 @op(
@@ -88,13 +51,35 @@ FROM s GROUP BY user_id, sid
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization, size-tiered (the join_star_5way pattern): below
-    SESSIONIZE_ARROW_MIN_BYTES of events scan the JVM double-window
-    shape runs (no Python worker spin-up); above it — or when the path
-    cannot be statted (remote URI) — an Arrow grouped-map state
-    collapse: shuffle once by user_id, then one vectorized numpy pass
-    per user (sort, gap-diff, cumsum session ids, groupby-agg) inside
-    applyInPandas.  Both branches are value-identical (exceptAll 0/0
-    at sf0.01 AND 10x) and share the one oracle.
+    the SESSIONIZE_ARROW_MIN_BYTES threshold of events scan the JVM
+    double-window shape runs (no Python worker spin-up); above it — or
+    when the path cannot be statted (remote URI) — an Arrow
+    grouped-map state collapse: shuffle once by user_id, then one
+    vectorized numpy pass per user (sort, gap-diff, cumsum session
+    ids, groupby-agg) inside applyInPandas.  Both branches are
+    value-identical (exceptAll 0/0 at sf0.01 AND 10x) and share the
+    one oracle.
+
+    Round-11 hygiene (VERDICT r10 item 5 + ADVICE r10): the tier
+    threshold env var is read at CALL time, so a mid-session override
+    (the adversarial sweeps set SESSIONIZE_ARROW_MIN_BYTES=0 to force
+    the Arrow branch on tiny fixtures) takes effect without
+    re-importing the module — callers that override after a prior call
+    must still evict_plan("sessionize_batch") because the op is
+    pure=True plan-memoized; and the small-tier window shape is
+    INLINED below (it was a module-level helper, which sat outside the
+    stamp-freshness fingerprint — half the op's behavior was
+    unfingerprinted).
+
+    Tier default (round-10, measured three-point crossover): below
+    256 MB of events scan the JVM double-window shape wins (no Python
+    worker spin-up: 0.67 s vs 2.15 s at 10x/21 MB); at ~210 MB (100x)
+    the two are a wash (2.07-2.23 s vs 2.08-2.16 s paired); at 2.1 GB
+    (1000x) the Arrow grouped-map wins 2x (10.5-12.4 s vs
+    21.7-26.8 s).  256 MB splits the wash point; unstatable (remote)
+    paths take the Arrow branch — the scale path is the safe default
+    for a remote deployment and both branches are value-identical
+    anyway.
 
     Round-10 plan change (VERDICT r9 item 3a) — the full A/B, all legs
     paired/interleaved in one session on the 1000x layout (1B events):
@@ -142,9 +127,29 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
+    arrow_min = int(_os.environ.get("SESSIONIZE_ARROW_MIN_BYTES", 256 << 20))
     ev_bytes = _path_bytes(table_path(sf_dir, "events"))
-    if 0 < ev_bytes <= SESSIONIZE_ARROW_MIN_BYTES:
-        return _sessionize_window_shape(ev)
+    if 0 < ev_bytes <= arrow_min:
+        # JVM double-window shape (small tier): lag -> new-session
+        # flag -> running sum -> hash agg over one user-keyed sort.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        prev = F.lag("us").over(w)
+        new_s = F.when(
+            prev.isNull() | (F.col("us") - prev > GAP_US), 1
+        ).otherwise(0)
+        return (
+            ev.withColumn("sid", F.sum(new_s).over(run))
+            .groupBy("user_id", "sid")
+            .agg(
+                bigint(F.min("us")).alias("sess_start_us"),
+                bigint(F.max("us") - F.min("us") + GAP_US).alias("dur_us"),
+                bigint(F.count(F.lit(1))).alias("n_events"),
+            )
+            .drop("sid")
+        )
 
     def sess(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):  # applyInPandas never sends empty groups; belt

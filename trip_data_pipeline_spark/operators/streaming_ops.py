@@ -575,7 +575,18 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stream_outer_join_full in tests/test_properties.py (matched ==
     inner exactly; null-extended purchases have zero qualifying
     views).  At scale the watermark bounds both sides' state stores
-    exactly as in the inner variant."""
+    exactly as in the inner variant.
+
+    Micro-batch assumption (ADVICE r10): "matched subset == batch
+    inner join" additionally assumes no matched row is LOST to
+    watermark eviction mid-drain, which holds because AvailableNow on
+    the single-part fixture drains in one micro-batch (and more
+    generally whenever files arrive in event-time order).  A
+    multi-part layout processed out of time order could advance the
+    watermark past a view before its matching purchase arrives and
+    evict it — a hash FAIL here should be diagnosed against that
+    layout property first (same latent assumption as
+    stream_stream_join)."""
     return _stream_outer_join_full(spark, sf_dir).filter(
         F.col("view_id").isNotNull()
     )
