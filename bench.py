@@ -3,16 +3,30 @@
 Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS], warm shared session, and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...} plus drift-protocol fields
+(round 11, VERDICT r10 item 2): "load_1m_at_start" /
+"load_1m_after_gate" (1-minute loadavg before and after the bounded
+quiet-host wait), "reps" and per-query "spread" (max-min over the
+timed reps) — so a noisy-host day is visible INSIDE the artifact
+instead of being inferred from round-over-round swings (the r9/r10
+sf0.1 totals moved 4.4 <-> 6.9 s on host drift alone).
 
-Protocol: 1 warm-up execution per query, then 2 timed runs, report the
-min.  Execution = full plan to a no-op sink (df.write format noop) so
-nothing is skipped by lazy collection, mirroring DuckDB's fetchall
-materialization without Python transfer overhead.
+Protocol: bounded wait for 1-min load < BENCH_LOAD_GATE (default 2.0,
+matching tools/bench_scale.py's round-10 duck-phase gate, up to
+3 min — a persistently busy host proceeds anyway and the recorded
+load says so), then 1 warm-up
+execution per query and THREE timed runs; report the min (the
+least-interfered run) and the spread.  Execution = full plan to a
+no-op sink (df.write format noop) so nothing is skipped by lazy
+collection, mirroring DuckDB's fetchall materialization without
+Python transfer overhead.
 
 Env:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] (default *)
+  BENCH_LOAD_GATE      1-min loadavg threshold for the quiet-host wait
+                       (default 2.0; 0 disables the wait)
+  BENCH_REPS           timed reps per query (default 3)
   BENCH_DUCKDB=1       also time the DuckDB oracle per query (prints a
                        second JSON line, used to fill BASELINE.md)
 """
@@ -46,8 +60,33 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _timed(run, reps: int) -> tuple[float, float]:
+    """(min, max-min spread) over `reps` timed executions."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3), round(max(times) - min(times), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    gate = float(os.environ.get("BENCH_LOAD_GATE", "2.0"))
+
+    # Quiet-host gate BEFORE the JVM comes up: a still-draining box
+    # (writeback, a just-killed sweep's python workers) inflates the
+    # first timed runs 2-3x.  Bounded at 3 minutes — a persistently
+    # busy host is recorded, not waited out forever.
+    load_start = round(os.getloadavg()[0], 2)
+    if gate > 0:
+        for _ in range(36):
+            if os.getloadavg()[0] < gate:
+                break
+            time.sleep(5)
+    load_after = round(os.getloadavg()[0], 2)
+
     from trip_data_pipeline_spark import get_session
     from trip_data_pipeline_spark.registry import OPS, queries
 
@@ -55,6 +94,7 @@ def main() -> None:
     spark = get_session("bench")
 
     results: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = OPS[name].fn
 
@@ -62,12 +102,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
         run()  # warm-up: JVM/code-gen/file-listing caches
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run()
-            times.append(time.perf_counter() - t0)
-        results[name] = round(min(times), 3)
+        results[name], spreads[name] = _timed(run, reps)
 
     total = round(sum(results.values()), 3)
     print(
@@ -77,6 +112,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "spread": spreads,
+                "reps": reps,
+                "load_1m_at_start": load_start,
+                "load_1m_after_gate": load_after,
                 "sf": _sf_of(sf_dir),
             }
         )
@@ -87,17 +126,15 @@ def main() -> None:
 
         con = duck_connect(sf_dir)
         duck: dict[str, float] = {}
+        dspread: dict[str, float] = {}
         for name in BENCH_QUERIES:
             sql = OPS[name].oracle
             if sql is None:
                 continue
             con.execute(sql).fetchall()  # warm
-            times = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                times.append(time.perf_counter() - t0)
-            duck[name] = round(min(times), 3)
+            duck[name], dspread[name] = _timed(
+                lambda: con.execute(sql).fetchall(), reps
+            )
         print(
             json.dumps(
                 {
@@ -105,6 +142,8 @@ def main() -> None:
                     "value": round(sum(duck.values()), 3),
                     "unit": "sec",
                     "queries": duck,
+                    "spread": dspread,
+                    "reps": reps,
                     "sf": _sf_of(sf_dir),
                 }
             )
