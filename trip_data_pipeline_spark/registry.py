@@ -130,96 +130,86 @@ def _ensure_loaded() -> None:
 #   cumulative ledger 385/429 after eight windows.
 # ROUND 9 (44 + 6 spare) — DONE: CORRECTNESS_r09 stamped all 50 green
 #   (zero err); the cumulative driver ledger CLOSED at 429/429.
-# ROUND 10 (50) — ACTIVE: the ledger is closed, so every window from
-#   here on is RE-CERTIFICATION, and the list is built MECHANICALLY
-#   (VERDICT r9 item 1) by tools/stamp_freshness.py: an op belongs in
-#   the window iff its implementation or oracle fingerprint on the
-#   current tree differs from the fingerprint at its newest driver
-#   stamp's round commit (docstring/comment/decorator churn excluded;
-#   artifact: docs/STAMP_FRESHNESS.json, kept honest by
-#   tests/test_ledger.py which recomputes current-tree fingerprints).
-#   The audit found 55 stale-stamped ops — the r8-tail/r9 behavioral
-#   waves (NULL-payload alignment, unicode byte extraction, session
-#   tie semantics, the NULL-event-time streaming contract), earlier
-#   plan-only reworks that postdate old stamps, and this round's
-#   stream_outer_join_watermark rows-only->hash upgrade.  The window
-#   takes them OLDEST-STAMP-FIRST, truncated at 50 (the upgrade op
-#   jumps the r7 group — it needs its FIRST hash stamp); the 5-op r7
-#   tail rolls to ROUND 11 in the ROLLOVER tuple below (machine-
-#   checked: every stale op must appear in PRIORITY or ROLLOVER).
+# ROUND 10 (50) — DONE: CORRECTNESS_r10 stamped all 50 green (zero
+#   err) — every behavioral fix of rounds 8-9 is driver-stamped on its
+#   current semantics; the 5-op r7 tail rolled over as staged.
+# ROUND 11 (50) — ACTIVE: windows are mechanical re-certification
+#   lists (tools/stamp_freshness.py; artifact
+#   docs/STAMP_FRESHNESS.json, honesty-checked by tests/test_ledger).
+#   The r11 audit found exactly 6 stale ops: the 5-op r7 ROLLOVER tail
+#   staged last round, plus sessionize_batch (its small-tier window
+#   shape was inlined into the op fn this round per ADVICE r10, a
+#   pure code-motion change that nonetheless re-fingerprints — and the
+#   stamp must follow the fingerprint, that is the whole point).
+#   Those 6 HEAD the window; the remaining 44 slots are oldest-stamp
+#   re-certification (the ledger closed at r9, so every op is green
+#   somewhere — these are the ops whose newest stamp is OLDEST, i.e.
+#   certified longest ago: all 33 remaining r1-stamp ops and the
+#   first 11 r2-stamp ops in name order).  Re-stamping greens is
+#   exactly what a re-certification window is for; test_ledger's
+#   never-waste-a-slot rule is satisfied because zero never-stamped
+#   ops exist.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-10 window: docs/STAMP_FRESHNESS.json stale list, oldest
-    # stamp first.  Per-slot rationale = which side changed after the
-    # stamp (fn / oracle / both), from the same artifact.
-    "dedup_cluster_canonical",  # r1 stamp; fn changed (broadcast->AQE, r9)
-    "explode_outer_preserve",  # r1 stamp; oracle changed
-    "text_normalize_tokenize",  # r1 stamp; fn+oracle changed
-    "text_term_freq",  # r1 stamp; fn+oracle changed
-    "corpus_boilerplate_ngram_prune",  # r2 stamp; fn changed
-    "dedup_exact_hash",  # r2 stamp; fn+oracle changed
-    "eval_contamination_ngram",  # r2 stamp; fn changed
-    "pipeline_training_data_prep",  # r2 stamp; fn+oracle changed
-    "sessionize_batch",  # r2 stamp; fn+oracle changed (gap-tie fix, r9)
-    "sim_ann_ivf_bucket",  # r2 stamp; fn+oracle changed
-    "sim_ann_lsh_hyperplane",  # r2 stamp; fn+oracle changed
-    "sim_cosine_pairwise_topk",  # r2 stamp; fn+oracle changed
-    "stream_tumbling_count",  # r2 stamp; oracle changed (NULL-ts contract, r9)
-    "text_repetition_metrics",  # r2 stamp; fn+oracle changed
-    "text_tfidf_topk",  # r2 stamp; fn+oracle changed
-    "join_star_5way",  # r3 stamp; fn changed (tier rework, r8)
-    "knn_eval_confusion",  # r3 stamp; fn+oracle changed
-    "layout_partition_sort",  # r3 stamp; fn changed
-    "sample_topk_hash_per_group",  # r3 stamp; fn+oracle changed
-    "scan_csv_options",  # r3 stamp; fn changed
-    "scan_schema_evolution_merge",  # r3 stamp; fn changed
-    "sim_knn_label_vote",  # r3 stamp; fn+oracle changed
-    "stream_sliding_sum",  # r3 stamp; oracle changed (NULL-ts contract, r9)
-    "text_quality_score",  # r3 stamp; fn+oracle changed
-    "array_set_ops",  # r4 stamp; oracle changed
-    "corpus_lang_balance_resample",  # r4 stamp; fn+oracle changed
-    "freq_heavy_hitters_exact",  # r4 stamp; fn changed
-    "ids_global_contiguous",  # r4 stamp; fn changed
-    "interval_max_concurrency",  # r4 stamp; fn+oracle changed
-    "lm_bigram_condprob",  # r4 stamp; fn changed
-    "map_higher_order",  # r4 stamp; fn+oracle changed
-    "sim_cosine_topk_vectorized",  # r4 stamp; fn+oracle changed
-    "str_split_part",  # r4 stamp; oracle changed
-    "array_sort_comparator",  # r5 stamp; fn changed
-    "map_from_entries",  # r5 stamp; fn+oracle changed
-    "scalar_to_json_struct",  # r5 stamp; oracle changed
-    "scan_text_lines",  # r5 stamp; fn changed
-    "sql_pivot_unpivot",  # r5 stamp; fn changed
-    "sql_recursive_cte",  # r5 stamp; fn changed
-    "stream_dedup_watermark",  # r5 stamp; oracle changed (NULL-ts, r9)
-    "stream_foreachbatch_sink",  # r5 stamp; oracle changed (NULL-ts, r9)
-    "stream_session_dynamic_gap",  # r5 stamp; fn+oracle changed (tie fix, r9)
-    "stream_session_window",  # r5 stamp; oracle changed (NULL-ts, r9)
-    "stream_stateful_runstate",  # r5 stamp; oracle changed (NULL-ts, r9)
-    "stream_static_join",  # r5 stamp; oracle changed (NULL-ts, r9)
-    # rows-only -> hash upgrade (VERDICT r9 item 6): the registered
-    # result is now the boundary-invariant matched subset with a batch
-    # inner-join oracle; its first hash stamp must land this round, so
-    # it takes the slot embed_matryoshka_truncate (r7, the newest
-    # stamp on the stale list) vacates to ROLLOVER.
-    "stream_outer_join_watermark",  # r5 rows-ran stamp; fn+oracle changed (r10)
-    "corpus_domain_mix_report",  # r6 stamp; fn+oracle changed
-    "embed_pq_assign",  # r6 stamp; oracle changed
-    "text_entropy_char",  # r6 stamp; fn+oracle changed
-    "timeseries_resample_linear",  # r6 stamp; fn changed
+    # --- stale head (docs/STAMP_FRESHNESS.json, oldest stamp first) ---
+    "embed_matryoshka_truncate",  # r7 stamp; fn+oracle changed (r10 rollover)
+    "multimodal_frame_sample",  # r7 stamp; fn+oracle changed (r10 rollover)
+    "sim_ann_recall_eval",  # r7 stamp; fn+oracle changed (r10 rollover)
+    "timeseries_cusum_drift",  # r7 stamp; fn+oracle changed (r10 rollover)
+    "udf_pandas_iter_scalar",  # r7 stamp; fn changed (r10 rollover)
+    "sessionize_batch",  # r10 stamp; fn changed (r11 helper inline)
+    # --- oldest-stamp re-certification fill (newest stamp = r1) ---
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "calendar_spine_join",
+    "histogram_fixed_width",
+    "join_null_safe",
+    "orders_backlog_sweep",
+    "orders_rfm_segmentation",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_customer_balance",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "str_levenshtein",
+    "subquery_correlated",
+    "supplier_pareto_8020",
+    # --- fill continues (newest stamp = r2, name order) ---
+    "agg_count_distinct",
+    "agg_stats",
+    "case_when_bucketize",
+    "date_parts",
+    "distinct_rows",
+    "dq_outlier_iqr",
+    "embed_covariance_int",
+    "filter_conjunctive",
+    "geo_grid_cell_density",
+    "geo_haversine_trip_distance",
+    "interval_merge_overlaps",
 )
 
-# ROUND-11 rollover: stale-stamped ops 51-54 of the oldest-first list
-# (all r7 stamps — the newest).  tests/test_ledger.py enforces that
-# every stale op in docs/STAMP_FRESHNESS.json is in PRIORITY or here,
-# so the class cannot re-open silently; these four HEAD the round-11
-# window unless a newer behavioral change outranks them.
-ROLLOVER: tuple[str, ...] = (
-    "embed_matryoshka_truncate",  # r7 stamp; fn+oracle changed
-    "multimodal_frame_sample",  # r7 stamp; fn+oracle changed
-    "sim_ann_recall_eval",  # r7 stamp; fn+oracle changed
-    "timeseries_cusum_drift",  # r7 stamp; fn+oracle changed
-    "udf_pandas_iter_scalar",  # r7 stamp; fn changed
-)
+# ROUND-11 rollover: EMPTY — the r11 stale list fits entirely in the
+# window head (6 ops), so nothing rolls to round 12.  tests/
+# test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER
+# and that ROLLOVER contains only genuinely-stale ops (no padding).
+ROLLOVER: tuple[str, ...] = ()
 
 
 def _ordered() -> dict[str, Op]:
