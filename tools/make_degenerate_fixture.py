@@ -370,6 +370,138 @@ def build_stream_edge_variant(src: str = "/root/testdata/sf0.001",
     print(f"wrote {dst}")
 
 
+def build_skew_variant(src: str = "/root/testdata/sf0.001",
+                       dst: str = "/tmp/skew_sf") -> None:
+    """Skewed-key fixture (round-11, VERDICT r10 item 4) — the one data
+    shape the degenerate/NULL/unicode/stream-edge classes don't probe:
+    HOT KEYS.  At 100 TB a power-law key distribution is the rule, not
+    the exception — one user dominating an event stream, one order
+    with a pathological line fanout, one language dominating a corpus
+    — and it is the failure mode AQE skew-join splitting exists for.
+    The plan gates prove the knobs are on; this fixture plus a full
+    parity sweep (docs/PARITY_SKEW.json) proves the ANSWERS survive
+    them: per-key aggregates, window functions over the hot partition,
+    sessionization of the hot user, join fanout through the hot order,
+    and language-conditioned corpus ops must all agree with DuckDB
+    row-for-row on exactly this shape.
+
+    Appended shapes (sf0.001 base: 1000 events / 15 users, 6000
+    lineitem / 1500 orders, 500 docs):
+    - events: user 940001 gets 1000 events — 50% of the stream on ONE
+      key.  Deterministic gap cycle crossing the 30-min session
+      boundary repeatedly (multi-session), all 5 event types with a
+      2x bias toward 'view', values on a deterministic ramp with
+      purchase spikes.
+    - lineitem/orders: order 9300001 carries 600 lines (baseline max
+      fanout: 7) — l_linenumber 1..600, FKs cycling the full existing
+      part/supplier key ranges so star joins route real dimension
+      rows through the hot key; one matching orders row.
+    - documents: 500 additional 'en' docs (en: 193/500 -> 693/1000 =
+      69% dominant) with deterministic index-arithmetic texts over a
+      small vocabulary — heavy shared n-gram mass for the dedup /
+      LSH / TF-IDF families, including 20 planted exact duplicates
+      (10 pairs) inside the hot language.
+    """
+    import os as _os
+
+    from trip_data_pipeline_spark import get_session
+    from trip_data_pipeline_spark.io import load
+
+    spark = get_session("skew-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    _os.makedirs(dst, exist_ok=True)
+
+    def write(df, table):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+
+    # --- events: one user with 50% of the stream -----------------------
+    base = 1_705_000_000_000_000  # 2024-01-11T19:06:40Z, inside fixture span
+    gaps_s = [10, 45, 130, 2100, 25, 70, 400, 5400, 15, 300]  # 2 gaps > 30min
+    types = ["view", "view", "click", "purchase", "signup", "error", "view"]
+    rows = []
+    t = base
+    for k in range(1000):
+        t += gaps_s[k % len(gaps_s)] * 1_000_000
+        ty = types[k % len(types)]
+        val = round((k % 37) * 1.5 + (250.0 if ty == "purchase" else 0.0), 2)
+        rows.append((13_000_001 + k, t, 940001, ty, val, "{}"))
+    ev_extra = spark.createDataFrame(
+        rows,
+        "event_id bigint, us bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    write(load(spark, src, "events").unionByName(ev_extra), "events")
+
+    # --- lineitem/orders: one hot order key -----------------------------
+    li = load(spark, src, "lineitem")
+    od = load(spark, src, "orders")
+    od_extra = spark.createDataFrame(
+        [(9_300_001, 7, "O", 654321.0, base, "3-MEDIUM")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, us bigint, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "timestamp_micros(us) AS o_orderdate", "o_orderpriority",
+    )
+    li_rows = []
+    for k in range(600):
+        li_rows.append((
+            9_300_001, k % 200, k % 10, k + 1,
+            float(1 + k % 50), round(900.0 + (k % 97) * 13.5, 2),
+            round((k % 11) * 0.01, 2), round((k % 9) * 0.01, 2),
+            ("R", "A", "N")[k % 3], ("F", "O")[k % 2],
+            base + k * 3_600_000_000,
+        ))
+    li_extra = spark.createDataFrame(
+        li_rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, us bigint",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "timestamp_micros(us) AS l_shipdate",
+    )
+    write(od.unionByName(od_extra), "orders")
+    write(li.unionByName(li_extra), "lineitem")
+
+    # --- documents: one dominant language -------------------------------
+    vocab = (
+        "data pipeline batch stream shuffle partition join window "
+        "aggregate filter project scan sort hash merge spill broadcast "
+        "skew salt bucket codegen arrow vector columnar parquet"
+    ).split()
+    docs_rows = []
+    for k in range(500):
+        if k >= 480:  # 10 planted exact-duplicate pairs in the hot lang
+            k_src = 480 - (k - 480) // 2 * 7 - 1  # deterministic earlier doc
+            text = " ".join(
+                vocab[(k_src * 3 + j * 5) % len(vocab)]
+                for j in range(8 + k_src % 23)
+            )
+        else:
+            text = " ".join(
+                vocab[(k * 3 + j * 5) % len(vocab)] for j in range(8 + k % 23)
+            )
+        docs_rows.append((13_500_001 + k, text, "en", "skewprobe", len(text)))
+    docs_extra = spark.createDataFrame(
+        docs_rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    write(load(spark, src, "documents").unionByName(docs_extra), "documents")
+
+    # --- dims + embeddings: copy unchanged ------------------------------
+    for t2 in ("region", "nation", "customer", "supplier", "part",
+               "embeddings"):
+        write(load(spark, src, t2), t2)
+    open(f"{dst}/_DONE", "w").close()
+    print(f"wrote {dst}")
+
+
 if __name__ == "__main__":
     main()
 
