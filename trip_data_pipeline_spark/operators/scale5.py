@@ -671,7 +671,26 @@ def corpus_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification on the candidates only (the tranche-5 reformulation:
     shared-shingle count IS the intersection; no per-pair array
     algebra).  Only signatures and shingle hashes shuffle, never
-    text."""
+    text.
+
+    Round-11 scale fix (found by the 1000x parity tranche, which died
+    on shuffle-spill disk exhaustion here): the verification join used
+    to be st JOIN se ON shingle THEN filter to candidates — Catalyst
+    cannot push the candidate filter INTO the inverted-index join, so
+    every train-eval doc pair sharing ANY shingle materialized before
+    the candidate semi-filter, near-quadratic in the document
+    frequency of common shingles.  Both shingle legs are now
+    SEMI-JOINED to the LSH candidate set first, so the exact-Jaccard
+    verification touches only shingles of docs that actually have a
+    candidate partner — the join is driven by the (sparse) candidate
+    set, not the full corpus, which is the only shape that survives
+    100 TB.  Identical semantics: the dropped rows are exactly those
+    the subsequent cand join discarded.  (The 1000x REPLICATED layout
+    remains excluded for this op with the join_theta_band rationale:
+    key-shifted copies share text content, so TRUE cross-copy
+    near-dup pairs — the op's correct output — grow quadratically in
+    the replication factor; that is fixture content, not plan
+    waste.)"""
     from trip_data_pipeline_spark.operators.dedup import (
         LSH_BANDS,
         MINHASH_PERMS,
@@ -721,8 +740,12 @@ def corpus_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d3.select(
         "doc_id", F.explode(F.array_distinct(shingle_col(F.col("ws")))).alias("s")
     )
-    st = sh.select(F.col("doc_id").alias("train_doc"), "s")
-    se = sh.select(F.col("doc_id").alias("eval_doc"), "s")
+    st = sh.select(F.col("doc_id").alias("train_doc"), "s").join(
+        cand.select("train_doc").distinct(), "train_doc", "left_semi"
+    )
+    se = sh.select(F.col("doc_id").alias("eval_doc"), "s").join(
+        cand.select("eval_doc").distinct(), "eval_doc", "left_semi"
+    )
     inter = (
         st.join(se, "s")
         .join(cand, ["train_doc", "eval_doc"])

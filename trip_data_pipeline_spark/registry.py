@@ -136,19 +136,20 @@ def _ensure_loaded() -> None:
 # ROUND 11 (50) — ACTIVE: windows are mechanical re-certification
 #   lists (tools/stamp_freshness.py; artifact
 #   docs/STAMP_FRESHNESS.json, honesty-checked by tests/test_ledger).
-#   The r11 audit found exactly 6 stale ops: the 5-op r7 ROLLOVER tail
-#   staged last round, plus sessionize_batch (its small-tier window
-#   shape was inlined into the op fn this round per ADVICE r10, a
-#   pure code-motion change that nonetheless re-fingerprints — and the
-#   stamp must follow the fingerprint, that is the whole point).
-#   Those 6 HEAD the window; the remaining 44 slots are oldest-stamp
-#   re-certification (the ledger closed at r9, so every op is green
-#   somewhere — these are the ops whose newest stamp is OLDEST, i.e.
-#   certified longest ago: all 33 remaining r1-stamp ops and the
-#   first 11 r2-stamp ops in name order).  Re-stamping greens is
-#   exactly what a re-certification window is for; test_ledger's
-#   never-waste-a-slot rule is satisfied because zero never-stamped
-#   ops exist.
+#   The r11 audit finds exactly 7 stale ops: the 5-op r7 ROLLOVER tail
+#   staged last round, sessionize_batch (its small-tier window shape
+#   was inlined into the op fn this round per ADVICE r10, a pure
+#   code-motion change that nonetheless re-fingerprints — and the
+#   stamp must follow the fingerprint, that is the whole point), and
+#   corpus_decontam_fuzzy (r11 candidate semi-join pruning, found by
+#   the 1000x tranche).  Those 7 HEAD the window; the remaining 43
+#   slots are oldest-stamp re-certification (the ledger closed at r9,
+#   so every op is green somewhere — these are the ops whose newest
+#   stamp is OLDEST, i.e. certified longest ago: all 33 remaining
+#   r1-stamp ops and the first 10 r2-stamp ops in name order).
+#   Re-stamping greens is exactly what a re-certification window is
+#   for; test_ledger's never-waste-a-slot rule is satisfied because
+#   zero never-stamped ops exist.
 PRIORITY: tuple[str, ...] = (
     # --- stale head (docs/STAMP_FRESHNESS.json, oldest stamp first) ---
     "embed_matryoshka_truncate",  # r7 stamp; fn+oracle changed (r10 rollover)
@@ -157,6 +158,13 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_cusum_drift",  # r7 stamp; fn+oracle changed (r10 rollover)
     "udf_pandas_iter_scalar",  # r7 stamp; fn changed (r10 rollover)
     "sessionize_batch",  # r10 stamp; fn changed (r11 helper inline)
+    # late r11 addition: the 1000x parity tranche died on shuffle-spill
+    # disk exhaustion in this op's blind inverted-index join; the fix
+    # (candidate semi-join pruning) re-fingerprints it, so it takes the
+    # last fill slot (interval_merge_overlaps, r2 re-cert, vacates —
+    # it stays green in the cumulative ledger and rolls to a later
+    # re-certification window).
+    "corpus_decontam_fuzzy",  # r6 stamp; fn changed (r11 semi-join pruning)
     # --- oldest-stamp re-certification fill (newest stamp = r1) ---
     "agg_global",
     "agg_grouping_sets",
@@ -202,7 +210,6 @@ PRIORITY: tuple[str, ...] = (
     "filter_conjunctive",
     "geo_grid_cell_density",
     "geo_haversine_trip_distance",
-    "interval_merge_overlaps",
 )
 
 # ROUND-11 rollover: EMPTY — the r11 stale list fits entirely in the
