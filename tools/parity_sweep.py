@@ -305,10 +305,92 @@ FROM (
 # an at-scale sweep.
 
 
+def _decontam_scaled(con) -> str:
+    """corpus_decontam_fuzzy oracle with the verification arm evaluated
+    CANDIDATE-DRIVEN — the same round-11 semi-join pruning the op
+    itself ships (scale5.py): sh / cand materialize stepwise into temp
+    tables, both shingle legs of the intersection count are
+    semi-filtered to the LSH candidate doc sets, and doc sizes still
+    compute over the UNPRUNED shingle sets.  The registry oracle's
+    single-statement form joins the FULL inverted index against itself
+    before the candidate filter (the exact plan shape the op fix
+    removed), which blows the oracle budget from 100x up.  Same
+    mathematical object; value-locked to the registry oracle at sf0.01
+    by tests/test_scaled_oracles.py.  Shingle/minhash construction is
+    shared verbatim with the registry oracles via _SHINGLES_DUCK and
+    the minhash constants."""
+    from trip_data_pipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_MOD,
+        MINHASH_PERMS,
+        SHINGLE_K,
+        _duck_hex28,
+        _SHINGLES_DUCK,
+    )
+    from trip_data_pipeline_spark.operators.text_ops import _duck_words
+
+    con.execute(f"""
+CREATE OR REPLACE TEMP TABLE dc_sh AS
+WITH d AS (SELECT doc_id, {_duck_words()} AS ws FROM documents),
+d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= {SHINGLE_K})
+SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d3
+""")
+    con.execute(f"""
+CREATE OR REPLACE TEMP TABLE dc_cand AS
+WITH hx AS (
+  SELECT doc_id,
+         {_duck_hex28('md5(s)', 1)} AS a,
+         {_duck_hex28('md5(s)', 8)} AS b
+  FROM dc_sh
+),
+hj AS (
+  SELECT doc_id, j, min((a + (j + 1) * b) % {MINHASH_MOD}) AS mh
+  FROM hx CROSS JOIN (SELECT unnest(range(0, {MINHASH_PERMS})) AS j) perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {MINHASH_PERMS // LSH_BANDS} AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM hj GROUP BY doc_id, band_idx
+)
+SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+FROM bands t
+JOIN bands e ON t.band_idx = e.band_idx
+            AND t.band_key = e.band_key
+            AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
+""")
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE dc_i AS
+SELECT st.doc_id AS train_doc, se.doc_id AS eval_doc, count(*) AS i_
+FROM (SELECT * FROM dc_sh
+      WHERE doc_id IN (SELECT train_doc FROM dc_cand)) st
+JOIN (SELECT * FROM dc_sh
+      WHERE doc_id IN (SELECT eval_doc FROM dc_cand)) se
+  ON st.s = se.s
+JOIN dc_cand c ON c.train_doc = st.doc_id AND c.eval_doc = se.doc_id
+GROUP BY 1, 2
+""")
+    return """
+WITH sz AS (SELECT doc_id, count(*) AS n FROM dc_sh GROUP BY doc_id),
+hits AS (
+  SELECT dc_i.train_doc, dc_i.eval_doc
+  FROM dc_i
+  JOIN sz s1 ON s1.doc_id = dc_i.train_doc
+  JOIN sz s2 ON s2.doc_id = dc_i.eval_doc
+  WHERE 2 * dc_i.i_ >= s1.n + s2.n - dc_i.i_
+)
+SELECT train_doc AS doc_id,
+       CAST(count(*) AS BIGINT)      AS n_eval_dups,
+       CAST(min(eval_doc) AS BIGINT) AS first_eval_dup
+FROM hits GROUP BY train_doc
+"""
+
+
 SCALED_ORACLES = {
     "graph_connected_components": _cc_oracle_iterative,
     "dedup_minhash_recall_eval": _minhash_eval_scaled,
     "dedup_shingle_containment": _shingle_containment_scaled,
+    "corpus_decontam_fuzzy": _decontam_scaled,
 }
 
 
