@@ -386,11 +386,56 @@ FROM hits GROUP BY train_doc
 """
 
 
+def _triangle_scaled(con) -> str:
+    """graph_triangle_count oracle evaluated STEPWISE — the registry
+    oracle already uses the right algorithm (degree-ordered
+    orientation, each triangle enumerated once), but its
+    single-statement form fuses edge construction, degree join,
+    orientation and the two-hop wedge join into one DuckDB plan that
+    blows the oracle budget at 1000x, exactly the plan-fusion spill
+    class the CC and minhash overrides fixed.  Materializing e / o /
+    tri into temp tables pins the fast per-stage plans; the SQL text
+    of each stage is verbatim from the registry oracle.  Value-locked
+    at sf0.01 by tests/test_scaled_oracles.py."""
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE tc_e AS
+WITH op_ AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+             FROM lineitem WHERE l_orderkey % 97 = 0)
+SELECT DISTINCT a.p AS src, b.p AS dst
+FROM op_ a JOIN op_ b ON a.k = b.k AND a.p <> b.p
+""")
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE tc_o AS
+WITH deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+             FROM tc_e GROUP BY 1)
+SELECT tc_e.src AS u, tc_e.dst AS v
+FROM tc_e JOIN deg du ON du.node = tc_e.src
+          JOIN deg dv ON dv.node = tc_e.dst
+WHERE du.d < dv.d OR (du.d = dv.d AND tc_e.src < tc_e.dst)
+""")
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE tc_tri AS
+SELECT e1.u AS a, e1.v AS b, e2.v AS c
+FROM tc_o e1
+JOIN tc_o e2 ON e2.u = e1.v
+JOIN tc_o e3 ON e3.u = e1.u AND e3.v = e2.v
+""")
+    return """
+WITH nodes AS (SELECT a AS node FROM tc_tri
+               UNION ALL SELECT b FROM tc_tri
+               UNION ALL SELECT c FROM tc_tri)
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_tri
+FROM nodes GROUP BY node
+ORDER BY n_tri DESC, node LIMIT 20
+"""
+
+
 SCALED_ORACLES = {
     "graph_connected_components": _cc_oracle_iterative,
     "dedup_minhash_recall_eval": _minhash_eval_scaled,
     "dedup_shingle_containment": _shingle_containment_scaled,
     "corpus_decontam_fuzzy": _decontam_scaled,
+    "graph_triangle_count": _triangle_scaled,
 }
 
 
