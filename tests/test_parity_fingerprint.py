@@ -97,3 +97,26 @@ def test_exact_sample_agrees_and_detects_divergence(spark, duck, sf_dir):
         n,
     )
     assert bad["status"] == "SAMPLE-FAIL", bad
+
+
+def test_1000x_artifact_carries_declared_exclusions():
+    """Regen-proof lock (VERDICT r11 item 1): the close-tree 1000x
+    subset artifact must embed the builder-declared exclusions dict
+    exactly as the EXCLUSIONS_1000X constant declares it — r11 commit
+    7fdc927 regenerated the artifact whole and silently dropped the
+    dict 145df19 had added, making a README claim false.  The sweep
+    now merges the constant on every 1000x write; this asserts the
+    artifact on disk actually carries it, and that every excluded name
+    is a real registered op (a typo here would exclude nothing)."""
+    import json
+    import os
+
+    from tools.parity_sweep import EXCLUSIONS_1000X
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "PARITY_1000x_subset.json")
+    art = json.load(open(path))
+    assert art.get("exclusions") == EXCLUSIONS_1000X
+    queries()
+    unknown = [n for n in EXCLUSIONS_1000X if n != "_note" and n not in OPS]
+    assert not unknown, unknown

@@ -772,15 +772,18 @@ def test_sessionize_tiers_value_identical(spark):
     from trip_data_pipeline_spark.operators import sessionize as mod
     from trip_data_pipeline_spark.registry import evict_plan
 
-    evict_plan(spark, "sessionize_batch")
-    small = mod.sessionize_batch(spark, SF).cache()
-    # round 11: the threshold env var is read at CALL time (VERDICT r10
-    # item 5), so the mid-session override below is exactly the contract
-    # under test: no module reload, just set-and-call (plus the
-    # documented plan-memo evict).  0 < bytes <= 0 is false -> Arrow.
+    # The threshold env var is read at CALL time (VERDICT r10 item 5),
+    # so each leg pins it explicitly (ADVICE r11): if an ambient sweep
+    # exported SESSIONIZE_ARROW_MIN_BYTES=0, an unset-assuming small
+    # leg would silently take the Arrow branch too and the JVM-vs-Arrow
+    # equivalence would go untested.  A huge threshold guarantees the
+    # JVM double-window branch; 0 guarantees Arrow.
     orig = os.environ.get("SESSIONIZE_ARROW_MIN_BYTES")
-    os.environ["SESSIONIZE_ARROW_MIN_BYTES"] = "0"
     try:
+        os.environ["SESSIONIZE_ARROW_MIN_BYTES"] = str(1 << 60)
+        evict_plan(spark, "sessionize_batch")
+        small = mod.sessionize_batch(spark, SF).cache()
+        os.environ["SESSIONIZE_ARROW_MIN_BYTES"] = "0"
         evict_plan(spark, "sessionize_batch")
         big = mod.sessionize_batch(spark, SF).cache()
         assert small.exceptAll(big).count() == 0

@@ -440,6 +440,70 @@ SCALED_ORACLES = {
 
 
 # ---------------------------------------------------------------------------
+# builder-declared 1000x exclusions (VERDICT r10 item 3 / r11 item 1).
+# Declared HERE as a constant and merged into EVERY 1000x-artifact write
+# below, so a sweep regen can never drop the machine-readable record
+# again (r11 commit 7fdc927 regenerated docs/PARITY_1000x_subset.json
+# whole and silently dropped what 145df19 had added).  Each entry is a
+# measured rationale plus the op's at-scale fallback record.
+# ---------------------------------------------------------------------------
+
+EXCLUSIONS_1000X = {
+    "_note": (
+        "builder-declared 1000x exclusions (VERDICT r10 item 3: a recorded "
+        "budget rationale for every exclusion); each op has an at-scale "
+        "record in docs/PARITY_100x_subset.json and the full-registry "
+        "docs/PARITY_10x.json.  Merged from the EXCLUSIONS_1000X constant "
+        "in tools/parity_sweep.py on every 1000x artifact write (VERDICT "
+        "r11 item 1: regen-proof)."
+    ),
+    "corpus_decontam_fuzzy": (
+        "content-quadratic on the REPLICATED layout (join_theta_band "
+        "class): key-shifted copies share text content, so true cross-copy "
+        "near-dup pairs - the op's correct output - grow with the square "
+        "of the replication factor; the round-11 candidate semi-join "
+        "pruning fixed the PLAN-side quadratic (the blind inverted-index "
+        "join that exhausted 64 GB of shuffle spill disk here), but the "
+        "remaining work is real answer mass, not plan waste.  Recorded "
+        "HASH-OK at 100x against the candidate-driven scaled oracle "
+        "(value-locked to the registry oracle by "
+        "tests/test_scaled_oracles.py)."
+    ),
+    "corpus_semdedup_bucket": (
+        "same content-quadratic class: SemDeDup's intrinsic O(n^2/k) "
+        "within-cluster term assumes k scales ~sqrt(n); the replicated "
+        "layout multiplies n by 1000 while the fixture codebook stays "
+        "capped, and identical cross-copy vectors all land in the same "
+        "cluster.  Measured: single within-cluster task >20 min without "
+        "completing.  Registry-oracle evaluation carries the same "
+        "intrinsic term, so at 100x the record is ORACLE-BUDGET-NA; the "
+        "full value check is HASH-OK at 10x in docs/PARITY_10x.json."
+    ),
+    "stream_stream_join": (
+        "single-micro-batch drain limit: AvailableNow over the static "
+        "fixture processes the full 30-day history in ONE micro-batch, so "
+        "the watermark never evicts mid-batch and the join state store "
+        "must hold both sides' 100M events - measured >70 min without one "
+        "of 16 tasks completing at 1000x.  In production arrivals span "
+        "micro-batches and the 1h watermark bounds state to one hour of "
+        "events per key; the binding constraint is the harness's drain "
+        "pattern, not the plan.  Recorded at 100x instead; round 12 adds "
+        "a PACED multi-part drain (tools/stream_paced_1000x.py, "
+        "maxFilesPerTrigger over a time-ordered daily layout) that bounds "
+        "state and value-checks the op at 1000x - see "
+        "docs/PARITY_STREAM_1000x.json."
+    ),
+    "stream_outer_join_watermark": (
+        "same single-micro-batch full-history join-state limit as "
+        "stream_stream_join (identical join physics; the outer variant "
+        "adds the null-extended tail).  Recorded at 100x instead; the "
+        "round-12 paced drain covers this op too - see "
+        "docs/PARITY_STREAM_1000x.json."
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
 # canonical row encoding — MUST stay identical between the two engines
 # ---------------------------------------------------------------------------
 
@@ -806,6 +870,12 @@ def main() -> int:
         "cap_rows": CAP,
         "results": results,
     }
+    if "1000x" in os.path.basename(out_path):
+        # Regen-proof (VERDICT r11 item 1): the declared-exclusions
+        # record rides along on EVERY 1000x artifact write — periodic
+        # checkpoints and the final dump alike — so regenerating the
+        # subset can never drop it again.
+        out["exclusions"] = EXCLUSIONS_1000X
     names = sorted(OPS)
     # PARITY_RESUME=1: keep OK-family results already recorded in
     # out_json (an interrupted sweep restarts where it left off; FAILs

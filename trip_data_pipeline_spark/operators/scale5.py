@@ -736,6 +736,13 @@ def corpus_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.doc_id").alias("eval_doc"),
         )
         .distinct()
+        # Three consumers read cand (two left_semi doc-set legs + the
+        # verification join); without materialization each re-evaluates
+        # the full-corpus LSH band self-join — the most expensive stage
+        # in the op (ADVICE r11).  localCheckpoint truncates the lineage
+        # once; the candidate set is sparse by construction, so the
+        # materialized footprint is small even at 1000x.
+        .localCheckpoint()
     )
     sh = d3.select(
         "doc_id", F.explode(F.array_distinct(shingle_col(F.col("ws")))).alias("s")
