@@ -11,11 +11,16 @@ timed reps) — so a noisy-host day is visible INSIDE the artifact
 instead of being inferred from round-over-round swings (the r9/r10
 sf0.1 totals moved 4.4 <-> 6.9 s on host drift alone).
 
-Protocol: bounded wait for 1-min load < BENCH_LOAD_GATE (default 2.0,
-matching tools/bench_scale.py's round-10 duck-phase gate, up to
-3 min — a persistently busy host proceeds anyway and the recorded
-load says so), then 1 warm-up
-execution per query and THREE timed runs; report the min (the
+Protocol (strengthened round 12, VERDICT r11 item 6: BENCH_r11 passed
+the old 1-min-only gate at 1.92 while the 5-min load was still ~8.8
+and the official total read 63% over a quiet-host re-run of the same
+code): bounded wait until BOTH the 1-min load < BENCH_LOAD_GATE
+(default 2.0) AND the 5-min load < BENCH_LOAD_GATE_5M (default 3.0),
+SUSTAINED — a second sample 30 s later must also pass, else the wait
+resumes (the 1-min average dips below 2.0 long before page cache and
+CPU queues actually drain).  Bounded at 8 min total — a persistently
+busy host proceeds anyway and the recorded loads say so.  Then 1
+warm-up execution per query and THREE timed runs; report the min (the
 least-interfered run) and the spread.  Execution = full plan to a
 no-op sink (df.write format noop) so nothing is skipped by lazy
 collection, mirroring DuckDB's fetchall materialization without
@@ -26,6 +31,9 @@ Env:
   SPARK_GRAFT_CPUS     local[N] (default *)
   BENCH_LOAD_GATE      1-min loadavg threshold for the quiet-host wait
                        (default 2.0; 0 disables the wait)
+  BENCH_LOAD_GATE_5M   5-min loadavg threshold (default 3.0) — both
+                       averages must clear their gate, twice, 30 s
+                       apart, before timing starts
   BENCH_REPS           timed reps per query (default 3)
   BENCH_DUCKDB=1       also time the DuckDB oracle per query (prints a
                        second JSON line, used to fill BASELINE.md)
@@ -75,17 +83,34 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "3"))
     gate = float(os.environ.get("BENCH_LOAD_GATE", "2.0"))
 
+    gate5 = float(os.environ.get("BENCH_LOAD_GATE_5M", "3.0"))
+
     # Quiet-host gate BEFORE the JVM comes up: a still-draining box
     # (writeback, a just-killed sweep's python workers) inflates the
-    # first timed runs 2-3x.  Bounded at 3 minutes — a persistently
-    # busy host is recorded, not waited out forever.
-    load_start = round(os.getloadavg()[0], 2)
+    # first timed runs 2-3x.  Round 12: the 1-min average alone is too
+    # weak — it dips under 2.0 while the box is still draining (judge
+    # measured 1-min 0.33 with 5-min at 8.8, and the r11 official
+    # total read 63% over a quiet-host re-run) — so BOTH averages must
+    # clear their gate on TWO samples 30 s apart.  Bounded at 8 min —
+    # a persistently busy host is recorded, not waited out forever.
+    l1, l5 = os.getloadavg()[0], os.getloadavg()[1]
+    load_start, load5_start = round(l1, 2), round(l5, 2)
+    gate_t0 = time.time()
     if gate > 0:
-        for _ in range(36):
-            if os.getloadavg()[0] < gate:
+        def quiet() -> bool:
+            a, b, _ = os.getloadavg()
+            return a < gate and b < gate5
+
+        while time.time() - gate_t0 < 480:
+            if not quiet():
+                time.sleep(5)
+                continue
+            time.sleep(30)  # sustained: must still be quiet 30 s later
+            if quiet():
                 break
-            time.sleep(5)
-    load_after = round(os.getloadavg()[0], 2)
+    gate_waited = round(time.time() - gate_t0, 1)
+    l1, l5, _ = os.getloadavg()
+    load_after, load5_after = round(l1, 2), round(l5, 2)
 
     from trip_data_pipeline_spark import get_session
     from trip_data_pipeline_spark.registry import OPS, queries
@@ -115,7 +140,10 @@ def main() -> None:
                 "spread": spreads,
                 "reps": reps,
                 "load_1m_at_start": load_start,
+                "load_5m_at_start": load5_start,
                 "load_1m_after_gate": load_after,
+                "load_5m_after_gate": load5_after,
+                "gate_waited_s": gate_waited,
                 "sf": _sf_of(sf_dir),
             }
         )

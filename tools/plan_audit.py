@@ -154,10 +154,46 @@ def main() -> int:
     out.append("| op | exchanges | pushed-filter scans | python nodes | flags |")
     out.append("| --- | --- | --- | --- | --- |")
     out += [f"| `{n}` | {e} | {pf} | {py} | {fl} |" for n, e, pf, py, fl in rows]
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLAN_AUDIT.md")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "PLAN_AUDIT.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
+    # Ledger-style freshness sidecar (VERDICT r11 item 4: the audit
+    # went two rounds stale across two plan changes with nothing to
+    # notice).  The sidecar records the HEAD the audit was generated
+    # at (provenance) plus a digest over every op's SOURCE fingerprint
+    # — the same AST fingerprint STAMP_FRESHNESS uses, minus the
+    # oracle half (oracle text cannot change a physical plan).
+    # tests/test_plans.py recomputes the digest on the current tree
+    # and fails if it drifted: any op-code change forces a regen, a
+    # conservative superset of "any plan changed" that is mechanical
+    # and cheap to check.
+    import hashlib
+    import json
+    import subprocess
+
+    from tools.stamp_freshness import fn_fingerprint
+
+    src_fps = {n: fn_fingerprint(o.fn) for n, o in OPS.items()}
+    digest = hashlib.sha256(
+        json.dumps(src_fps, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    sidecar = {
+        "head": head,
+        "registry_src_digest": digest,
+        "n_audited": len(audited),
+        "n_violations": len(violations),
+    }
+    jpath = os.path.join(repo, "docs", "PLAN_AUDIT.json")
+    with open(jpath, "w") as f:
+        json.dump(sidecar, f, indent=1)
+        f.write("\n")
     print(f"wrote {path}: {len(audited)} audited, {len(violations)} violations")
+    print(f"wrote {jpath}: digest {digest} at {head[:10]}")
     return 1 if violations else 0
 
 

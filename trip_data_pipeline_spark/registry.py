@@ -133,87 +133,81 @@ def _ensure_loaded() -> None:
 # ROUND 10 (50) — DONE: CORRECTNESS_r10 stamped all 50 green (zero
 #   err) — every behavioral fix of rounds 8-9 is driver-stamped on its
 #   current semantics; the 5-op r7 tail rolled over as staged.
-# ROUND 11 (50) — ACTIVE: windows are mechanical re-certification
-#   lists (tools/stamp_freshness.py; artifact
-#   docs/STAMP_FRESHNESS.json, honesty-checked by tests/test_ledger).
-#   The r11 audit finds exactly 7 stale ops: the 5-op r7 ROLLOVER tail
-#   staged last round, sessionize_batch (its small-tier window shape
-#   was inlined into the op fn this round per ADVICE r10, a pure
-#   code-motion change that nonetheless re-fingerprints — and the
-#   stamp must follow the fingerprint, that is the whole point), and
-#   corpus_decontam_fuzzy (r11 candidate semi-join pruning, found by
-#   the 1000x tranche).  Those 7 HEAD the window; the remaining 43
-#   slots are oldest-stamp re-certification (the ledger closed at r9,
-#   so every op is green somewhere — these are the ops whose newest
-#   stamp is OLDEST, i.e. certified longest ago: all 33 remaining
-#   r1-stamp ops and the first 10 r2-stamp ops in name order).
-#   Re-stamping greens is exactly what a re-certification window is
-#   for; test_ledger's never-waste-a-slot rule is satisfied because
-#   zero never-stamped ops exist.
+# ROUND 11 (50) — DONE: CORRECTNESS_r11 stamped all 50 green (zero
+#   err) — the 7-op stale head (the 5-op r7 ROLLOVER tail,
+#   sessionize_batch's r11 inline, corpus_decontam_fuzzy's r11
+#   semi-join pruning) re-certified, plus 43 oldest-stamp re-certs;
+#   ROLLOVER emptied and the oldest stamp in the ledger moved to r2.
+# ROUND 12 (50) — ACTIVE: one op re-fingerprints this round —
+#   corpus_decontam_fuzzy again (the ADVICE r11 localCheckpoint of its
+#   LSH candidate set before the three consumers; re-verified HASH-OK
+#   at sf0.01 under the vanilla-session sim before staging).  It heads
+#   the window; the remaining 49 slots are oldest-stamp-first
+#   re-certification per VERDICT r11 item 5: all 27 remaining r2-stamp
+#   ops plus the first 22 r3-stamp ops in name order — after this
+#   window lands, no stamp older than r3 remains.  Re-stamping greens
+#   is exactly what a re-certification window is for; test_ledger's
+#   never-waste-a-slot rule is satisfied because zero never-stamped
+#   ops exist.
 PRIORITY: tuple[str, ...] = (
-    # --- stale head (docs/STAMP_FRESHNESS.json, oldest stamp first) ---
-    "embed_matryoshka_truncate",  # r7 stamp; fn+oracle changed (r10 rollover)
-    "multimodal_frame_sample",  # r7 stamp; fn+oracle changed (r10 rollover)
-    "sim_ann_recall_eval",  # r7 stamp; fn+oracle changed (r10 rollover)
-    "timeseries_cusum_drift",  # r7 stamp; fn+oracle changed (r10 rollover)
-    "udf_pandas_iter_scalar",  # r7 stamp; fn changed (r10 rollover)
-    "sessionize_batch",  # r10 stamp; fn changed (r11 helper inline)
-    # late r11 addition: the 1000x parity tranche died on shuffle-spill
-    # disk exhaustion in this op's blind inverted-index join; the fix
-    # (candidate semi-join pruning) re-fingerprints it, so it takes the
-    # last fill slot (interval_merge_overlaps, r2 re-cert, vacates —
-    # it stays green in the cumulative ledger and rolls to a later
-    # re-certification window).
-    "corpus_decontam_fuzzy",  # r6 stamp; fn changed (r11 semi-join pruning)
-    # --- oldest-stamp re-certification fill (newest stamp = r1) ---
-    "agg_global",
-    "agg_grouping_sets",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "calendar_spine_join",
-    "histogram_fixed_width",
-    "join_null_safe",
-    "orders_backlog_sweep",
-    "orders_rfm_segmentation",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_lines_by_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_idle_customer_balance",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "str_levenshtein",
-    "subquery_correlated",
-    "supplier_pareto_8020",
-    # --- fill continues (newest stamp = r2, name order) ---
-    "agg_count_distinct",
-    "agg_stats",
-    "case_when_bucketize",
-    "date_parts",
-    "distinct_rows",
-    "dq_outlier_iqr",
-    "embed_covariance_int",
-    "filter_conjunctive",
-    "geo_grid_cell_density",
-    "geo_haversine_trip_distance",
+    # --- stale head (docs/STAMP_FRESHNESS.json) ---
+    "corpus_decontam_fuzzy",  # r11 stamp; fn changed (r12 cand checkpoint)
+    # --- oldest-stamp re-certification fill (newest stamp = r2) ---
+    "interval_merge_overlaps",
+    "join_asof_latest",
+    "join_broadcast_dim",
+    "join_inner_equi",
+    "join_theta_band",
+    "json_extract_props",
+    "limit_topk",
+    "math_suite",
+    "multimodal_binary_meta",
+    "rollup_hypertable_2level",
+    "sample_deterministic_hash",
+    "scan_json_props",
+    "scan_parquet",
+    "set_intersect",
+    "set_union_all",
+    "sort_multikey_nulls",
+    "str_basics",
+    "text_lang_id",
+    "time_bucket_15min",
+    "timeseries_gap_fill_locf",
+    "udaf_pandas_grouped_agg",
+    "udf_pandas_scalar",
+    "udtf_grouped_map_normalize",
+    "validate_quarantine",
+    "win_lag_lead",
+    "win_rank_dense_rownum",
+    "win_topk_per_group",
+    # --- fill continues (newest stamp = r3, name order) ---
+    "agg_corr_regr",
+    "agg_cumulative_distinct",
+    "basket_pair_affinity",
+    "date_arith",
+    "dedup_embedding_cosine",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "drop_duplicates_subset",
+    "filter_like",
+    "filter_null_semantics",
+    "hash_id_stable",
+    "join_anti",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range_bucketed",
+    "join_semi",
+    "kmeans_lloyd_int",
+    "lateral_correlated_topk",
+    "multimodal_decode_ppm",
+    "pack_sequences_greedy",
+    "pivot_wide",
+    "project_rename_cast",
 )
 
-# ROUND-11 rollover: EMPTY — the r11 stale list fits entirely in the
-# window head (6 ops), so nothing rolls to round 12.  tests/
+# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 1-op
+# window head (the r11 list was 7 ops, all re-certified by
+# CORRECTNESS_r11), so nothing rolls to round 13.  tests/
 # test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER
 # and that ROLLOVER contains only genuinely-stale ops (no padding).
 ROLLOVER: tuple[str, ...] = ()

@@ -75,6 +75,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     reader = spark.readStream.format("parquet").schema(EVENTS_NTZ_SCHEMA)
+    # Round-12 paced-drain harness (VERDICT r11 item 3): with
+    # STREAM_MAX_FILES_PER_TRIGGER set, AvailableNow drains the layout
+    # in MULTIPLE micro-batches of at most N files each (oldest
+    # modification time first — the production files-on-arrival
+    # order), so the watermark advances between batches and join/agg
+    # state stays bounded instead of holding the full history in one
+    # batch.  Unset (the default, and every driver/test path), the
+    # reader is byte-identical to the round-11 shape.
+    mfpt = os.environ.get("STREAM_MAX_FILES_PER_TRIGGER")
+    if mfpt:
+        reader = reader.option("maxFilesPerTrigger", int(mfpt))
     if _is_single_file(spark, path):
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     else:
@@ -105,6 +116,29 @@ def run_to_memory(
     """Run a streaming DataFrame to completion (AvailableNow) into an
     in-memory table; return the materialized batch DataFrame."""
     spark = stream_df.sparkSession
+    # Round-12 paced-drain harness (VERDICT r11 item 3): the memory
+    # sink materializes the FULL drained output on the driver — fine
+    # for fixture-scale results, fatal for the ~10^8-row stream-stream
+    # join outputs the 1000x paced drain produces.  With
+    # STREAM_SINK_DIR set and an append-mode query (the only mode the
+    # file sink supports — exactly the stream-stream join family the
+    # harness targets), the drain lands in parquet and the returned
+    # DataFrame is a batch scan of it: executor-parallel, never
+    # driver-resident.  Unset (the default, and every driver/test
+    # path), behavior is byte-identical to the round-11 shape.
+    sink_dir = os.environ.get("STREAM_SINK_DIR")
+    if sink_dir and output_mode == "append":
+        out = os.path.join(sink_dir, f"out_{uuid.uuid4().hex[:12]}")
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(stream_df.schema).parquet(out)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
