@@ -603,18 +603,22 @@ EXCLUSIONS_1000X = {
         "of 16 tasks completing at 1000x.  In production arrivals span "
         "micro-batches and the 1h watermark bounds state to one hour of "
         "events per key; the binding constraint is the harness's drain "
-        "pattern, not the plan.  Recorded at 100x instead; round 12 adds "
-        "a PACED multi-part drain (tools/stream_paced_1000x.py, "
-        "maxFilesPerTrigger over a time-ordered daily layout) that bounds "
-        "state and value-checks the op at 1000x - see "
-        "docs/PARITY_STREAM_1000x.json."
+        "pattern, not the plan.  MEASURED CLOSED in round 12: the paced "
+        "multi-part drain (tools/stream_paced_1000x.py, 128 event-time "
+        "range parts, maxFilesPerTrigger=4) bounds state, completes in "
+        "~30 min where the single-batch drain could not finish one task "
+        "in >70 min, and the op is FP-OK + SAMPLE-OK over 343.6M output "
+        "rows at 1000x - docs/PARITY_STREAM_1000x.json.  Stays excluded "
+        "from THIS artifact only because the single-batch AvailableNow "
+        "drain protocol of this subset remains state-unbounded by "
+        "construction."
     ),
     "stream_outer_join_watermark": (
         "same single-micro-batch full-history join-state limit as "
         "stream_stream_join (identical join physics; the outer variant "
-        "adds the null-extended tail).  Recorded at 100x instead; the "
-        "round-12 paced drain covers this op too - see "
-        "docs/PARITY_STREAM_1000x.json."
+        "adds the null-extended tail).  MEASURED CLOSED in round 12 by "
+        "the same paced drain: FP-OK + SAMPLE-OK over 343.6M matched "
+        "rows at 1000x - docs/PARITY_STREAM_1000x.json."
     ),
 }
 

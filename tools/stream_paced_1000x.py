@@ -43,11 +43,20 @@ batch-(i+1) purchase can match has v_ts > p_ts - 1h >= watermark.
 
 Usage:
   python tools/stream_paced_1000x.py [src_1000x_dir] [out_json]
+  python tools/stream_paced_1000x.py --recheck [src_1000x_dir] [out_json]
 Env:
   PACED_PARTS (default 128)   time-range part files
   PACED_MFPT  (default 4)     maxFilesPerTrigger per micro-batch
   PARITY_ORACLE_BUDGET        DuckDB budget per oracle read (default 300)
-"""
+
+--recheck re-runs ONLY the oracle comparison against the parquet
+output a prior paced drain saved in <PACED_DIR>/sink (oldest out_* dir
+= stream_stream_join, next = the outer variant, matching OPS_UNDER_TEST
+order) — for when the Spark drain completed but the DuckDB read of the
+~10^8-row oracle exceeded the default budget: raise
+PARITY_ORACLE_BUDGET and re-compare without paying the ~30-min drain
+again.  The artifact records recheck=True and the budget used on those
+records."""
 
 from __future__ import annotations
 
@@ -90,9 +99,70 @@ def build_paced(spark, src_dir: str) -> None:
           file=sys.stderr)
 
 
+def _recheck(spark, con, out_path: str) -> int:
+    """Oracle-only re-comparison over a prior drain's saved parquet."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from tools.parity_sweep import ORACLE_BUDGET_S, OracleBudgetExceeded, check_op
+    from trip_data_pipeline_spark.registry import OPS
+
+    sink = os.path.join(PACED_DIR, "sink")
+    outs = sorted(
+        (d for d in glob.glob(os.path.join(sink, "out_*"))
+         if not d.endswith("_ckpt")),
+        key=os.path.getmtime,
+    )
+    assert len(outs) == len(OPS_UNDER_TEST), (
+        f"expected {len(OPS_UNDER_TEST)} drain outputs in {sink}, "
+        f"found {len(outs)} — run the drain first"
+    )
+    art = json.load(open(out_path)) if os.path.exists(out_path) else {
+        "results": {}}
+    for name, out_dir in zip(OPS_UNDER_TEST, outs):
+        df = spark.read.parquet(out_dir)
+        if name == "stream_outer_join_watermark":
+            # the registered op filters the drained LEFT OUTER output
+            # to the boundary-invariant matched subset — replicate it
+            df = df.filter(F.col("view_id").isNotNull())
+        print(f"recheck: {name} over {out_dir} "
+              f"(budget {ORACLE_BUDGET_S:.0f}s) ...", file=sys.stderr)
+        t0 = time.time()
+        orig = OPS[name]
+        OPS[name] = dataclasses.replace(orig, fn=lambda s, d, _df=df: _df)
+        try:
+            rec = check_op(spark, con, name, PACED_DIR)
+        except OracleBudgetExceeded:
+            rec = {"status": "ORACLE-BUDGET-NA",
+                   "detail": "DuckDB oracle exceeded the raised budget"}
+        except Exception as e:  # noqa: BLE001
+            rec = {"status": "ERR",
+                   "detail": f"{type(e).__name__}: {str(e)[:400]}"}
+        finally:
+            OPS[name] = orig
+        rec.update(recheck=True, oracle_budget_s=ORACLE_BUDGET_S,
+                   wall_secs=round(time.time() - t0, 2))
+        prior = art["results"].get(name, {})
+        if "wall_secs" in prior:
+            rec["drain_wall_secs"] = prior["wall_secs"]
+        art["results"][name] = rec
+        with open(out_path, "w") as f:
+            json.dump(art, f, indent=1)
+            f.write("\n")
+        print(f"  {rec['status']} in {rec['wall_secs']}s", file=sys.stderr)
+    print(json.dumps({k: v["status"] for k, v in art["results"].items()}))
+    bad = [k for k, v in art["results"].items()
+           if v["status"] not in ("HASH-OK", "FP-OK", "FP-INT-OK",
+                                  "FLOAT-TOL-OK")]
+    return 1 if bad else 0
+
+
 def main() -> int:
-    src_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe_x1000"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    recheck = "--recheck" in sys.argv
+    argv = [a for a in sys.argv if a != "--recheck"]
+    src_dir = argv[1] if len(argv) > 1 else "/tmp/scale_probe_x1000"
+    out_path = argv[2] if len(argv) > 2 else os.path.join(
         REPO, "docs", "PARITY_STREAM_1000x.json"
     )
     if not os.path.exists(os.path.join(src_dir, "_DONE")):
@@ -106,6 +176,8 @@ def main() -> int:
     queries()
     spark = get_session("stream-paced-1000x")
     spark.sparkContext.setLogLevel("ERROR")
+    if recheck:
+        return _recheck(spark, duck_connect(src_dir), out_path)
     build_paced(spark, src_dir)
 
     sink = os.path.join(PACED_DIR, "sink")
