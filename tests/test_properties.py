@@ -794,3 +794,51 @@ def test_sessionize_tiers_value_identical(spark):
         else:
             os.environ["SESSIONIZE_ARROW_MIN_BYTES"] = orig
         evict_plan(spark, "sessionize_batch")
+
+
+def test_resample_next_frame_equivalence(spark):
+    """timeseries_resample_linear (r12 optimization): "next observation"
+    is computed as last(ignorenulls) over a GROWING frame on the
+    REVERSED sort — (t DESC NULLS LAST, is_grid ASC) mirrors
+    (t ASC NULLS FIRST, is_grid DESC) — instead of first(ignorenulls)
+    over [currentRow, unboundedFollowing], whose physical frame
+    (UnboundedFollowingWindowFunctionFrame) rescans to the partition
+    end per row: O(rows^2) per user.  The two formulations must be
+    value-identical on a frame with grid/event interleaving, ties at
+    equal t (grid rows carry null values, so ignorenulls makes tie
+    order irrelevant), all-null users, and null-tail users."""
+    from pyspark.sql import Window
+
+    rows = [
+        # (user_id, t, is_grid, vc): grid rows have vc NULL
+        (1, 10, 0, 100), (1, 10, 1, None), (1, 20, 1, None),
+        (1, 30, 0, 300), (1, 30, 1, None), (1, 40, 1, None),
+        (2, 5, 1, None), (2, 5, 1, None),          # all-null user
+        (3, 1, 0, 7), (3, 2, 1, None), (3, 3, 1, None),  # null tail
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, t long, is_grid int, vc long"
+    )
+    natural = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_grid").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    reversed_growing = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev_t = F.when(F.col("vc").isNotNull(), F.col("t"))
+    out = df.select(
+        "user_id", "t", "is_grid",
+        F.first("vc", ignorenulls=True).over(natural).alias("nv_a"),
+        F.first(ev_t, ignorenulls=True).over(natural).alias("nt_a"),
+        F.last("vc", ignorenulls=True).over(reversed_growing).alias("nv_b"),
+        F.last(ev_t, ignorenulls=True).over(reversed_growing).alias("nt_b"),
+    )
+    bad = out.where(
+        ~(F.col("nv_a").eqNullSafe(F.col("nv_b")))
+        | ~(F.col("nt_a").eqNullSafe(F.col("nt_b")))
+    )
+    assert bad.count() == 0
