@@ -842,3 +842,78 @@ def test_resample_next_frame_equivalence(spark):
         | ~(F.col("nt_a").eqNullSafe(F.col("nt_b")))
     )
     assert bad.count() == 0
+
+
+def test_minhash_eval_index_and_counts_equivalence(spark):
+    """dedup_minhash_recall_eval (r12 optimization): two internal
+    rewrites must be value-preserving.
+
+    1. The truth-arm shingle index is built as explode(raw shingles) +
+       row-distinct with n1 = coalesce(size(array_distinct(sh)), 0),
+       replacing explode(array_distinct(sh)) carrying n1 = size(ss).
+       (The old shape made Catalyst infer isnotnull filters over the
+       whole array expression and push them to the scan, re-evaluating
+       split() per lambda call.)  Both must yield the same
+       (doc_id, n1, shingle) row set.
+    2. The three counts are computed in ONE full-outer-join aggregation
+       instead of three separate aggs crossJoined; n_truth/n_cand/n_hit
+       must be identical.
+    """
+    from trip_data_pipeline_spark.operators.dedup import (
+        SHINGLE_K,
+        minhash_candidate_pairs,
+        shingle_col,
+    )
+    from trip_data_pipeline_spark.operators.text_ops import _words
+    from trip_data_pipeline_spark.io import load
+    from trip_data_pipeline_spark.registry import OPS, queries
+
+    queries()
+    sf_dir = "/root/testdata/sf0.001"
+    d3 = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _words().alias("ws"))
+        .filter(F.size("ws") >= SHINGLE_K)
+    )
+    sh = shingle_col(F.col("ws"))
+    a_old = (
+        d3.select("doc_id", F.array_distinct(sh).alias("ss"))
+        .select(
+            F.col("doc_id").alias("doc_id1"),
+            F.size("ss").alias("n1"),
+            F.explode("ss").alias("s"),
+        )
+    )
+    a_new = (
+        d3.select(
+            F.col("doc_id").alias("doc_id1"),
+            F.coalesce(F.size(F.array_distinct(sh)), F.lit(0)).alias("n1"),
+            F.explode(sh).alias("s"),
+        )
+        .distinct()
+    )
+    assert a_old.exceptAll(a_new).count() == 0
+    assert a_new.exceptAll(a_old).count() == 0
+
+    # counts: one-pass (the op) vs the old three-agg reference
+    row = OPS["dedup_minhash_recall_eval"].fn(spark, sf_dir).collect()[0]
+    b = a_new.select(
+        F.col("doc_id1").alias("doc_id2"), F.col("n1").alias("n2"), "s"
+    )
+    truth = (
+        a_new.join(b, "s")
+        .filter(
+            (F.col("doc_id1") < F.col("doc_id2"))
+            & (F.col("n2") <= 2 * F.col("n1"))
+            & (F.col("n1") <= 2 * F.col("n2"))
+        )
+        .groupBy("doc_id1", "doc_id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("i_"))
+        .filter(2 * F.col("i_") >= F.col("n1") + F.col("n2") - F.col("i_"))
+        .select("doc_id1", "doc_id2")
+    )
+    cand = minhash_candidate_pairs(d3)
+    hit = truth.join(cand, ["doc_id1", "doc_id2"])
+    assert row["n_truth"] == truth.count()
+    assert row["n_cand"] == cand.count()
+    assert row["n_hit"] == hit.count()

@@ -2076,15 +2076,29 @@ def _register_minhash_eval():
         # so the cut pays in shuffle bytes and agg input, not time, at
         # this scale; kept for the deleted joins and because the row
         # cut grows with duplicate density (the 100 TB regime).
+        # Round-12 (guide §1.4/§4.4): the index is built by exploding the
+        # RAW shingle array and row-distincting, NOT by exploding
+        # array_distinct(shingles).  The array_distinct-under-explode
+        # form made Catalyst infer `isnotnull(size(array_distinct(..)))`
+        # filters from the Generate/join and push them below the `ws`
+        # projection to the scan, where the substituted lambda body
+        # re-evaluates split(translate(lower(text))) PER ELEMENT_AT CALL
+        # — interpreted, per shingle, per doc, on BOTH join legs
+        # (measured: 20.5 s for the index alone, 23.9 s for the truth
+        # arm at sf0.1).  Exploding the raw attribute keeps the Generate
+        # input a plain column; `n1` is wrapped in coalesce so it is
+        # non-nullable and no isnotnull constraint can be inferred and
+        # inlined (sh is never null here — d3 filters size(ws)>=3 —
+        # so coalesce changes no value).  Same (doc, shingle, n1) rows
+        # by construction; truth arm after: 2.2 s.
+        sh = shingle_col(F.col("ws"))
         a = (
             d3.select(
-                "doc_id", F.array_distinct(shingle_col(F.col("ws"))).alias("ss")
-            )
-            .select(
                 F.col("doc_id").alias("doc_id1"),
-                F.size("ss").alias("n1"),
-                F.explode("ss").alias("s"),
+                F.coalesce(F.size(F.array_distinct(sh)), F.lit(0)).alias("n1"),
+                F.explode(sh).alias("s"),
             )
+            .distinct()
         )
         b = a.select(
             F.col("doc_id1").alias("doc_id2"), F.col("n1").alias("n2"), "s"
@@ -2102,11 +2116,26 @@ def _register_minhash_eval():
             .select("doc_id1", "doc_id2")
         )
         cand = minhash_candidate_pairs(d3)
-        hit = truth.join(cand, ["doc_id1", "doc_id2"])
-        counts = (
-            truth.agg(F.count(F.lit(1)).alias("n_truth"))
-            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
-            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        # Round-12 (guide §2.2/§5): ONE pass over each arm.  The old
+        # shape consumed the truth lineage twice (n_truth agg + hit
+        # join) and the cand lineage twice (n_cand agg + hit join) with
+        # no exchange reuse across the four consumers — measured 13.2 s
+        # vs 3.4 s for the two arms run once each.  A full-outer join on
+        # the pair key with presence markers computes truth once, cand
+        # once, and all three counts in a single aggregation:
+        # count(t_) = |truth|, count(c_) = |cand|, and rows where both
+        # markers survive the join are exactly the hits.
+        j = truth.withColumn("t_", F.lit(1)).join(
+            cand.withColumn("c_", F.lit(1)),
+            ["doc_id1", "doc_id2"],
+            "full_outer",
+        )
+        counts = j.agg(
+            F.count("t_").alias("n_truth"),
+            F.count("c_").alias("n_cand"),
+            F.count(
+                F.when(F.col("t_").isNotNull() & F.col("c_").isNotNull(), 1)
+            ).alias("n_hit"),
         )
         return counts.select(
             bigint(F.col("n_truth")).alias("n_truth"),
