@@ -249,6 +249,35 @@ def test_connected_components_fixed_point(spark):
     assert bad_rep == 0
 
 
+def test_connected_components_chain_and_plan_stats_drop(spark):
+    """Round-12 internals lock: (a) `_drop_plan_stats` is a row/schema
+    identity (it only rebuilds the DataFrame over its own internal RDD
+    to shed propagated plan statistics); (b) the self-loop-unioned
+    hop step still converges to exact min-label components on a long
+    chain — the adversarial shape for pointer-jumping loops."""
+    from trip_data_pipeline_spark.operators.graph import (
+        _drop_plan_stats,
+        connected_components,
+    )
+
+    # (a) identity on an arbitrary df
+    src = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.sha1(F.col("id").cast("string")).alias("s")
+    )
+    rebuilt = _drop_plan_stats(src)
+    assert rebuilt.schema == src.schema
+    assert sorted(rebuilt.collect()) == sorted(src.collect())
+
+    # (b) chain 0-1-2-...-40 plus an isolated 2-clique {100,101}
+    n = 41
+    chain = [(i, i + 1) for i in range(n - 1)] + [(100, 101)]
+    undirected = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(undirected, "src long, dst long")
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    want = {(i, 0) for i in range(n)} | {(100, 100), (101, 100)}
+    assert got == want
+
+
 def test_stream_outer_join_floor_semantics(spark):
     """The streaming LEFT OUTER join's result must (a) contain every
     inner (matched) pair the batch theta join produces, and (b) only

@@ -152,6 +152,8 @@ def _ensure_loaded() -> None:
 PRIORITY: tuple[str, ...] = (
     # --- stale head (docs/STAMP_FRESHNESS.json) ---
     "corpus_decontam_fuzzy",  # r11 stamp; fn changed (r12 cand checkpoint)
+    "dedup_minhash_recall_eval",  # r9 stamp; fn changed (r12 optimization)
+    "timeseries_resample_linear",  # r10 stamp; fn changed (r12 optimization)
     # --- oldest-stamp re-certification fill (newest stamp = r2) ---
     "interval_merge_overlaps",
     "join_asof_latest",
@@ -201,11 +203,9 @@ PRIORITY: tuple[str, ...] = (
     "lateral_correlated_topk",
     "multimodal_decode_ppm",
     "pack_sequences_greedy",
-    "pivot_wide",
-    "project_rename_cast",
 )
 
-# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 1-op
+# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 3-op
 # window head (the r11 list was 7 ops, all re-certified by
 # CORRECTNESS_r11), so nothing rolls to round 13.  tests/
 # test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER
