@@ -970,10 +970,12 @@ def test_contiguous_ids_range_partitioned_not_global_sort(spark):
 
 def test_gap_cap_sessionize_arrow_grouped_map(spark):
     """Gap+cap sessionization: the sequential recurrence runs as ONE
-    Arrow grouped-map pass keyed by user — a single user-keyed
-    shuffle, state bounded per user."""
+    Arrow partition-scan pass over a user-keyed shuffle sorted by
+    (user, t, event_id) — state bounded per user, no per-group Python
+    call overhead (round-12 mapInPandas form)."""
     p = _plan(spark, "sessionize_gap_and_cap")
-    assert "FlatMapGroupsInPandas" in p
+    assert "MapInPandas" in p
+    assert "Sort" in p  # JVM-side per-partition sort feeds the scan
     # formatted explain lists each node twice (tree + details):
     # exactly one Exchange -> two textual occurrences
     assert p.count("Exchange") <= 2
@@ -1188,7 +1190,8 @@ def test_minhash_eval_no_cartesian_bounded_joins(spark):
 
 def test_cusum_single_user_shuffle(spark):
     p = _plan(spark, "timeseries_cusum_drift")
-    assert "FlatMapGroupsInPandas" in p
+    assert "MapInPandas" in p  # round-12 partition-scan form
+    assert "Sort" in p
     assert p.count("Exchange") <= 2  # tree + details of the one shuffle
 
 

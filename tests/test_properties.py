@@ -409,6 +409,30 @@ def test_triangle_orientation_counts_each_once(spark):
     assert graph_triangle_count(spark, SF).count() <= 20
 
 
+def test_gap_cap_and_cusum_batch_boundary_carryover(spark):
+    """Round-12 internals lock: the partition-scan mapInPandas forms
+    carry per-user state across Arrow batch boundaries.  Force 7-row
+    batches (every user spans many batches) and check output equality
+    with the default-batch run."""
+    from trip_data_pipeline_spark.operators.scale4 import (
+        sessionize_gap_and_cap,
+        timeseries_cusum_drift,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    big_sess = sorted(map(tuple, sessionize_gap_and_cap(spark, SF).collect()))
+    big_cusum = sorted(map(tuple, timeseries_cusum_drift(spark, SF).collect()))
+    try:
+        spark.conf.set(key, "7")
+        small_sess = sorted(map(tuple, sessionize_gap_and_cap(spark, SF).collect()))
+        small_cusum = sorted(map(tuple, timeseries_cusum_drift(spark, SF).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert small_sess == big_sess
+    assert small_cusum == big_cusum
+
+
 def test_cusum_replay_matches_operator(spark):
     """Replay the CUSUM recurrence driver-side for 25 users and check
     max/final/alarm-count equality with the operator output."""

@@ -534,49 +534,81 @@ def sessionize_gap_and_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks — depth = max events per user, work O(total events).
 
     Scale: one shuffle by user_id; session state never leaves the
-    executor.  Skewed users bound the worst task at |events(u)|."""
+    executor.  Skewed users bound the worst task at |events(u)|.
+
+    Round-12 (guide §4.2/§4.5): was groupBy(user).applyInPandas — one
+    Python call + one pandas DataFrame construction PER USER (~10k
+    sub-millisecond groups at sf0.1, pure per-group overhead).  Now a
+    partition-scan mapInPandas over repartition(user) +
+    sortWithinPartitions(user, t, event_id): the JVM does the sort
+    once, each task walks its whole partition's numpy arrays with
+    carry-over state across Arrow batches, and the per-group Python
+    overhead disappears.  Same recurrence, same one shuffle."""
     import pandas as pd
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", F.expr("unix_micros(ts)").alias("t"), "event_id"
+    # explicit partition count (cores-derived, scale-adaptive — not a
+    # local constant): AQE would coalesce a bare repartition(col) of
+    # this small input to 1 partition, serializing the Python scan.
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts)").alias("t"), "event_id")
+        .repartition(n_parts, "user_id")
+        .sortWithinPartitions("user_id", "t", "event_id")
     )
 
     GAP = 1800 * 1000000
     CAP = 7200 * 1000000
 
-    def sess(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "event_id"])
-        ts = pdf["t"].to_numpy()
-        n_sessions = 0
-        max_events = 0
-        total_dur = 0
-        cur_start = None
-        prev = None
-        cur_n = 0
-        for t in ts:
-            if cur_start is None or t - prev > GAP or t - cur_start > CAP:
-                if cur_start is not None:
-                    total_dur += (prev - cur_start) // 1000000
-                    max_events = max(max_events, cur_n)
-                n_sessions += 1
-                cur_start = t
-                cur_n = 0
-            cur_n += 1
-            prev = t
-        if cur_start is not None:
-            total_dur += (prev - cur_start) // 1000000
-            max_events = max(max_events, cur_n)
-        return pd.DataFrame(
+    def sess_scan(batches):
+        uid = None
+        n_sessions = max_events = total_dur = cur_n = 0
+        cur_start = prev = None
+        out_u, out_s, out_m, out_d = [], [], [], []
+
+        def flush():
+            total = total_dur + (prev - cur_start) // 1000000
+            out_u.append(uid)
+            out_s.append(n_sessions)
+            out_m.append(max(max_events, cur_n))
+            out_d.append(total)
+
+        for pdf in batches:
+            us = pdf["user_id"].to_numpy()
+            ts = pdf["t"].to_numpy()
+            for i in range(len(us)):
+                u, t = us[i], ts[i]
+                if u != uid:
+                    if uid is not None:
+                        flush()
+                    uid = u
+                    n_sessions = max_events = total_dur = cur_n = 0
+                    cur_start = prev = None
+                if cur_start is None or t - prev > GAP or t - cur_start > CAP:
+                    if cur_start is not None:
+                        total_dur += (prev - cur_start) // 1000000
+                        max_events = max(max_events, cur_n)
+                    n_sessions += 1
+                    cur_start = t
+                    cur_n = 0
+                cur_n += 1
+                prev = t
+        if uid is not None:
+            flush()
+        yield pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "max_events": [max_events],
-                "total_dur_s": [total_dur],
+                "user_id": out_u,
+                "n_sessions": out_s,
+                "max_events": out_m,
+                "total_dur_s": out_d,
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        sess,
+    return ev.mapInPandas(
+        sess_scan,
         schema="user_id bigint, n_sessions bigint, max_events bigint, total_dur_s bigint",
     )
 
@@ -2208,6 +2240,17 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence in BOTH engines (round-8 NULL-payload sweep — the
     # kernel's int(x) raised on NaN; the sf fixtures have no NULL
     # values, so defined-case output is unchanged)
+    # Round-12 (guide §4.2/§4.5): groupBy(user).applyInPandas paid one
+    # Python call + pandas DataFrame per user; now a partition-scan
+    # mapInPandas over repartition(user)+sortWithinPartitions walks
+    # numpy arrays with carry-over state across Arrow batches — same
+    # recurrence, same single shuffle, no per-group overhead.  The
+    # partition count is pinned (cores-derived) because AQE would
+    # coalesce the small shuffle to 1 task and serialize the scan.
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -2217,28 +2260,49 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.round(F.col("value") * 100).cast("bigint").alias("x"),
         )
+        .repartition(n_parts, "user_id")
+        .sortWithinPartitions("user_id", "us", "event_id")
     )
 
-    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["us", "event_id"])
-        s, mx, alarms = 0, 0, 0
-        for x in pdf["x"].to_numpy():
-            prev = s
-            s = max(0, s + int(x) - K)
-            mx = max(mx, s)
-            if s > H and prev <= H:
-                alarms += 1
-        return pd.DataFrame(
+    def cusum_scan(batches):
+        uid = None
+        s = mx = alarms = 0
+        out_u, out_mx, out_s, out_a = [], [], [], []
+        for pdf in batches:
+            us_arr = pdf["user_id"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            for i in range(len(us_arr)):
+                u = us_arr[i]
+                if u != uid:
+                    if uid is not None:
+                        out_u.append(uid)
+                        out_mx.append(mx)
+                        out_s.append(s)
+                        out_a.append(alarms)
+                    uid = u
+                    s = mx = alarms = 0
+                prev = s
+                s = max(0, s + int(xs[i]) - K)
+                mx = max(mx, s)
+                if s > H and prev <= H:
+                    alarms += 1
+        if uid is not None:
+            out_u.append(uid)
+            out_mx.append(mx)
+            out_s.append(s)
+            out_a.append(alarms)
+        yield pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "max_s": [mx],
-                "final_s": [s],
-                "n_alarms": [alarms],
+                "user_id": out_u,
+                "max_s": out_mx,
+                "final_s": out_s,
+                "n_alarms": out_a,
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        cusum, schema="user_id bigint, max_s bigint, final_s bigint, n_alarms bigint"
+    return ev.mapInPandas(
+        cusum_scan,
+        schema="user_id bigint, max_s bigint, final_s bigint, n_alarms bigint",
     )
 
 

@@ -5530,12 +5530,26 @@ def timeseries_theil_sen_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("xb") > F.col("xa")).select(
         F.expr("(yb - ya) * 1000000 div (xb - xa)").alias("slope_micro")
     )
-    ranked = pairs.select(
-        "slope_micro",
-        F.row_number().over(Window.orderBy("slope_micro")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # Round-12 (guide §2.3/§2.4): the old form ranked every pairwise
+    # slope with row_number() over a GLOBAL order — a single-partition
+    # Sort + two Window nodes over all O(days^2) pair rows.  The rank
+    # test only needs each slope VALUE's highest rank, which is the
+    # cumulative frequency: rank(last occurrence of s) = cum(s), so
+    # `exists rn of s with 2*rn >= n+1` <=> `2*cum(s) >= n+1`, and the
+    # median is the smallest such s.  groupBy(slope) aggregates the
+    # pair stream distributed (map-side partial agg); only the
+    # distinct-slope frequency table — O(value range), not O(pairs) —
+    # crosses into the single-partition cumulative window.
+    freq = pairs.groupBy("slope_micro").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("slope_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    return ranked.filter(2 * F.col("rn") >= F.col("n") + 1).agg(
+    ranked = freq.select(
+        "slope_micro",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(2 * F.col("cum") >= F.col("n") + 1).agg(
         bigint(F.min("n")).alias("n_pairs"),
         bigint(F.min("slope_micro")).alias("theil_sen_micro"),
     )

@@ -154,6 +154,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_decontam_fuzzy",  # r11 stamp; fn changed (r12 cand checkpoint)
     "dedup_minhash_recall_eval",  # r9 stamp; fn changed (r12 optimization)
     "timeseries_resample_linear",  # r10 stamp; fn changed (r12 optimization)
+    "timeseries_theil_sen_int",  # r?; fn changed (r12 cum-freq median)
+    "sessionize_gap_and_cap",  # fn changed (r12 mapInPandas partition scan)
+    "timeseries_cusum_drift",  # fn changed (r12 mapInPandas partition scan)
     # --- oldest-stamp re-certification fill (newest stamp = r2) ---
     "interval_merge_overlaps",
     "join_asof_latest",
@@ -200,12 +203,9 @@ PRIORITY: tuple[str, ...] = (
     "join_range_bucketed",
     "join_semi",
     "kmeans_lloyd_int",
-    "lateral_correlated_topk",
-    "multimodal_decode_ppm",
-    "pack_sequences_greedy",
 )
 
-# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 3-op
+# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 6-op
 # window head (the r11 list was 7 ops, all re-certified by
 # CORRECTNESS_r11), so nothing rolls to round 13.  tests/
 # test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER
