@@ -249,6 +249,38 @@ def test_connected_components_fixed_point(spark):
     assert bad_rep == 0
 
 
+def test_word_ngrams_zip_form_equals_index_transform(spark):
+    """Round-12 internals lock: word_ngrams' zip-of-shifted-slices
+    build (per-row cost under optimizer inlining) is value-identical
+    to the reference index-transform form for every n in use (2..6),
+    including short docs (< n words), exactly-n docs, empty-string
+    words from doubled separators, and NULL text."""
+    from trip_data_pipeline_spark.operators.corpus2 import word_ngrams
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "one two"),
+        (3, "single"),
+        (4, ""),
+        (5, None),
+        (6, "x  y z"),  # doubled space -> empty-string word
+        (7, "r r r r r r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = F.split("text", " ")
+    for n in (2, 3, 4, 5, 6):
+        ref = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        got = df.select("doc_id", word_ngrams(w, n).alias("g"), ref.alias("r")).collect()
+        for r in got:
+            assert r.g == r.r, (n, r.doc_id, r.g, r.r)
+
+
 def test_connected_components_chain_and_plan_stats_drop(spark):
     """Round-12 internals lock: (a) `_drop_plan_stats` is a row/schema
     identity (it only rebuilds the DataFrame over its own internal RDD

@@ -45,11 +45,28 @@ def word_ngrams(w: Column, n: int) -> Column:
     DuckDB mirror: ``list_transform(range(1, len(w) - {n-2}),
     i -> array_to_string(w[i:i+{n-1}], ' '))`` (range is
     exclusive-upper; slice is inclusive 1-based on both engines).
-    """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
+
+    Round-12 shape (guide §1.1/§4): built as a ZIP of n shifted
+    slices, not ``transform(sequence(...), i -> slice(w, i, n))``.
+    Higher-order lambdas are interpreted, and an interpreted lambda
+    body re-evaluates non-lambda subexpressions PER ELEMENT — when the
+    optimizer inlines `w = split(text)` into the lambda (projection
+    collapse, and the inferred `size(grams) > 0` pre-explode filter
+    pushed to the scan does it unconditionally), each gram re-split
+    the whole document: O(words²) per doc, ~5x the runtime of the
+    consuming operators.  In the zip form every slice is evaluated
+    once per ROW under the same inlining, so the worst case stays
+    O(n·words).  Element j is w[j..j+n-1] joined by single spaces in
+    both forms (split() yields no NULL elements, so concat_ws ==
+    array_join here), and the short-doc guard is unchanged."""
+    cnt = F.size(w) - F.lit(n - 1)
+    grams = F.slice(w, 1, cnt)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, i + 1, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(F.size(w) >= n, grams).otherwise(
         F.expr("CAST(array() AS ARRAY<STRING>)")
     )
