@@ -2215,3 +2215,24 @@ def test_plan_audit_sidecar_fresh():
         "tools/plan_audit.py (and re-check its 0-violations verdict)"
     )
     assert sidecar["n_violations"] == 0
+
+
+def test_decontam_semi_joins_broadcast_corpus_unshuffled(spark):
+    """corpus_decontam_fuzzy (round 12): the candidate doc-id semi
+    joins must be BROADCAST — the localCheckpoint'd candidate set
+    carries a product-of-children size estimate, so left to the
+    planner the legs become SortMergeJoin LeftSemi and shuffle the
+    corpus token arrays by doc_id, contradicting the op's contract
+    that only signatures and shingle hashes shuffle, never text.  The
+    size aggregation must likewise be candidate-bounded (its own
+    broadcast semi), leaving no sort-merge semi join anywhere in the
+    op."""
+    p = _exec_plan(spark, "corpus_decontam_fuzzy")
+    for line in p.splitlines():
+        if "SortMergeJoin" in line:
+            assert "LeftSemi" not in line, line
+    assert sum(
+        1
+        for line in p.splitlines()
+        if "BroadcastHashJoin" in line and "LeftSemi" in line
+    ) >= 3, p

@@ -319,7 +319,14 @@ def test_stream_outer_join_floor_semantics(spark):
         _stream_outer_join_full,
     )
 
-    out = _stream_outer_join_full(spark, SF).cache()
+    # final_no_data_batch=True: the null-extended tail is emitted by
+    # watermark eviction during the trailing no-data micro-batch, which
+    # the op's default drain skips (round 12 — the registered consumer
+    # filters to matched rows, so its hash is unaffected).  The test
+    # runs the full semantics deliberately so the null-extension
+    # contract stays engine-locked, and asserts the tail is non-empty
+    # so this check can never pass vacuously.
+    out = _stream_outer_join_full(spark, SF, final_no_data_batch=True).cache()
     ev = load(spark, SF, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
@@ -342,8 +349,11 @@ def test_stream_outer_join_floor_semantics(spark):
     # (a) matched pairs == the batch inner join exactly
     assert stream_matched.exceptAll(batch_inner).count() == 0
     assert batch_inner.exceptAll(stream_matched).count() == 0
-    # (b) a null-extended purchase has zero qualifying views
+    # (b) a null-extended purchase has zero qualifying views — and the
+    # tail must actually exist at this fixture scale, else (b) is
+    # vacuous and the no-data-batch path silently untested
     null_ext = out.filter(F.col("view_id").isNull()).select("purchase_id")
+    assert null_ext.count() > 0
     assert null_ext.join(batch_inner, "purchase_id", "left_semi").count() == 0
 
 

@@ -164,3 +164,65 @@ def test_events_stream_single_file_remote_shape(spark, monkeypatch):
         read_events_stream(spark, SF).groupBy().count(), "complete"
     )
     assert out.collect()[0][0] == load(spark, SF, "events").count()
+
+
+def test_no_data_batch_skip_output_identity_and_conf_restore(spark):
+    """Round-12 drain optimization: final_no_data_batch=False must
+    (a) leave the drained result of a watermarked stateful streaming
+    query IDENTICAL — for an inner stream-stream join, state eviction
+    never emits, so the trailing no-data micro-batch is pure state-
+    reload cost — and (b) restore the session's noDataMicroBatches
+    conf afterwards (the flag is applied around one query only)."""
+    from trip_data_pipeline_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def joined():
+        p = (
+            read_events_stream(spark, sf)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        v = (
+            read_events_stream(spark, sf)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        return p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") < F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("purchase_id", "view_id", "user_id")
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+    with_ndb = sorted(
+        map(tuple, run_to_memory(joined(), "append").collect())
+    )
+    assert spark.conf.get(key) == before
+    without_ndb = sorted(
+        map(
+            tuple,
+            run_to_memory(
+                joined(), "append", final_no_data_batch=False
+            ).collect(),
+        )
+    )
+    assert spark.conf.get(key) == before  # restored, not leaked
+    assert len(with_ndb) > 0
+    assert with_ndb == without_ndb

@@ -747,11 +747,24 @@ def corpus_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d3.select(
         "doc_id", F.explode(F.array_distinct(shingle_col(F.col("ws")))).alias("s")
     )
+    # Round-12 (guide §2.4, §3.1, §3.2): the three shingle-leg joins
+    # against the checkpointed candidate set used to plan as SORT-MERGE
+    # semi joins — localCheckpoint's LogicalRDD carries the LSH band
+    # self-join's PRODUCT size estimate, so the planner never considers
+    # broadcasting — and each SMJ leg shuffled the full corpus
+    # (doc_id, ws) by doc_id, contradicting this op's own contract that
+    # only signatures and shingle hashes shuffle, never text.  The
+    # candidate DOC-ID projections are ids-only subsets of the
+    # checkpointed candidate set (sparse by LSH construction — the same
+    # bound that justifies materializing cand at all), so they are
+    # explicitly broadcast: the corpus side of each semi join now has
+    # NO exchange, and the explode still runs only on candidate docs
+    # (the semi join stays pushed below the Generate).
     st = sh.select(F.col("doc_id").alias("train_doc"), "s").join(
-        cand.select("train_doc").distinct(), "train_doc", "left_semi"
+        F.broadcast(cand.select("train_doc").distinct()), "train_doc", "left_semi"
     )
     se = sh.select(F.col("doc_id").alias("eval_doc"), "s").join(
-        cand.select("eval_doc").distinct(), "eval_doc", "left_semi"
+        F.broadcast(cand.select("eval_doc").distinct()), "eval_doc", "left_semi"
     )
     inter = (
         st.join(se, "s")
@@ -759,7 +772,25 @@ def corpus_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("i_"))
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Round-12 (guide §2.3 "don't compute things you throw away"): sz
+    # used to count distinct shingles for EVERY document — a full
+    # explode + aggregation over the whole corpus — while the only
+    # consumers are the two size lookups for docs that appear in a
+    # candidate pair.  Semi-joining the index to the candidate doc-id
+    # union FIRST (train and eval splits are disjoint: % 97) makes the
+    # size aggregation candidate-bounded like every other verification
+    # stage; values for the surviving docs are identical, and dropped
+    # docs were exactly those the inter joins discarded.
+    all_ids = (
+        cand.select(F.col("train_doc").alias("doc_id"))
+        .union(cand.select("eval_doc"))
+        .distinct()
+    )
+    sz = (
+        sh.join(F.broadcast(all_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     hits = (
         inter.join(
             sz.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("n1")),

@@ -53,7 +53,7 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("value")).alias("total_value"),
         )
     )
-    res = run_to_memory(agg, "complete")
+    res = run_to_memory(agg, "complete", final_no_data_batch=False)
     return res.select(
         F.expr("(unix_micros(window.start) div 1000000)").alias("win_start_s"),
         "event_type",
@@ -90,7 +90,7 @@ def stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("value")).alias("total_value"),
         )
     )
-    res = run_to_memory(agg, "complete")
+    res = run_to_memory(agg, "complete", final_no_data_batch=False)
     return res.select(
         F.expr("(unix_micros(window.start) div 1000000)").alias("win_start_s"),
         "n",
@@ -135,7 +135,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(bigint(F.count(F.lit(1))).alias("n_events"))
     )
-    res = run_to_memory(agg, "complete")
+    res = run_to_memory(agg, "complete", final_no_data_batch=False)
     return res.select(
         "user_id",
         F.expr("unix_micros(session_window.start)").alias("sess_start_us"),
@@ -264,7 +264,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    res = run_to_memory(deduped, "append")
+    res = run_to_memory(deduped, "append", final_no_data_batch=False)
     return (
         res.groupBy("event_type")
         .agg(bigint(F.count(F.lit(1))).alias("n_users"))
@@ -312,7 +312,7 @@ def stream_stateful_runstate(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_memory(stateful, "update")
+    return run_to_memory(stateful, "update", final_no_data_batch=False)
 
 
 @op(
@@ -426,6 +426,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_s"),
         ),
         "append",
+        # Inner-join state eviction never emits a row, so the trailing
+        # no-data micro-batch cannot add output — measured 1.8-2.6 s of
+        # pure state reload per drain (guide §1.1): skipped.
+        final_no_data_batch=False,
     )
     return res
 
@@ -499,17 +503,31 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    return run_to_memory(out, "update")
+    return run_to_memory(out, "update", final_no_data_batch=False)
 
 
-def _stream_outer_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_outer_join_full(
+    spark: SparkSession, sf_dir: str, *, final_no_data_batch: bool = False
+) -> DataFrame:
     """Full drained output of the LEFT OUTER stream-stream join —
     matched rows PLUS whatever null-extended rows the watermark closed
     before the fixture drained.  The null-extended tail is micro-batch-
     boundary-dependent (engine-defined), so the FULL output stays
     unhashable; it is property-checked in tests/test_properties.py
     (matched == batch inner exactly; every null-extended purchase has
-    zero qualifying views)."""
+    zero qualifying views).
+
+    Round-12 (guide §1.1): by default the drain skips the trailing
+    no-data micro-batch — eviction during that batch emits only
+    NULL-EXTENDED rows (the matched set is complete after the data
+    batches), and the one registered consumer filters to the matched
+    subset, so its hash-checked result is unchanged while the drain
+    drops a full zero-input state-store reload (~2.5 s at sf0.1).  The
+    null-extension path itself stays exercised:
+    test_stream_outer_join_floor_semantics runs this helper with
+    final_no_data_batch=True and asserts the tail is present and
+    correct — the engine semantics the default path no longer pays
+    for remain locked."""
     purchases = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -538,7 +556,9 @@ def _stream_outer_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     return run_to_memory(
-        joined.select("purchase_id", "view_id", "user_id"), "append"
+        joined.select("purchase_id", "view_id", "user_id"),
+        "append",
+        final_no_data_batch=final_no_data_batch,
     )
 
 
@@ -760,7 +780,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(bigint(F.count(F.lit(1))).alias("n_events"))
     )
-    res = run_to_memory(agg, "complete")
+    res = run_to_memory(agg, "complete", final_no_data_batch=False)
     return res.select(
         "user_id",
         F.expr("unix_micros(session_window.start)").alias("sess_start_us"),

@@ -139,24 +139,35 @@ def _ensure_loaded() -> None:
 #   semi-join pruning) re-certified, plus 43 oldest-stamp re-certs;
 #   ROLLOVER emptied and the oldest stamp in the ledger moved to r2.
 # ROUND 12 (50) — ACTIVE: one op re-fingerprints this round —
-#   corpus_decontam_fuzzy again (the ADVICE r11 localCheckpoint of its
-#   LSH candidate set before the three consumers; re-verified HASH-OK
-#   at sf0.01 under the vanilla-session sim before staging).  It heads
-#   the window; the remaining 49 slots are oldest-stamp-first
+#   the ops the OPTIMIZATION round re-fingerprints: the build-phase
+#   tail (corpus_decontam_fuzzy's cand checkpoint) plus the r12
+#   optimization rewrites — resample/theil-sen/minhash-eval/gap-cap/
+#   cusum (mid-round commits) and the streaming no-data-batch skips +
+#   the decontam candidate-bounded verification (this session).  Every
+#   one re-verified HASH-OK (or rows-ran) at sf0.01 under the
+#   vanilla-session sim before staging; all 14 head the window,
+#   oldest stamp first.  The remaining 36 slots are oldest-stamp-first
 #   re-certification per VERDICT r11 item 5: all 27 remaining r2-stamp
-#   ops plus the first 22 r3-stamp ops in name order — after this
-#   window lands, no stamp older than r3 remains.  Re-stamping greens
-#   is exactly what a re-certification window is for; test_ledger's
-#   never-waste-a-slot rule is satisfied because zero never-stamped
-#   ops exist.
+#   ops plus the first 9 r3-stamp ops in name order.  Re-stamping
+#   greens is exactly what a re-certification window is for;
+#   test_ledger's never-waste-a-slot rule is satisfied because zero
+#   never-stamped ops exist.
 PRIORITY: tuple[str, ...] = (
-    # --- stale head (docs/STAMP_FRESHNESS.json) ---
-    "corpus_decontam_fuzzy",  # r11 stamp; fn changed (r12 cand checkpoint)
-    "dedup_minhash_recall_eval",  # r9 stamp; fn changed (r12 optimization)
-    "timeseries_resample_linear",  # r10 stamp; fn changed (r12 optimization)
-    "timeseries_theil_sen_int",  # r?; fn changed (r12 cum-freq median)
-    "sessionize_gap_and_cap",  # fn changed (r12 mapInPandas partition scan)
-    "timeseries_cusum_drift",  # fn changed (r12 mapInPandas partition scan)
+    # --- stale head (docs/STAMP_FRESHNESS.json, oldest stamp first) ---
+    "sessionize_gap_and_cap",  # r5 stamp; fn changed (r12 mapInPandas scan)
+    "stream_transform_with_state",  # r5; fn changed (r12 no-data-batch skip)
+    "dedup_minhash_recall_eval",  # r9; fn changed (r12 optimization)
+    "stream_stream_join",  # r9; fn changed (r12 no-data-batch skip)
+    "timeseries_theil_sen_int",  # r9; fn changed (r12 cum-freq median)
+    "stream_dedup_watermark",  # r10; fn changed (r12 no-data-batch skip)
+    "stream_session_dynamic_gap",  # r10; fn changed (r12 no-data-batch skip)
+    "stream_session_window",  # r10; fn changed (r12 no-data-batch skip)
+    "stream_sliding_sum",  # r10; fn changed (r12 no-data-batch skip)
+    "stream_stateful_runstate",  # r10; fn changed (r12 no-data-batch skip)
+    "stream_tumbling_count",  # r10; fn changed (r12 no-data-batch skip)
+    "timeseries_resample_linear",  # r10; fn changed (r12 optimization)
+    "corpus_decontam_fuzzy",  # r11; fn changed (r12 cand-bounded sz + bcast)
+    "timeseries_cusum_drift",  # r11; fn changed (r12 mapInPandas scan)
     # --- oldest-stamp re-certification fill (newest stamp = r2) ---
     "interval_merge_overlaps",
     "join_asof_latest",
@@ -195,17 +206,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "drop_duplicates_subset",
     "filter_like",
-    "filter_null_semantics",
-    "hash_id_stable",
-    "join_anti",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range_bucketed",
-    "join_semi",
-    "kmeans_lloyd_int",
 )
 
-# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 6-op
+# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 14-op
 # window head (the r11 list was 7 ops, all re-certified by
 # CORRECTNESS_r11), so nothing rolls to round 13.  tests/
 # test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER

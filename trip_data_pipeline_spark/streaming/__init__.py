@@ -90,13 +90,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     else:
         raw = reader.load(path)
-    if spark.read.format("parquet").schema(EVENTS_NTZ_SCHEMA).load(
-        path
-    ).isEmpty():
-        raise AssertionError(
-            f"read_events_stream premise broken: {path} matched no rows — "
-            "a stream over it would silently drain zero batches"
-        )
+    # Round-12 (guide §1/§5): the non-empty premise check is a batch
+    # job (~0.13-0.19 s) and the stream-stream joins construct TWO
+    # sources per op, so the check ran twice per invocation.  The
+    # fixture path's emptiness cannot change within a session (io.load
+    # memoizes the batch scan of the same file for the same reason),
+    # so the VERDICT of the check — not any query result — is memoized
+    # per (session, path) on the session object, mirroring io.load's
+    # per-session memo.  First use still fails loudly on an empty
+    # source; replacing a fixture mid-process needs a fresh session,
+    # the documented io.load contract.
+    try:
+        checked = spark._graft_stream_premise_ok  # type: ignore[attr-defined]
+    except AttributeError:
+        checked = spark._graft_stream_premise_ok = set()  # type: ignore[attr-defined]
+    if path not in checked:
+        if spark.read.format("parquet").schema(EVENTS_NTZ_SCHEMA).load(
+            path
+        ).isEmpty():
+            raise AssertionError(
+                f"read_events_stream premise broken: {path} matched no rows "
+                "— a stream over it would silently drain zero batches"
+            )
+        checked.add(path)
     # NULL event time is excluded AT THE SOURCE (round-9 stream-edge
     # class): every §2.9 operator is event-time-keyed, and a NULL
     # event time has no watermark/window/join-bound semantics — left
@@ -111,10 +127,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str = "complete"
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    *,
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into an
-    in-memory table; return the materialized batch DataFrame."""
+    in-memory table; return the materialized batch DataFrame.
+
+    final_no_data_batch=False skips the engine's trailing NO-DATA
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``,
+    set around this query only and restored).  That batch exists so a
+    LIVE stream evicts state / fires timeouts promptly between
+    arrivals; on an AvailableNow bounded drain whose result is read
+    only after termination it can change the final table ONLY when
+    state eviction itself emits rows — append-mode window aggregations
+    (finalized windows emit one batch after their data) and the outer
+    join's null-extension.  For inner stream-stream joins (eviction
+    never emits), streaming dedup (rows emit on arrival), update-mode
+    NoTimeout stateful ops (nothing fires), and complete mode (state
+    is never dropped; the last data batch already re-emits the full
+    table), the trailing batch is pure cost: a full state-store
+    load+commit cycle across every state partition with zero input —
+    measured 1.8-2.6 s of the stream-stream join's 5-8 s at sf0.1, and
+    at scale it costs one state reload across thousands of partitions.
+    Callers in those four classes pass False; append-mode aggregations
+    (stream_watermark_late, stream_two_level_window) MUST keep the
+    default — their finalized windows are emitted by exactly that
+    batch.  Output-identity for every opted-out op is locked by the
+    oracle hashes plus tests/test_streaming.py."""
     spark = stream_df.sparkSession
     # Round-12 paced-drain harness (VERDICT r11 item 3): the memory
     # sink materializes the FULL drained output on the driver — fine
@@ -126,26 +167,37 @@ def run_to_memory(
     # DataFrame is a batch scan of it: executor-parallel, never
     # driver-resident.  Unset (the default, and every driver/test
     # path), behavior is byte-identical to the round-11 shape.
-    sink_dir = os.environ.get("STREAM_SINK_DIR")
-    if sink_dir and output_mode == "append":
-        out = os.path.join(sink_dir, f"out_{uuid.uuid4().hex[:12]}")
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    ndb_old = spark.conf.get(ndb_key)
+    if not final_no_data_batch:
+        # Read once at query start (IncrementalExecution captures it);
+        # the drain below is synchronous, so set/restore is race-free
+        # within this op's single-threaded construction.
+        spark.conf.set(ndb_key, "false")
+    try:
+        sink_dir = os.environ.get("STREAM_SINK_DIR")
+        if sink_dir and output_mode == "append":
+            out = os.path.join(sink_dir, f"out_{uuid.uuid4().hex[:12]}")
+            q = (
+                stream_df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", out + "_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.schema(stream_df.schema).parquet(out)
+        name = f"mem_{uuid.uuid4().hex[:12]}"
         q = (
-            stream_df.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", out + "_ckpt")
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        return spark.read.schema(stream_df.schema).parquet(out)
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        return spark.table(name)
+    finally:
+        if not final_no_data_batch:
+            spark.conf.set(ndb_key, ndb_old)
