@@ -133,19 +133,35 @@ def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
     import pandas as pd
 
     sh = shingle_col(F.col("ws"))
+    # Round-12 (guide §1.2 per-task work, §4.1): ONE md5 + ONE conv per
+    # shingle instead of two.  The old shape ran two separate transform
+    # lambdas — ha = conv(substring(md5(s), 1, 7)) and
+    # hb = conv(substring(md5(s), 8, 7)) — and higher-order lambdas are
+    # interpreted expression trees with no cross-lambda subexpression
+    # sharing, so every shingle was md5'd twice.  Parsing the first 14
+    # hex chars as one 56-bit long (the exact trick simhash_bits_arrow
+    # already uses) and splitting hab = a * 2^28 + b inside the numpy
+    # kernel yields bit-identical (a, b): substring(1,14) is the
+    # concatenation of substring(1,7) and substring(8,7), so
+    # hab >> 28 == a and hab & (2^28 - 1) == b by construction.
     ab = docs.select(
         "doc_id",
-        F.transform(sh, lambda s: _hex28(F.md5(s), 1)).alias("ha"),
-        F.transform(sh, lambda s: _hex28(F.md5(s), 8)).alias("hb"),
+        F.transform(
+            sh,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("hab"),
     )
 
     def fold(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         ks = np.arange(1, MINHASH_PERMS + 1, dtype=np.int64).reshape(-1, 1)
         for pdf in batches:
             sigs = []
-            for a, b in zip(pdf["ha"], pdf["hb"]):
-                a = np.asarray(a, dtype=np.int64)
-                b = np.asarray(b, dtype=np.int64)
+            for hab in pdf["hab"]:
+                hab = np.asarray(hab, dtype=np.int64)
+                a = hab >> 28
+                b = hab & ((1 << 28) - 1)
                 # a, b < 2^28 and k <= 64 -> a + k*b < 2^35: no overflow
                 sigs.append(((a + ks * b) % MINHASH_MOD).min(axis=1).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})

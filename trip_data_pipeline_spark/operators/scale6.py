@@ -482,7 +482,19 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.min("c").alias("cms_est"))
     )
-    tr = tok.groupBy("w").agg(F.count(F.lit(1)).alias("true_n"))
+    # Round-12 (guide §2.3: don't compute things you throw away): the
+    # truth arm used to aggregate the WHOLE token stream by word — a
+    # full distinct-token shuffle — while the left join consumes true
+    # counts for exactly the 5 probe words.  Filtering to the probe set
+    # before counting leaves those counts identical and turns the
+    # truth arm into a constant-width aggregation; at 100 TB that is
+    # the difference between a corpus-vocabulary shuffle and a 5-row
+    # one (locally neutral: the sketch arm dominates at sf0.1).
+    tr = (
+        tok.filter(F.col("w").isin(list(_CMS_PROBES)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
     return (
         est.join(tr, "w", "left")
         .select(

@@ -138,17 +138,17 @@ def _ensure_loaded() -> None:
 #   sessionize_batch's r11 inline, corpus_decontam_fuzzy's r11
 #   semi-join pruning) re-certified, plus 43 oldest-stamp re-certs;
 #   ROLLOVER emptied and the oldest stamp in the ledger moved to r2.
-# ROUND 12 (50) — ACTIVE: one op re-fingerprints this round —
-#   the ops the OPTIMIZATION round re-fingerprints: the build-phase
+# ROUND 12 (50) — ACTIVE: the window heads with the ops the
+#   OPTIMIZATION round re-fingerprints: the build-phase
 #   tail (corpus_decontam_fuzzy's cand checkpoint) plus the r12
 #   optimization rewrites — resample/theil-sen/minhash-eval/gap-cap/
 #   cusum (mid-round commits) and the streaming no-data-batch skips +
 #   the decontam candidate-bounded verification (this session).  Every
 #   one re-verified HASH-OK (or rows-ran) at sf0.01 under the
-#   vanilla-session sim before staging; all 14 head the window,
-#   oldest stamp first.  The remaining 36 slots are oldest-stamp-first
+#   vanilla-session sim before staging; all 15 head the window,
+#   oldest stamp first.  The remaining 35 slots are oldest-stamp-first
 #   re-certification per VERDICT r11 item 5: all 27 remaining r2-stamp
-#   ops plus the first 9 r3-stamp ops in name order.  Re-stamping
+#   ops plus the first 8 r3-stamp ops in name order.  Re-stamping
 #   greens is exactly what a re-certification window is for;
 #   test_ledger's never-waste-a-slot rule is satisfied because zero
 #   never-stamped ops exist.
@@ -156,6 +156,7 @@ PRIORITY: tuple[str, ...] = (
     # --- stale head (docs/STAMP_FRESHNESS.json, oldest stamp first) ---
     "sessionize_gap_and_cap",  # r5 stamp; fn changed (r12 mapInPandas scan)
     "stream_transform_with_state",  # r5; fn changed (r12 no-data-batch skip)
+    "agg_count_min_sketch",  # r8; fn changed (r12 probe-filtered truth arm)
     "dedup_minhash_recall_eval",  # r9; fn changed (r12 optimization)
     "stream_stream_join",  # r9; fn changed (r12 no-data-batch skip)
     "timeseries_theil_sen_int",  # r9; fn changed (r12 cum-freq median)
@@ -205,10 +206,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_near_minhash",
     "dedup_ngram_jaccard",
     "drop_duplicates_subset",
-    "filter_like",
 )
 
-# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 14-op
+# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 15-op
 # window head (the r11 list was 7 ops, all re-certified by
 # CORRECTNESS_r11), so nothing rolls to round 13.  tests/
 # test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER
