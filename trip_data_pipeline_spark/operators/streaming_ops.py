@@ -176,6 +176,11 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
             "event_id", F.col("event_id") + 10_000_000
         )
     )
+    # Round-12 note (guide §1.2, measured): consolidating the three
+    # coalesce(1) write jobs into one partitionBy(b) write was
+    # prototyped and benched NEUTRAL — the repartition(1, b) shuffle
+    # of the union costs what the saved job commit saves — so the
+    # straightforward three-write form stays.
     for i, df in enumerate([on_time, empty, late]):
         tmp = os.path.join(out, f"_tmp{i}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -236,7 +241,15 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(bigint(F.count(F.lit(1))).alias("n"))
     )
-    res = run_to_memory(agg, "append")
+    # final_no_data_batch=False is sound for THIS append-mode agg
+    # because the last data batch cannot finalize anything new: the
+    # late batch-2 rows sit days behind the watermark, so the eviction
+    # watermark after batch 2 equals the one batch 1 already emitted
+    # with — the trailing no-data batch re-evicts with an identical
+    # watermark and emits zero rows (hash-locked vs the finalized-
+    # window oracle; the general append-mode rule stays documented in
+    # run_to_memory — stream_two_level_window keeps the default).
+    res = run_to_memory(agg, "append", final_no_data_batch=False)
     return res.select(
         F.expr("(unix_micros(window.start) div 1000000)").alias("win_start_s"), "n"
     )

@@ -145,8 +145,8 @@ def _ensure_loaded() -> None:
 #   cusum (mid-round commits) and the streaming no-data-batch skips +
 #   the decontam candidate-bounded verification (this session).  Every
 #   one re-verified HASH-OK (or rows-ran) at sf0.01 under the
-#   vanilla-session sim before staging; all 15 head the window,
-#   oldest stamp first.  The remaining 35 slots are oldest-stamp-first
+#   vanilla-session sim before staging; all 16 head the window,
+#   oldest stamp first.  The remaining 34 slots are oldest-stamp-first
 #   re-certification per VERDICT r11 item 5: all 27 remaining r2-stamp
 #   ops plus the first 8 r3-stamp ops in name order.  Re-stamping
 #   greens is exactly what a re-certification window is for;
@@ -166,6 +166,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_sliding_sum",  # r10; fn changed (r12 no-data-batch skip)
     "stream_stateful_runstate",  # r10; fn changed (r12 no-data-batch skip)
     "stream_tumbling_count",  # r10; fn changed (r12 no-data-batch skip)
+    "stream_watermark_late",  # r10; fn changed (r12 no-data-batch skip)
     "timeseries_resample_linear",  # r10; fn changed (r12 optimization)
     "corpus_decontam_fuzzy",  # r11; fn changed (r12 cand-bounded sz + bcast)
     "timeseries_cusum_drift",  # r11; fn changed (r12 mapInPandas scan)
@@ -205,10 +206,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_near_minhash",
     "dedup_ngram_jaccard",
-    "drop_duplicates_subset",
 )
 
-# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 15-op
+# ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 16-op
 # window head (the r11 list was 7 ops, all re-certified by
 # CORRECTNESS_r11), so nothing rolls to round 13.  tests/
 # test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER
