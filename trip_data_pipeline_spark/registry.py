@@ -148,7 +148,7 @@ def _ensure_loaded() -> None:
 #   vanilla-session sim before staging; all 16 head the window,
 #   oldest stamp first.  The remaining 34 slots are oldest-stamp-first
 #   re-certification per VERDICT r11 item 5: all 27 remaining r2-stamp
-#   ops plus the first 8 r3-stamp ops in name order.  Re-stamping
+#   ops plus the first 7 r3-stamp ops in name order.  Re-stamping
 #   greens is exactly what a re-certification window is for;
 #   test_ledger's never-waste-a-slot rule is satisfied because zero
 #   never-stamped ops exist.

@@ -152,10 +152,14 @@ def run_to_memory(
     measured 1.8-2.6 s of the stream-stream join's 5-8 s at sf0.1, and
     at scale it costs one state reload across thousands of partitions.
     Callers in those four classes pass False; append-mode aggregations
-    (stream_watermark_late, stream_two_level_window) MUST keep the
-    default — their finalized windows are emitted by exactly that
-    batch.  Output-identity for every opted-out op is locked by the
-    oracle hashes plus tests/test_streaming.py."""
+    whose finalized windows are emitted by exactly that batch MUST
+    keep the default — of the registered ops that is
+    stream_two_level_window.  (stream_watermark_late is the documented
+    exemption: its late rows never advance the watermark, so the
+    trailing eviction watermark equals the already-emitted one — the
+    op-local rationale lives at its call site in streaming_ops.py.)
+    Output-identity for every opted-out op is locked by the oracle
+    hashes plus tests/test_streaming.py."""
     spark = stream_df.sparkSession
     # Round-12 paced-drain harness (VERDICT r11 item 3): the memory
     # sink materializes the FULL drained output on the driver — fine
